@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-expressible relational operators the engine relies on (SURVEY.md
+  * §2.2): verification equi/anti joins, metrics rollups, validity splits,
+  * top-k, broadcast dimension joins, window ordering. Each has an exact
+  * DuckDB oracle; float aggregates use DECIMAL casts so sums are exact and
+  * order-independent across engines.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // metrics-table rollup analogue (lineage rows → per-stage aggregates)
+    "q10_metrics_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_cents"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))),
+
+    // validity-split analogue (dataset sink routing, dataset_builder.py:33-44)
+    "q11_validity_split" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_price_cents"))
+        .orderBy(col("o_orderstatus"))),
+
+    // golden-fixture verification: equi-join + mismatch anti-join analogue
+    "q12_verify_antijoin" -> ((s, dir) =>
+      t(s, dir, "orders").as("o")
+        .join(t(s, dir, "customer").as("c"),
+          col("o.o_custkey") === col("c.c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))),
+
+    // top-k by size (sorts/limits category; deterministic tiebreak)
+    "q13_topk_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(100)),
+
+    // broadcast dimension join (small dims broadcast, SURVEY.md §4)
+    "q14_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "customer").as("c")
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("n.n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             (sum(col("c.c_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("sum_acctbal_cents"))
+        .orderBy(col("n_name"))),
+
+    // window ordering (per-user event sequence numbers)
+    "q15_window_seq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("seq"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
+
+    // multi-way join + agg (scan→join→agg chain; partial aggregation)
+    "q16_region_rollup" -> ((s, dir) =>
+      t(s, dir, "customer").as("c")
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(t(s, dir, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .groupBy(col("r.r_name"))
+        .agg(countDistinct(col("c.c_custkey")).as("n_customers"))
+        .orderBy(col("r_name")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_metrics_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q11_validity_split" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q12_verify_antijoin" ->
+      """SELECT count(*) AS orphan_orders FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+    "q13_topk_docs" ->
+      """SELECT doc_id, n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id ASC LIMIT 100""",
+    "q14_broadcast_join" ->
+      """SELECT n.n_name, count(*) AS n_customers,
+         CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_cents
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""",
+    "q15_window_seq" ->
+      """SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+         FROM events ORDER BY user_id, seq""",
+    "q16_region_rollup" ->
+      """SELECT r.r_name, count(DISTINCT c.c_custkey) AS n_customers
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.Doc
+
+/** Multimodal-column plumbing: media content as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in a batched per-partition
+  * kernel. The image/audio codecs are NOT in this container, so the decode
+  * step is a clearly-marked deterministic surrogate (`fakeDecode`) — the
+  * Spark-side contract (schema, batching, partitioning, kernel shape) is
+  * real and a codec-backed decoder drops in behind the same signature.
+  */
+object MultimodalOps {
+
+  final case class MediaMeta(
+      doc_id: String,
+      media_ref: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      format: String,
+      feature: Array[Float])
+
+  /** SURROGATE for the real decoder (cv2.imread/resize in the reference,
+    * preprocess.py:51-87): metadata and a feature vector derived
+    * deterministically from the bytes. Replace with a codec call in prod. */
+  def fakeDecode(ref: String, bytes: Array[Byte]): (Int, Int, String, Array[Float]) = {
+    val h = graft.io.Corpus.hash(ref)
+    val width = 640 + (math.abs(h) % 1280).toInt
+    val height = 480 + (math.abs(h >> 16) % 960).toInt
+    val fmt = if ((h & 1) == 0) "jpeg" else "png"
+    val feat = Array.tabulate(8)(i => (((h >> (i * 8)) & 0xff).toFloat) / 255f)
+    (width, height, fmt, feat)
+  }
+
+  /** Extract every media span as (doc_id, media_ref, content: binary), then
+    * decode in a mapPartitions kernel batched `batchSize` at a time (the
+    * shape a GPU/codec batch API needs). */
+  def mediaTable(docs: Dataset[Doc], batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => d.spans.filter(_.kind == "media")
+        .map(s => (d.doc_id, s.media_ref,
+          s.media_ref.getBytes("UTF-8")))) // binary payload surrogate
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a real codec/model call would go
+          batch.iterator.map { case (docId, ref, bytes) =>
+            val (w, h, fmt, feat) = fakeDecode(ref, bytes)
+            MediaMeta(docId, ref, bytes.length, w, h, fmt, feat)
+          }
+        }
+      }
+  }
+
+  /** Per-format media statistics over the decoded metadata. */
+  def mediaStats(docs: Dataset[Doc]): DataFrame =
+    mediaTable(docs).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("n_bytes")).as("total_bytes"),
+           max(col("width")).as("max_width"),
+           max(col("height")).as("max_height"))
+      .orderBy(col("format"))
+}
