@@ -19,6 +19,11 @@ trait OcrBackend extends Serializable {
   /** media ref → base64 face crop, if the media carries a face
     * (ref: pipeline/preprocess.py:18-49). */
   def face(mediaRef: String): Option[String]
+  /** Fused decode — one media access for OCR + face (the hot path). */
+  def decode(mediaRef: String): (Vector[String], Vector[Double], Option[String]) = {
+    val (ls, cs) = ocr(mediaRef)
+    (ls, cs, face(mediaRef))
+  }
 }
 
 trait DonutBackend extends Serializable {
@@ -28,15 +33,19 @@ trait DonutBackend extends Serializable {
 }
 
 final class DeterministicOcrBackend extends OcrBackend {
+  private def faceOf(p: Corpus.MediaPayload, mediaRef: String): Option[String] =
+    if (p.hasFace)
+      Some(Base64.getEncoder.encodeToString(s"FACE:$mediaRef".getBytes("UTF-8")))
+    else None
   def ocr(mediaRef: String): (Vector[String], Vector[Double]) = {
     val p = Corpus.render(mediaRef)
     (p.lines, p.confs)
   }
-  def face(mediaRef: String): Option[String] = {
-    val p = Corpus.render(mediaRef)
-    if (p.hasFace)
-      Some(Base64.getEncoder.encodeToString(s"FACE:$mediaRef".getBytes("UTF-8")))
-    else None
+  def face(mediaRef: String): Option[String] =
+    faceOf(Corpus.render(mediaRef), mediaRef)
+  override def decode(mediaRef: String): (Vector[String], Vector[Double], Option[String]) = {
+    val p = Corpus.render(mediaRef) // single media access
+    (p.lines, p.confs, faceOf(p, mediaRef))
   }
 }
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import java.util.regex.Pattern
 
 /** Deduplication operators over the `documents` table: exact (hash
   * group-by), MinHash+LSH near-dup (shingle → minhash signature → banded
@@ -11,6 +12,7 @@ import org.apache.spark.sql.functions._
   * derived keys (bands/buckets), which is what survives a 100× scale-up.
   */
 object DedupOps {
+  private val wsPat = Pattern.compile("\\s+")
 
   /** Exact dedup: md5(text) → keeper = min(doc_id), duplicate count. */
   def exact(df: DataFrame): DataFrame =
@@ -28,12 +30,51 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the doc's shingle set. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(array_distinct(sh), s => xxhash64(s, lit(h))))
-    }: _*)
+  /** splitmix64 finalizer — cheap per-seed derived hashes so each shingle
+    * is hashed ONCE and the `numHashes` minhash lanes reuse the base hash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature + band keys in ONE pass per row (typed map).
+    * A pure-Catalyst formulation re-inlines the 64-min signature expression
+    * into every band key (measured 30× blowup), so the per-row loop runs as
+    * a typed map instead: O(shingles × numHashes) exactly once. */
+  def minhashBands(df: DataFrame, w: Int, bands: Int,
+                   rowsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        val sh: Array[String] =
+          if (toks.length < w) Array(toks.mkString(" "))
+          else Array.tabulate(toks.length - w + 1)(i =>
+            toks.slice(i, i + w).mkString(" ")).distinct
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        sh.foreach { s =>
+          val base = Corpus64.hash(s)
+          var i = 0
+          while (i < numHashes) {
+            val h = mix64(base ^ (i * 0x632be59bd9b4e019L))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        val bandKeys = Array.tabulate(bands) { b =>
+          var h = b.toLong
+          var r = 0
+          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          h
+        }
+        (id, sh.toSeq, bandKeys.toSeq)
+      }
+      .toDF("doc_id", "sh", "band_keys")
+  }
 
   /** MinHash + LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. bands×rowsPerBand = signature length; docs sharing any
@@ -42,18 +83,9 @@ object DedupOps {
     */
   def minhashLsh(df: DataFrame, w: Int = 3, bands: Int = 16,
                  rowsPerBand: Int = 4, minJaccardPct: Int = 60): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val withSig = df
-      .select(col("doc_id"), array_distinct(shingles(col("text"), w)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-
-    // band keys: hash of each signature slice
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-        .as(Seq("band_id", "band_key")))
+    val banded = minhashBands(df, w, bands, rowsPerBand)
+      .select(col("doc_id"), col("sh"),
+        posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
 
     // bucket join → unordered candidate pairs (a < b), deduped across bands
     val candidates = banded.as("l").join(banded.as("r"),
@@ -82,7 +114,7 @@ object DedupOps {
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Int](64)
-        text.split("\\s+").foreach { tok =>
+        wsPat.split(text).foreach { tok =>
           val h = Corpus64.hash(tok)
           var b = 0
           while (b < 64) {

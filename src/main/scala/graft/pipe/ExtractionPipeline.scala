@@ -38,7 +38,11 @@ object ExtractionPipeline {
     * the mean over kept OCR lines, 0.0 when none (ocr_engine.py:72). The
     * face comes from the first media span that carries one
     * (preprocess.py:18-49 — the reference has exactly one image per doc). */
-  def ocrDoc(doc: Doc, backend: OcrBackend): DocOcr = {
+  def ocrDoc(doc: Doc, backend: OcrBackend): DocOcr = ocrDocFull(doc, backend)._1
+
+  /** ocrDoc plus the kept per-line confidences (needed by the salted path
+    * to reassemble a bit-identical mean). */
+  def ocrDocFull(doc: Doc, backend: OcrBackend): (DocOcr, Vector[Double]) = {
     val lines = Vector.newBuilder[String]
     val confs = Vector.newBuilder[Double]
     val mediaRefs = Vector.newBuilder[String]
@@ -46,20 +50,31 @@ object ExtractionPipeline {
     var faceB64: String = null
     var failures = 0L
 
-    doc.spans.sortBy(_.offset).foreach { s =>
+    // spans are contiguous-by-offset in well-formed docs; sort only when not
+    var sorted = true
+    var k = 1
+    while (k < doc.spans.length && sorted) {
+      if (doc.spans(k).offset < doc.spans(k - 1).offset) sorted = false
+      k += 1
+    }
+    val ordered = if (sorted) doc.spans else doc.spans.sortBy(_.offset)
+    ordered.foreach { s =>
       s.kind match {
         case "text" =>
           lines ++= BoilerplateStrip.lines(s.text)
         case "media" =>
           mediaRefs += s.media_ref
-          val (ls, cs) =
-            try backend.ocr(s.media_ref)
+          val (ls, cs, faceOpt) =
+            try backend.decode(s.media_ref)
             catch {
               case _: Exception =>
                 // crash fallback: one retry on a fresh safe path
                 failures += 1
-                try backend.ocr(s.media_ref)
-                catch { case _: Exception => (Vector.empty[String], Vector.empty[Double]) }
+                try backend.decode(s.media_ref)
+                catch {
+                  case _: Exception =>
+                    (Vector.empty[String], Vector.empty[Double], None)
+                }
             }
           var i = 0
           while (i < ls.length) {
@@ -70,7 +85,7 @@ object ExtractionPipeline {
             i += 1
           }
           if (faceRef == null) {
-            backend.face(s.media_ref).foreach { b64 =>
+            faceOpt.foreach { b64 =>
               faceRef = s"face:${s.media_ref}"
               faceB64 = b64
             }
@@ -81,8 +96,8 @@ object ExtractionPipeline {
     val ls = lines.result()
     val cs = confs.result()
     val avg = if (cs.nonEmpty) cs.sum / cs.length else 0.0
-    DocOcr(doc.doc_id, ls.mkString(" "), ls, avg, faceRef, faceB64,
-      mediaRefs.result(), failures)
+    (DocOcr(doc.doc_id, ls.mkString(" "), ls, avg, faceRef, faceB64,
+      mediaRefs.result(), failures), cs)
   }
 
   /** Regex extraction → optional Donut fallback → metadata → validation →

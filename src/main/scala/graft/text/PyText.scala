@@ -44,10 +44,13 @@ object PyText {
     s.substring(a, b)
   }
 
+  private val wsRunPat = Pattern.compile("\\s+")
+
   /** Python `str.split()` with no args: split on whitespace runs, drop
-    * empties (ref: cleaner.py:33 `line.split()`). */
+    * empties (ref: cleaner.py:33 `line.split()`). Precompiled — String.split
+    * with a multi-char regex recompiles the pattern per call. */
   def splitWs(s: String): Vector[String] =
-    strip(s).split("\\s+").toVector.filter(_.nonEmpty)
+    wsRunPat.split(strip(s)).toVector.filter(_.nonEmpty)
 
   /** Python `str.split(sep)` — keeps empty fields (ref: cleaner.py:275
     * `line.split(":")[1]`). */

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, SimilarityOps, TextOps, MultimodalOps}
+
+/** Training-data ops: planted duplicates/neighbors must be found. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min keeper id") {
+    val df = docsDf(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "different text entirely")
+    val out = DedupOps.exact(df).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n_docs") == 2L).get
+    assert(dup.getAs[Long]("keeper_doc_id") === 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val out = DedupOps.minhashLsh(docsDf(1L -> base, 2L -> nearDup, 3L -> other))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("doc_a") === 1L)
+    assert(out(0).getAs[Long]("doc_b") === 2L)
+    // exact jaccard verified: changing 1 of 40 tokens kills 3 of 38 shingles
+    assert(out(0).getAs[Int]("n_inter") > 30)
+  }
+
+  test("simhash pairs: identical docs at hamming 0, unrelated docs unpaired") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val pairs = DedupOps.simhashPairs(docsDf(1L -> base, 2L -> base, 3L -> other))
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") === 0)
+  }
+
+  test("brute-force ANN top-k: identical vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0.01f, 0f, 0f), 0), // near-identical to 0
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0f, 0.9f, 0.1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.bruteTopK(vecs, numQueries = 1, k = 3).collect()
+    assert(top.head.getAs[Long]("neighbor_id") === 1L) // rank 1 = closest
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(1f), 0),
+      (1L, Array.fill(64)(1f), 0),
+      (2L, Array.fill(64)(-1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = SimilarityOps.lshBuckets(vecs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L)) // antipodal vectors flip every sign bit
+  }
+
+  test("langId picks the language with most marker hits, en wins ties") {
+    val df = docsDf(
+      1L -> "the cat of the house is big",
+      2L -> "le chat et la maison des gens",
+      3L -> "xyz qrs") // no markers
+    val out = TextOps.langId(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "und")
+  }
+
+  test("winnowing fingerprints: shared text shares fingerprint hashes") {
+    val df = docsDf(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely unrelated content here")
+    val fps = TextOps.fingerprints(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(2L))
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
+  test("multimodal kernel: every media span decoded with stable metadata") {
+    val docs = graft.io.Synthesizer.docs(spark, 50, 42L)
+    val media = MultimodalOps.mediaTable(docs).collect()
+    val expected = docs.collect().flatMap(_.spans.filter(_.kind == "media")).length
+    assert(media.length === expected)
+    assert(media.forall(m => m.width >= 640 && m.height >= 480 &&
+      (m.format == "jpeg" || m.format == "png") && m.feature.length == 8))
+    // deterministic: same ref ⇒ same metadata
+    val m0 = media.head
+    val again = MultimodalOps.fakeDecode(m0.media_ref, Array.empty)
+    assert(again._1 === m0.width && again._4.toSeq === m0.feature.toSeq)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.io.Synthesizer
+import graft.model.Doc
+import graft.pipe.{ExtractionPipeline, Sink}
+import graft.streaming.StreamingExtraction
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("streaming extraction over MemoryStream matches the batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 100L).map(n => Synthesizer.genDoc(42L, n))
+    val stream = MemoryStream[Doc]
+    stream.addData(docs.take(50))
+
+    val q = StreamingExtraction.extract(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(docs.drop(50)) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_out")
+      .select(col("doc_id"), col("record_json")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = docs.map { d =>
+      val r = ExtractionPipeline.run(spark.createDataset(Seq(d))).collect()(0)
+      r.doc_id -> r.record_json
+    }.toMap
+    assert(got === want)
+  }
+
+  test("windowed metrics with watermark aggregate by event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Boolean)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    stream.addData(Seq(
+      (ts(1), "Aadhaar Card", true), (ts(2), "Aadhaar Card", false),
+      (ts(7), "PAN Card", true)))
+    val df = stream.toDS().toDF("ts", "document_type", "is_valid")
+    val q = StreamingExtraction.windowedMetrics(df)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+    assert(rows.length === 2) // two 5-minute windows
+    val aad = rows.find(_.getAs[String]("document_type") == "Aadhaar Card").get
+    assert(aad.getAs[Long]("doc_count") === 2L)
+    assert(aad.getAs[Long]("valid_count") === 1L)
+  }
+
+  test("partitioned dataset sink routes by (doc_type_dir, is_valid)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val results = ExtractionPipeline.run(Synthesizer.docs(spark, 200, 42L))
+    Sink.write(results, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200)
+    // physical layout: one directory per (type, validity) — the
+    // dataset_builder.py routing contract
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("doc_type_dir=")))
+    val aadDir = new java.io.File(s"$dir/doc_type_dir=aadhaar_card")
+    assert(aadDir.exists())
+    assert(aadDir.listFiles().map(_.getName).count(_.startsWith("is_valid=")) === 2)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.text.PyText
+import graft.html.BoilerplateStrip
+import graft.model._
+import graft.classify.DocTypeClassifier
+import graft.io.Corpus
+
+/** Python-parity helpers: each case hand-checked against CPython. */
+class PyTextSpec extends AnyFunSuite {
+  test("title() matches Python str.title() on non-alpha boundaries") {
+    assert(PyText.title("ramesh kumar") === "Ramesh Kumar")
+    assert(PyText.title("o'neil 2nd-gen x1a") === "O'Neil 2Nd-Gen X1A")
+    assert(PyText.title("ABC DEF") === "Abc Def")
+    assert(PyText.title("") === "")
+    assert(PyText.title("a1b2") === "A1B2") // digits reset casing
+  }
+  test("isDigit matches Python str.isdigit()") {
+    assert(PyText.isDigit("12345"))
+    assert(!PyText.isDigit(""))
+    assert(!PyText.isDigit("12a"))
+    assert(!PyText.isDigit("-12"))
+  }
+  test("round2 is banker's rounding on the exact binary value") {
+    assert(PyText.round2(0.125) === 0.12)   // Python round(0.125, 2) == 0.12
+    assert(PyText.round2(0.135) === 0.14)   // 0.135 binary is slightly above
+    assert(PyText.round2(87.345) === 87.34) // 87.345 binary is slightly below
+    assert(PyText.round2(2.675) === 2.67)   // classic: binary is below 2.675
+  }
+  test("splitLit keeps empty fields like Python str.split(sep)") {
+    assert(PyText.splitLit("a::b", ":") === Vector("a", "", "b"))
+    assert(PyText.splitLit(":x:", ":") === Vector("", "x", ""))
+  }
+  test("reSplitWithGroups includes captured delimiters (re.split parity)") {
+    val p = java.util.regex.Pattern.compile("(?i)(TOWN\\b)")
+    assert(PyText.reSplitWithGroups(p, "ANEKAL TOWN Anekal") ===
+      Vector("ANEKAL ", "TOWN", " Anekal"))
+  }
+  test("removeFirst drops only the first occurrence (list.remove parity)") {
+    assert(PyText.removeFirst(Vector("a", "b", "a"), "a") === Vector("b", "a"))
+    assert(PyText.removeFirst(Vector("b"), "z") === Vector("b"))
+  }
+}
+
+class BoilerplateStripSpec extends AnyFunSuite {
+  test("strips chrome containers and keeps main content") {
+    val html = """<html><head><style>x{}</style></head><body>
+      <nav><a href="#">home</a> <a href="#">about</a></nav>
+      <div><p>real content line</p><p>second line</p></div>
+      <footer>copyright 2026 all rights reserved</footer>
+      <script>var x=1;</script></body></html>"""
+    assert(BoilerplateStrip.lines(html) === Vector("real content line", "second line"))
+  }
+  test("link-dense short blocks are dropped (DOM heuristic)") {
+    val html = """<div><a href="/a">one</a> <a href="/b">two</a> <a href="/c">three</a></div>
+      <div><p>body text stays</p></div>"""
+    assert(BoilerplateStrip.lines(html) === Vector("body text stays"))
+  }
+  test("entities are decoded; plain text passes through") {
+    assert(BoilerplateStrip.lines("<p>fish &amp; chips</p>") === Vector("fish & chips"))
+    assert(BoilerplateStrip.lines("no tags at all") === Vector("no tags at all"))
+    assert(BoilerplateStrip.lines("") === Vector.empty)
+  }
+  test("boilerplate keyword lines are vetoed") {
+    val html = "<p>subscribe to our newsletter</p><p>actual article</p>"
+    assert(BoilerplateStrip.lines(html) === Vector("actual article"))
+  }
+}
+
+/** Properties from SURVEY.md §5.3. */
+class PropertySpec extends AnyFunSuite {
+  private def check(p: Prop): Unit =
+    assert(SCTest.check(SCTest.Parameters.default, p).passed)
+
+  private val noiseLineGen: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    ws <- Gen.listOfN(n, Gen.oneOf(Corpus.noiseWords))
+  } yield ws.mkString(" ")
+
+  test("classifier totality: every text classifies; noise classifies Unknown") {
+    check(Prop.forAll(Gen.listOf(noiseLineGen)) { lines =>
+      val raw = lines.mkString(" ")
+      val d = DocTypeClassifier.extractWithRouting(raw, lines)
+      d.get("document_type").contains("Unknown")
+    })
+  }
+
+  test("noise vocabulary is trigger-free (safety invariant for fixtures)") {
+    val triggers = Seq("male", "dob", "marks", "result", "university",
+      "passport", "lmv", "mcwg", "india", "dl no", "p<", "driving")
+    Corpus.noiseWords.foreach { w =>
+      triggers.foreach(t => assert(!w.contains(t), s"noise word $w contains $t"))
+    }
+  }
+
+  test("donut merge never overwrites truthy values (extractor.py:106)") {
+    val donut = JObj(Vector(
+      "document_type" -> JStr("Voter ID"),
+      "name" -> JStr("DONUT NAME"),
+      "extra" -> JStr("added")))
+    val target = PyDict("document_type" -> "Unknown", "name" -> "KEPT NAME",
+      "empty" -> "")
+    DocTypeClassifier.mergeDonut(target, Some(donut))
+    assert(target("document_type") === "Unknown") // truthy, never overwritten
+    assert(target("name") === "KEPT NAME")
+    assert(target("extra") === JStr("added"))
+  }
+
+  test("aadhaar number reformat is idempotent") {
+    check(Prop.forAll(Gen.listOfN(12, Gen.choose(0, 9))) { ds =>
+      val num = ds.mkString
+      val spaced = s"${num.take(4)} ${num.slice(4, 8)} ${num.drop(8)}"
+      val d1 = graft.extract.AadhaarExtractor.extract(num, Seq(num))
+      val d2 = graft.extract.AadhaarExtractor.extract(spaced, Seq(spaced))
+      d1.get("aadhaar_number") == d2.get("aadhaar_number")
+    })
+  }
+
+  test("JObj.updated preserves key position like Python dict assignment") {
+    val o = JObj(Vector("a" -> JStr("1"), "b" -> JStr("2")))
+    assert(o.updated("a", JStr("9")).fields.map(_._1) === Vector("a", "b"))
+    assert(o.updated("c", JStr("3")).fields.map(_._1) === Vector("a", "b", "c"))
+  }
+}
