@@ -140,10 +140,12 @@ object Bench {
     val tpLow = scalingDocs / tLow
     val efficiency = tpFull / (4.0 * tpLow)
 
+    // min of 2 runs per query — single-shot numbers on this VM are
+    // noise-dominated (noisy neighbors)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
+      def one(): Double =
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-      } catch { case _: Throwable => -1.0 }
+      val sec = try math.min(one(), one()) catch { case _: Throwable => -1.0 }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
