@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
@@ -23,12 +24,10 @@ object PyFuncs {
   * (semantics: graft.text.PyText.title — cleaner.py:34 parity). */
 case class PyTitle(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def inputTypes = Seq(StringType)
-  override def checkInputDataTypes() =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"py_title requires a string argument, got ${child.dataType}")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"py_title requires STRING, got ${child.dataType}")
   override def nullSafeEval(input: Any): Any =
     PyFuncs.title(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,7 +41,10 @@ case class PyTitle(child: Expression) extends UnaryExpression {
   * expression (extractor.py:114 parity; Spark's `round` is HALF_UP). */
 case class PyRound2(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def inputTypes = Seq(DoubleType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"py_round2 requires DOUBLE, got ${child.dataType}")
   override def nullSafeEval(input: Any): Any =
     PyFuncs.round2(input.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,10 +54,12 @@ case class PyRound2(child: Expression) extends UnaryExpression {
   override def prettyName: String = "py_round2"
 }
 
-/** Column-API access without SQL registration. */
+/** Column-API access without SQL registration (Spark 4: Column↔Expression
+  * bridging goes through GraftColumnBridge). */
 object functions {
-  def py_title(c: Column): Column = Column(PyTitle(c.expr))
-  def py_round2(c: Column): Column = Column(PyRound2(c.expr))
+  import org.apache.spark.sql.GraftColumnBridge._
+  def py_title(c: Column): Column = column(PyTitle(expression(c)))
+  def py_round2(c: Column): Column = column(PyRound2(expression(c)))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions

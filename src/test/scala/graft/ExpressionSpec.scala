@@ -26,16 +26,18 @@ class ExpressionSpec extends AnyFunSuite {
 
   test("SQL registration via GraftExtensions descriptors") {
     GraftExtensions.registerInto(spark)
-    val r = spark.sql("SELECT py_title('visvesvaraya tech') AS t, py_round2(0.125) AS r")
+    val r = spark.sql("SELECT py_title('visvesvaraya tech') AS t, py_round2(CAST(0.125 AS DOUBLE)) AS r")
       .collect()(0)
     assert(r.getString(0) === "Visvesvaraya Tech")
     assert(r.getDouble(1) === 0.12)
   }
 
   test("expression stays inside WholeStageCodegen") {
-    import spark.implicits._
-    val plan = Seq("x").toDF("s").select(gf.py_title(col("s")))
+    val plan = spark.range(10)
+      .select(gf.py_title(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x"), col("id"))))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"))
+    // "*(1)" is the WholeStageCodegen marker in the compact plan string
+    assert(plan.trim.startsWith("*(1) Project [py_title("), plan)
   }
 }
