@@ -26,7 +26,13 @@ object PipelineOpsQueries {
     "p08_ann_lsh_topk" -> ((s, dir) => SimilarityOps.lshTopK(emb(s, dir))),
     "p09_fingerprints" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "p10_media_stats" -> ((s, dir) =>
-      MultimodalOps.mediaStats(SparkEntry.docTable(s, dir)))
+      MultimodalOps.mediaStats(SparkEntry.docTable(s, dir))),
+    "p11_shingle_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir).select(col("doc_id"),
+        size(array_distinct(DedupOps.shingles(col("text")))).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -80,6 +86,13 @@ object PipelineOpsQueries {
                                      ORDER BY score DESC, neighbor_id ASC) AS rank
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "p11_shingle_counts" ->
+      """SELECT doc_id,
+         len(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text),'\s+')) - 2, 1) + 1),
+           i -> array_to_string(regexp_split_to_array(trim(text),'\s+')[i:i+2], ' ')
+         ))) AS n_shingles
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -66,6 +66,33 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("seq"))
     }),
 
+    // TPC-H Q1-style pricing summary (wide agg, partial+final)
+    "q17_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+             (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").as("sum_qty_c"),
+             (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_price_c"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // join + agg + top-k (deterministic tiebreak)
+    "q18_top_customers" -> ((s, dir) =>
+      t(s, dir, "orders").as("o")
+        .join(t(s, dir, "customer").as("c"),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .groupBy(col("c.c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             (sum(col("o.o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_c"))
+        .orderBy(col("sum_c").desc, col("c_custkey").asc)
+        .limit(50)),
+
+    // filter pushdown to the scan (PushedFilters on l_shipdate)
+    "q19_date_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n_items"),
+             (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_price_c"))),
+
     // multi-way join + agg (scan→join→agg chain; partial aggregation)
     "q16_region_rollup" -> ((s, dir) =>
       t(s, dir, "customer").as("c")
@@ -103,6 +130,21 @@ object RelationalQueries {
       """SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
          FROM events ORDER BY user_id, seq""",
+    "q17_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q18_top_customers" ->
+      """SELECT c.c_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_c
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_custkey ORDER BY sum_c DESC, c.c_custkey ASC LIMIT 50""",
+    "q19_date_filter" ->
+      """SELECT count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'""",
     "q16_region_rollup" ->
       """SELECT r.r_name, count(DISTINCT c.c_custkey) AS n_customers
          FROM customer c

@@ -62,12 +62,12 @@ object Corpus {
     "peacock", "lotus")
 
   def variantCount(family: String): Int = family match {
-    case "aadhaar"   => 5
-    case "pan"       => 4
-    case "marksheet" => 6
-    case "dl"        => 5
-    case "dls"       => 4
-    case "passport"  => 6
+    case "aadhaar"   => 6
+    case "pan"       => 5
+    case "marksheet" => 7
+    case "dl"        => 6
+    case "dls"       => 5
+    case "passport"  => 8
     case "voter"     => 1
     case "page"      => 1
     case _           => 1
@@ -121,9 +121,12 @@ object Corpus {
           case 3 => // one-word ALL-CAPS name rejected first (< 2 words)
             lines += first.toUpperCase += nameCaps +=
               "Female" += spaced += s"DOB: ${date("-", 1960, 2002)}"
-          case _ =>
+          case 4 =>
             lines += "Unique Identification Authority of India" += name +=
               s"${date("-", 1960, 2002)}" += "MALE" += spaced += "www.uidai.gov.in"
+          case _ => // all candidate lines vetoed -> no name extracted
+            lines += "Enrollment No 991" += s"Help: www.portal.example" +=
+              "MALE" += spaced += s"DOB: ${date("/", 1960, 2002)}"
         }
       case "pan" =>
         // vowel-free letter pool: random letters can never spell a
@@ -140,9 +143,12 @@ object Corpus {
               fatherCaps += date("/", 1960, 2002) += pan
           case 2 => // dob on line 0 → positional bails (dob_index < 2)
             lines += s"${date("/", 1960, 2002)} $pan" += "Permanent Account"
-          case _ => // label candidates vetoed, positional candidates vetoed
+          case 3 => // label candidates vetoed, positional candidates vetoed
             lines += "Name" += "Permanent Card" += "GOVT. OF INDIA" +=
               "INCOME TAX" += date("/", 1960, 2002) += pan
+          case _ => // Mother label branch (cleaner.py:57)
+            lines += "Mother's Name" += fatherCaps += "Name" += nameCaps +=
+              pan += date("/", 1960, 2002)
         }
       case "marksheet" =>
         val usn = s"${1 + rng.nextInt(4)}AB${10 + rng.nextInt(90)}CS${rng.nextInt(999)}"
@@ -190,8 +196,16 @@ object Corpus {
             lines += "RESULT SHEET UNIVERSITY" += s"Name : $name" += "Semester - 2"
             subject("18ME21", Seq("Thermodynamics"), Seq("40", "A", "-"), "0F")
             subject("18ME22", Seq("Materials"), Seq("20", "30", "50"), "W")
-          case _ => // no USN, no semester header → Unknown fields
+          case 5 => // no USN, no semester header → Unknown fields
             lines += "PROVISIONAL MARKS CARD" += s"Name : $name"
+          case _ => // Code/Subject header lines are never codes; NA result
+            lines += "VTU RESULT SHEET" += s"Name : $name" += "Semester: 5"
+            lines += "Subject Code" // excluded by the Code/Subject veto
+            lines += "18CS51"
+            lines += "Software Engineering"
+            lines += "30" += "40" += "70"
+            lines += "zz" // ignored in LOOKING_FOR_MARKS
+            lines += "NA" // result "NA" kept verbatim
         }
       case "dl" =>
         val dlNum = s"KA${10 + rng.nextInt(80)}" + " " + rng.digits(4) + rng.digits(7)
@@ -214,9 +228,13 @@ object Corpus {
               s"RTO ANEKAL"
           case 3 => // no DL number → invalid (Field required)
             lines += "DRIVING LICENCE" += "NAME" += nameCaps += "MCWOG" += doi
-          case _ => // class dedup + DOI-carrying class line
+          case 4 => // class dedup + DOI-carrying class line
             lines += "DRIVING LICENCE" += s"DL No : $dlNum" += s"MCWG DOI $doi" +=
               "MCWG" += doi += s"LMV" += "THROUGHOUT INDIA"
+          case _ => // CDOI line must NOT set date_of_issue; startswith("DL")
+            lines += "DRIVING LICENCE" += s"CDOI : $doi" +=
+              s"DLNUM RECORD" += s": ${dlNum.replace(" ", "")}" +=
+              s"DOI : ${date("-", 2012, 2020)}"
         }
       case "dls" =>
         val dlNum = s"KA${10 + rng.nextInt(80)} ${rng.digits(4)} ${rng.digits(7)}"
@@ -233,9 +251,12 @@ object Corpus {
           case 2 => // fallback DL with >14 digits → schema-invalid
             lines += "MCWG CATEGORY PERMIT" +=
               s"KA${10 + rng.nextInt(80)}${rng.digits(15)}" += s"NAME $nameCaps"
-          case _ => // no DL number at all → invalid (Field required)
+          case 3 => // no DL number at all → invalid (Field required)
             lines += "MCWG VEHICLE CATEGORY" += s"NAME $nameCaps" +=
               s"D.O.B: ${date("-", 1960, 2000)}"
+          case _ => // address block terminated by SIGN LICENCING
+            lines += s"DL NO: $dlNum," += s"NAME $nameCaps" +=
+              "ADDRESS: 4 FORT ROAD TUMKURU 572101 SIGN LICENCING AUTHORITY"
         }
       case "passport" =>
         val ppNum = ('A' + rng.nextInt(26)).toChar.toString + rng.digits(7)
@@ -262,9 +283,17 @@ object Corpus {
           case 4 => // no number anywhere → invalid (Field required)
             lines += "PASSPORT SEVA KENDRA" += "APPLICATION RECEIPT" +=
               s"SURNAME: ${last.toUpperCase}" += s"GIVEN NAME: ${first.toUpperCase}"
-          case _ => // BENGALURU dash → place_of_birth
+          case 5 => // BENGALURU dash → place_of_birth
             lines += "PASSPORT" += s"PASSPORT NO: $ppNum" += "BENGALURU - KARNATAKA" +=
               s"DATE OF BIRTH: $dob" += "Sex: F"
+          case 6 => // GIVEN NAME(S) label form; surname before DATE so the
+            // lookahead terminator can fire
+            lines += "PASSPORT" += s"GIVEN NAME(S): ${first.toUpperCase}" +=
+              s"SURNAME: ${last.toUpperCase}" += s"DATE OF BIRTH: $dob" +=
+              "Sex: M" += s"PASSPORT NO: $ppNum" += issue += expiry
+          case _ => // "BENGALURU, KARNATAKA" is excluded from place_of_issue
+            lines += "PASSPORT" += s"PASSPORT NO: $ppNum" +=
+              "BENGALURU, KARNATAKA" += s"DATE OF BIRTH: $dob"
         }
       case "voter" =>
         val epic = (1 to 3).map(_ => rng.pick(safeLetters)).mkString + rng.digits(7)
