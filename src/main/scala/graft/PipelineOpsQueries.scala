@@ -27,6 +27,10 @@ object PipelineOpsQueries {
     "p09_fingerprints" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "p10_media_stats" -> ((s, dir) =>
       MultimodalOps.mediaStats(SparkEntry.docTable(s, dir))),
+    "p12_embedding_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDups(emb(s, dir), minCosine = 0.8)
+        .select(org.apache.spark.sql.functions.col("vec_a"),
+                org.apache.spark.sql.functions.col("vec_b"))),
     "p11_shingle_counts" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       docs(s, dir).select(col("doc_id"),

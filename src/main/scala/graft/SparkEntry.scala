@@ -42,7 +42,11 @@ object SparkEntry {
         .groupBy(col("document_type"))
         .agg(count(lit(1)).as("doc_count"),
              sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
-        .orderBy(col("document_type")))
+        .orderBy(col("document_type"))),
+    "x04_extract_donut" -> ((s, dir) =>
+      ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF()),
+    "x05_extract_salted" -> ((s, dir) =>
+      graft.pipe.SaltedPipeline.run(docTable(s, dir)).toDF())
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
