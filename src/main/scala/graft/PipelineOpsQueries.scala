@@ -31,12 +31,7 @@ object PipelineOpsQueries {
       SimilarityOps.embeddingNearDups(emb(s, dir), minCosine = 0.8)
         .select(org.apache.spark.sql.functions.col("vec_a"),
                 org.apache.spark.sql.functions.col("vec_b"))),
-    "p11_shingle_counts" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      docs(s, dir).select(col("doc_id"),
-        size(array_distinct(DedupOps.shingles(col("text")))).as("n_shingles"))
-        .orderBy(col("doc_id"))
-    })
+    "p11_shingle_counts" -> ((s, dir) => DedupOps.shingleCounts(docs(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -22,6 +22,25 @@ object DedupOps {
            count(lit(1)).as("n_docs"))
       .orderBy(col("text_hash"))
 
+  /** Distinct word w-shingle count per doc — typed map: the Column
+    * formulation re-inlines the tokenizer per array element (O(tokens²),
+    * measured 30×+ slowdowns). */
+  def shingleCounts(df: DataFrame, w: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        val n =
+          if (toks.length < w) 1
+          else Array.tabulate(toks.length - w + 1)(i =>
+            toks.slice(i, i + w).mkString(" ")).distinct.length
+        (id, n)
+      }
+      .toDF("doc_id", "n_shingles")
+      .orderBy(col("doc_id"))
+  }
+
   /** Word w-shingles of the text as an array column. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(trim(text), "\\s+")
