@@ -22,6 +22,19 @@ final case class DocOcr(
     media_refs: Seq[String],
     failures: Long)
 
+/** Layout/structure parse (O3 — reference `utils/pdf_processor.py:48-62`
+  * via Docling): the reference discards the result, so the engine's
+  * surrogate returns a deterministic block-count struct; a real layout
+  * model drops in behind the same signature. */
+object LayoutParse {
+  def parse(mediaRef: String): JObj = {
+    val h = graft.io.Corpus.hash(mediaRef)
+    JObj(Vector(
+      "blocks" -> JNum((math.abs(h) % 12 + 1).toDouble),
+      "kind" -> JStr("page")))
+  }
+}
+
 /** The end-to-end extraction pipeline: a single narrow (shuffle-free) chain
   * scan → OCR kernel (mapPartitions) → extract/validate (map) → spans.
   * Span order is a row-local array property, so the plan needs NO shuffle
@@ -41,14 +54,26 @@ object ExtractionPipeline {
   def ocrDoc(doc: Doc, backend: OcrBackend): DocOcr = ocrDocFull(doc, backend)._1
 
   /** ocrDoc plus the kept per-line confidences (needed by the salted path
-    * to reassemble a bit-identical mean). */
-  def ocrDocFull(doc: Doc, backend: OcrBackend): (DocOcr, Vector[Double]) = {
+    * to reassemble a bit-identical mean).
+    *
+    * `firstMediaOnly` reproduces the reference's first-page-only PDF
+    * semantics (routes.py:74, tasks.py:46 — O2 in SURVEY.md §2.1): media
+    * spans after the first are skipped entirely. Default false: the
+    * interleaved doc model treats every media span as content.
+    * `parseLayout` mirrors O3 (utils/pdf_processor.py:48-62): the reference
+    * computes a structure parse and DISCARDS the result (`_ =`); behind
+    * this flag the engine does the analogous no-op call so the behavior is
+    * available for future use without affecting output equality. */
+  def ocrDocFull(doc: Doc, backend: OcrBackend,
+                 firstMediaOnly: Boolean = false,
+                 parseLayout: Boolean = false): (DocOcr, Vector[Double]) = {
     val lines = Vector.newBuilder[String]
     val confs = Vector.newBuilder[Double]
     val mediaRefs = Vector.newBuilder[String]
     var faceRef: String = null
     var faceB64: String = null
     var failures = 0L
+    var mediaCount = 0
 
     // spans are contiguous-by-offset in well-formed docs; sort only when not
     var sorted = true
@@ -62,7 +87,13 @@ object ExtractionPipeline {
       s.kind match {
         case "text" =>
           lines ++= BoilerplateStrip.lines(s.text)
+        case "media" if firstMediaOnly && mediaCount > 0 =>
+        // skipped: first-page-only mode (O2)
         case "media" =>
+          if (parseLayout) {
+            val _ = LayoutParse.parse(s.media_ref) // result discarded (O3)
+          }
+          mediaCount += 1
           mediaRefs += s.media_ref
           val (ls, cs, faceOpt) =
             try backend.decode(s.media_ref)

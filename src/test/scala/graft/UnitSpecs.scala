@@ -124,3 +124,35 @@ class PropertySpec extends AnyFunSuite {
     assert(o.updated("c", JStr("3")).fields.map(_._1) === Vector("a", "b", "c"))
   }
 }
+
+/** O2/O3 flags: first-media-only and layout-parse-behind-flag. */
+class PipelineFlagsSpec extends AnyFunSuite {
+  import graft.model.{Doc, Span}
+  import graft.kernel.DeterministicOcrBackend
+  import graft.pipe.ExtractionPipeline
+
+  test("firstMediaOnly processes only the first media span (O2)") {
+    val d = Doc("doc-x", Seq(
+      Span("media", "", graft.io.Corpus.mediaRef("aadhaar", 0, 1L), 0),
+      Span("media", "", graft.io.Corpus.mediaRef("pan", 0, 2L), 1)))
+    val backend = new DeterministicOcrBackend
+    val all = ExtractionPipeline.ocrDocFull(d, backend)._1
+    val first = ExtractionPipeline.ocrDocFull(d, backend, firstMediaOnly = true)._1
+    val firstOnly = ExtractionPipeline.ocrDocFull(
+      Doc("doc-x", d.spans.take(1)), backend)._1
+    assert(first.lines === firstOnly.lines)
+    assert(first.media_refs.length === 1)
+    assert(all.media_refs.length === 2)
+    assert(all.lines.length > first.lines.length)
+  }
+
+  test("parseLayout flag does not change output (O3: result discarded)") {
+    val d = graft.io.Synthesizer.genDoc(42L, 7L)
+    val backend = new DeterministicOcrBackend
+    val a = ExtractionPipeline.ocrDocFull(d, backend)._1
+    val b = ExtractionPipeline.ocrDocFull(d, backend, parseLayout = true)._1
+    assert(a === b)
+    assert(graft.pipe.LayoutParse.parse("m:page:0:1").fields.map(_._1) ===
+      Vector("blocks", "kind"))
+  }
+}
