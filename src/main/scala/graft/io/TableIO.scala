@@ -1,0 +1,35 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table IO — the Iceberg `bucket(N, doc_id)` emulation
+  * (SURVEY.md §7.1: Iceberg jars are not in /opt/spark/jars, so bucket
+  * partitioning is expressed through Spark's native bucketed tables; the
+  * IcebergIO seam is this object's interface).
+  *
+  * Why it matters at 10^12 docs: two tables bucketed+sorted on `doc_id`
+  * join WITHOUT a shuffle (verified by TableIOSpec on the physical plan) —
+  * the verification join (results vs golden) and incremental-merge jobs
+  * stay narrow.
+  */
+object TableIO {
+
+  /** Write `df` as a managed bucketed table (bucketBy doc_id, sorted within
+    * buckets). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int = 32,
+                    key: String = "doc_id"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Equi-join two tables bucketed on the same key — planner elides the
+    * shuffle on both sides. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String = "doc_id"): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}
