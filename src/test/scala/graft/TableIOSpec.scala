@@ -42,3 +42,12 @@ class TableIOSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
+
+/** The driver's smoke check: SparkEntry.entry must return rows. */
+class EntrySpec extends AnyFunSuite {
+  test("flagship entry returns extracted rows") {
+    val df = SparkEntry.entry(SparkTestBase.spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("spans"))
+  }
+}
