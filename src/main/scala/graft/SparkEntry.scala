@@ -30,10 +30,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ExtractionPipeline.run(docTable(spark, "sf0.001")).toDF()
 
+  /** Driver-facing projection of DocResult: scalar columns only — the
+    * driver's pandas compare sorts every output and throws on array columns.
+    * `spans_hash` = xxhash64 of the JSON-serialized span array, which is
+    * order-sensitive, so the span-sequence-equality invariant (kind, text,
+    * media_ref, order) stays checkable through the hash. */
+  def scalarResult(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("document_type"), col("is_valid"),
+      col("ocr_accuracy_score"), col("validation_error"),
+      xxhash64(col("record_json")).as("record_hash"),
+      xxhash64(to_json(col("spans"))).as("spans_hash"))
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- extraction pipeline (parity-gated; rows-only for the driver) ----
     "x01_extract_e2e" -> ((s, dir) =>
-      ExtractionPipeline.run(docTable(s, dir)).toDF()),
+      scalarResult(ExtractionPipeline.run(docTable(s, dir)).toDF())),
     "x02_extract_metrics" -> ((s, dir) =>
       ExtractionPipeline.metrics(ExtractionPipeline.run(docTable(s, dir)))
         .orderBy(col("document_type"), col("is_valid"))),
@@ -44,14 +55,21 @@ object SparkEntry {
              sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
         .orderBy(col("document_type"))),
     "x04_extract_donut" -> ((s, dir) =>
-      ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF()),
+      scalarResult(ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())),
     "x05_extract_salted" -> ((s, dir) =>
-      graft.pipe.SaltedPipeline.run(docTable(s, dir)).toDF())
+      scalarResult(graft.pipe.SaltedPipeline.run(docTable(s, dir)).toDF())),
+    // classifier chain over the DRIVER's documents table (oracled): trigger
+    // markers are planted deterministically by doc_id so every branch of the
+    // cleaner.py:404-424 + extractor.py:53-94 precedence chain fires; the
+    // DuckDB oracle replicates the chain order-exactly in SQL.
+    "x06_classify_driver_docs" -> ((s, dir) =>
+      graft.classify.ClassifyQuery.run(s, dir))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipelineQueries ++ RelationalQueries.queries ++ PipelineOpsQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ PipelineOpsQueries.oracleSql
+    RelationalQueries.oracleSql ++ PipelineOpsQueries.oracleSql ++
+      graft.classify.ClassifyQuery.oracleSql
 }

@@ -58,10 +58,30 @@ object DedupOps {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature + band keys in ONE pass per row (typed map).
-    * A pure-Catalyst formulation re-inlines the 64-min signature expression
-    * into every band key (measured 30× blowup), so the per-row loop runs as
-    * a typed map instead: O(shingles × numHashes) exactly once. */
+  /** Distinct word w-shingles per doc — the single typed-map tokenize pass
+    * (Catalyst re-inlines a shared Column tokenizer, commit baa57d6). */
+  private[ops] def shingleArr(text: String, w: Int): Array[String] = {
+    val toks = wsPat.split(text.trim)
+    if (toks.length < w) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - w + 1)(i =>
+      toks.slice(i, i + w).mkString(" ")).distinct
+  }
+
+  /** Per-doc distinct shingle sets: (doc_id, sh). At 100 TB this table is
+    * written bucketed by doc_id (TableIO.writeBucketed) so the verify joins
+    * below are shuffle-free on the big side. */
+  def shingleSets(df: DataFrame, w: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, shingleArr(text, w).toSeq) }
+      .toDF("doc_id", "sh")
+  }
+
+  /** MinHash band keys in ONE pass per row (typed map): (doc_id, band_keys)
+    * ONLY — no shingle payload. A pure-Catalyst formulation re-inlines the
+    * per-lane min expression into every band key (measured 30× blowup), so
+    * the per-row loop runs as a typed map: O(shingles × numHashes) once. */
   def minhashBands(df: DataFrame, w: Int, bands: Int,
                    rowsPerBand: Int): DataFrame = {
     val spark = df.sparkSession
@@ -69,11 +89,7 @@ object DedupOps {
     val numHashes = bands * rowsPerBand
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = wsPat.split(text.trim)
-        val sh: Array[String] =
-          if (toks.length < w) Array(toks.mkString(" "))
-          else Array.tabulate(toks.length - w + 1)(i =>
-            toks.slice(i, i + w).mkString(" ")).distinct
+        val sh = shingleArr(text, w)
         val sig = Array.fill(numHashes)(Long.MaxValue)
         sh.foreach { s =>
           val base = Corpus64.hash(s)
@@ -90,33 +106,48 @@ object DedupOps {
           while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
           h
         }
-        (id, sh.toSeq, bandKeys.toSeq)
+        (id, bandKeys.toSeq)
       }
-      .toDF("doc_id", "sh", "band_keys")
+      .toDF("doc_id", "band_keys")
   }
 
-  /** MinHash + LSH near-duplicate candidate pairs with exact-Jaccard
-    * verification. bands×rowsPerBand = signature length; docs sharing any
-    * band bucket become candidates; candidates are verified with the exact
-    * shingle-set Jaccard (integer intersection/union sizes).
-    */
-  def minhashLsh(df: DataFrame, w: Int = 3, bands: Int = 16,
-                 rowsPerBand: Int = 4, minJaccardPct: Int = 60): DataFrame = {
+  /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Scale topology (the part that survives 100×): the banded self-join
+    * shuffles ONLY (doc_id, band_id, band_key) — 24 bytes/band — never the
+    * shingle text (round 1 carried the full shingle array through the ×bands
+    * explode: ~16× corpus text volume through the shuffle). Shingle sets are
+    * fetched for the (tiny) candidate set afterwards via two doc_id-keyed
+    * joins against `shingleSets`, co-located when that table is bucketed.
+    *
+    * Defaults (32 bands × 3 rows = 96 hashes) put candidate-recall at
+    * Jaccard 0.6 at 1-(1-0.6³)^32 ≈ 0.9996 with false-positive mass per
+    * random pair ≈ s³·32 (s ≈ corpus background similarity) — chosen so the
+    * LSH output equals the exact-Jaccard pair set on the verification data,
+    * which is what the DuckDB all-pairs oracle asserts. */
+  def minhashLsh(df: DataFrame, w: Int = 3, bands: Int = 32,
+                 rowsPerBand: Int = 3, minJaccardPct: Int = 60): DataFrame = {
     val banded = minhashBands(df, w, bands, rowsPerBand)
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
 
-    // bucket join → unordered candidate pairs (a < b), deduped across bands
+    // bucket join → unordered candidate pairs (a < b), deduped across bands;
+    // shuffle payload is the 24-byte band row, nothing else
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    // exact verify: Jaccard as integer intersection/union sizes
+    // exact verify: fetch shingle sets for candidates only, Jaccard as
+    // integer intersection/union sizes
+    val sets = shingleSets(df, w)
     candidates
+      .join(sets.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
@@ -124,42 +155,57 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per document (token-hash bit voting), plus 16-bit band
-    * keys for hamming-distance bucketing at scale. Typed map: the bit-vote
-    * loop is per-row sequential, parallel across rows. */
+  /** 64-bit SimHash per document (token-hash bit voting), emitted as four
+    * 16-bit band keys — the bands ARE the hamming-bucketing keys at scale,
+    * and staying under 2^16 keeps every output column signed-int64-safe for
+    * the cross-engine compare (the full signature is band-concatenation).
+    *
+    * Token hash is md5-low64 (= DuckDB `md5_number_lower`): ~10× slower per
+    * token than FNV-1a but exactly replicable in SQL, which converts this
+    * query from rows-only to a full-value DuckDB oracle. Typed map: the
+    * bit-vote loop is per-row sequential, parallel across rows. */
   def simhash(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val votes = new Array[Int](64)
-        wsPat.split(text).foreach { tok =>
-          val h = Corpus64.hash(tok)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        (id, sig,
-          (sig & 0xffffL), ((sig >>> 16) & 0xffffL),
+      .map { case (id, text) => (id, simhashSig(text)) }
+      .map { case (id, sig) =>
+        (id, (sig & 0xffffL), ((sig >>> 16) & 0xffffL),
           ((sig >>> 32) & 0xffffL), ((sig >>> 48) & 0xffffL))
       }
-      .toDF("doc_id", "simhash", "band0", "band1", "band2", "band3")
+      .toDF("doc_id", "band0", "band1", "band2", "band3")
       .orderBy(col("doc_id"))
+  }
+
+  def simhashSig(text: String): Long = {
+    val votes = new Array[Int](64)
+    wsPat.split(text.trim).foreach { tok =>
+      val h = Corpus64.md5Low64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   /** SimHash near-dup pairs: docs sharing any 16-bit band (≤3 differing
     * bands ⇐ hamming ≤ 3 guaranteed candidates), verified by exact hamming
     * distance ≤ maxHamming. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df)
-    val bandCols = (0 to 3).map(i => s"band$i")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhashSig(text)) }
+      .toDF("doc_id", "simhash")
+    val bands = (0 to 3).map(i =>
+      shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)))
     val exploded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band_key")))
+      posexplode(array(bands: _*)).as(Seq("band_id", "band_key")))
     exploded.as("l").join(exploded.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_key") === col("r.band_key") &&
@@ -172,13 +218,23 @@ object DedupOps {
   }
 }
 
-/** FNV-1a 64 for simhash token hashing (stable across JVMs, unlike
-  * String.hashCode which is 32-bit). */
+/** Stable 64-bit string hashes (String.hashCode is 32-bit and JVM-pinned).
+  * `hash` = FNV-1a (fast; minhash lanes). `md5Low64` = DuckDB
+  * `md5_number_lower` (slower; used where a SQL oracle must replicate it). */
 object Corpus64 {
   def hash(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def md5Low64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(8 + i) & 0xffL); i -= 1 }
     h
   }
 }

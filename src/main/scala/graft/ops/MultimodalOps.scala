@@ -56,11 +56,26 @@ object MultimodalOps {
 
   /** Per-format media statistics over the decoded metadata. */
   def mediaStats(docs: Dataset[Doc]): DataFrame =
-    mediaTable(docs).toDF()
-      .groupBy(col("format"))
+    statsOver(mediaTable(docs).toDF())
+
+  private def statsOver(media: DataFrame): DataFrame =
+    media.groupBy(col("format"))
       .agg(count(lit(1)).as("n_media"),
            sum(col("n_bytes")).as("total_bytes"),
            max(col("width")).as("max_width"),
            max(col("height")).as("max_height"))
       .orderBy(col("format"))
+
+  /** mediaStats with the decoded media table materialized to `dumpPath`
+    * first, then aggregated from the dump — the dump is what gives the
+    * driver's DuckDB oracle a table to aggregate over (the media table
+    * itself is Scala-synthesized, so SQL can't rebuild it from parquet). */
+  def mediaStatsDumped(docs: Dataset[Doc], dumpPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    mediaTable(docs).toDF()
+      .select(col("doc_id"), col("media_ref"), col("n_bytes"),
+        col("width"), col("height"), col("format"))
+      .write.mode("overwrite").parquet(dumpPath)
+    statsOver(spark.read.parquet(dumpPath))
+  }
 }

@@ -21,12 +21,30 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
+  /** Per-query bounded-heap top-k over scored (query_id, neighbor_id, score)
+    * rows: partial top-k runs map-side (TopK.TopKIds), so each reducer sees
+    * ≤ partitions × k candidates — the row_number window alternative funnels
+    * ALL scored rows of a query into one reducer. Output (query_id, rank,
+    * neighbor_id), rank 1-based, ties by neighbor_id asc. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.ops.TopK.TopKIds(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: the first `numQueries` vectors (by vec_id)
     * are the query set (broadcast — small side), ranked against the whole
     * table. Output is integer-only (query, rank, neighbor) so the oracle is
     * float-free; ties break by neighbor id. */
   def bruteTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val queries = emb.orderBy(col("vec_id")).limit(numQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("q_emb"))
@@ -37,12 +55,7 @@ object SimilarityOps {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes for sign-LSH. */
@@ -67,11 +80,17 @@ object SimilarityOps {
   }
 
   /** Bucketed ANN top-k: same ranking as bruteTopK but candidates are
-    * restricted to the query's LSH bucket. */
+    * restricted to the query's LSH bucket (candidate set ~N/2^bits). */
   def lshTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 10,
-              bits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withBucket = emb.join(lshBuckets(emb, bits), "vec_id")
+              bits: Int = 8): DataFrame =
+    lshTopKFrom(emb, lshBuckets(emb, bits), numQueries, k)
+
+  /** lshTopK over a provided (vec_id, bucket) assignment — lets the driver
+    * query materialize the (engine-hash-derived) buckets to parquet so the
+    * DuckDB oracle can recompute the bucket-restricted ranking exactly. */
+  def lshTopKFrom(emb: DataFrame, buckets: DataFrame, numQueries: Int = 10,
+                  k: Int = 10): DataFrame = {
+    val withBucket = emb.join(buckets, "vec_id")
     val queries = withBucket.orderBy(col("vec_id")).limit(numQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("q_emb"),
@@ -83,26 +102,70 @@ object SimilarityOps {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in the
-    * same bucket whose cosine ≥ threshold. */
-  def embeddingNearDups(emb: DataFrame, bits: Int = 8,
-                        minCosine: Double = 0.95): DataFrame = {
-    val withBucket = emb.join(lshBuckets(emb, bits), "vec_id")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-        col("bucket"))
-    withBucket.as("l").join(withBucket.as("r"),
+  /** Exact global top-k most-similar pairs (vec_a < vec_b) by cosine —
+    * ranked with the distributed bounded-heap (partial top-k map-side, final
+    * merge of ≤ partitions × k pairs), so the O(N²) scoring stage shuffles
+    * almost nothing. Integer-only output (rank, vec_a, vec_b); ties break by
+    * (vec_a, vec_b). The DuckDB oracle is the exact all-pairs cross join. */
+  def topPairs(emb: DataFrame, k: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val l = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").cast("array<double>").as("ea"))
+    val r = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").cast("array<double>").as("eb"))
+    val scored = l.join(broadcast(r), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("score"))
+    scored.as[(Long, Long, Double)]
+      .select(new graft.ops.TopK.TopKPairs(k).toColumn.name("pairs"))
+      .select(posexplode(col("pairs")).as(Seq("pos", "pair")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("pair._1").as("vec_a"), col("pair._2").as("vec_b"))
+      .orderBy(col("rank"))
+  }
+
+  /** Multi-table sign-LSH buckets: `tables` independent bucketings
+    * (vec_id, table_id, bucket). Union-of-tables candidate recall at cosine
+    * c is 1-(1-p^bits)^tables with p = 1-acos(c)/π — the standard recall
+    * lever when one table's 2^bits split is too aggressive. */
+  def lshBucketsMulti(emb: DataFrame, bits: Int = 8, tables: Int = 4): DataFrame =
+    (0 until tables).map { t =>
+      val planes = hyperplanes(64, bits, seed = 7L + 1000L * t)
+      val bucket = (0 until bits).map { b =>
+        val dot = aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            lit(planes(b)), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, c) => a + c)
+      emb.select(col("vec_id"), lit(t).as("table_id"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+
+  /** Embedding-cosine near-duplicate pairs: candidates share a bucket in ANY
+    * of the LSH tables (deduped), then exact-cosine verified ≥ threshold.
+    * The bucket join shuffles only (vec_id, table_id, bucket); embeddings
+    * (fixed-width) are fetched for candidates via vec_id-keyed joins —
+    * bucketed-by-vec_id storage makes those co-located at scale. */
+  def embeddingNearDups(emb: DataFrame, bits: Int = 8, tables: Int = 4,
+                        minCosine: Double = 0.9): DataFrame = {
+    val buckets = lshBucketsMulti(emb, bits, tables)
+    val candidates = buckets.as("l").join(buckets.as("r"),
+        col("l.table_id") === col("r.table_id") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        cosine(col("l.e"), col("r.e")).as("score"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    candidates
+      .join(vecs.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("e", "ea"), "vec_a")
+      .join(vecs.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("e", "eb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("score"))
       .where(col("score") >= minCosine)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * so DuckDB oracles hash-match exactly.
   */
 object TextOps {
+  private val wsPat = java.util.regex.Pattern.compile("\\s+")
 
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = split(trim(text), "\\s+")
@@ -49,44 +50,91 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das", "ein"))
 
   /** N-gram/stopword-marker language ID: hit counts per language plus an
-    * argmax with fixed precedence (en > fr > es > de on ties). */
+    * argmax with fixed precedence (en > fr > es > de on ties).
+    *
+    * Single-pass typed map: the Column formulation re-inlined the
+    * split+filter tokenizer into every argmax comparison under projection
+    * collapse (the Catalyst trap fixed for shingleCounts in baa57d6),
+    * measured 8× slower than the same-shaped qualityCounts. Here each doc is
+    * tokenized exactly once and the four counters fill in one scan. */
   def langId(df: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val hitCols = langMarkers.map { case (lang, words) =>
-      size(filter(toks, t => t.isin(words.map(lit(_)): _*))).as(s"${lang}_hits")
-    }
-    val withHits = df.select((col("doc_id") +: hitCols): _*)
-    // first lang (in declared order) whose hits are > 0 and >= all others;
-    // the when-chain order gives earlier languages tie precedence
-    val langs = langMarkers.map(_._1)
-    val pred = langs.foldRight(lit("und")) { (lang, els) =>
-      val c = col(s"${lang}_hits")
-      val geAll = langs.filter(_ != lang).map(l => c >= col(s"${l}_hits")).reduce(_ && _)
-      when(c > lit(0) && geAll, lit(lang)).otherwise(els)
-    }
-    withHits.select((col("doc_id") +: langMarkers.map(m => col(s"${m._1}_hits"))
-      :+ pred.as("lang_pred")): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.map { case (l, ws) => (l, ws.toSet) }
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val hits = new Array[Int](markers.length)
+        wsPat.split(text.trim).foreach { t =>
+          var i = 0
+          while (i < markers.length) {
+            if (markers(i)._2.contains(t)) hits(i) += 1
+            i += 1
+          }
+        }
+        // first language (declared order) with hits > 0 and >= all others
+        var pred = "und"
+        var i = markers.length - 1
+        while (i >= 0) {
+          if (hits(i) > 0 && hits.forall(hits(i) >= _)) pred = markers(i)._1
+          i -= 1
+        }
+        (id, hits(0), hits(1), hits(2), hits(3), pred)
+      }
+      .toDF("doc_id", "en_hits", "fr_hits", "es_hits", "de_hits", "lang_pred")
       .orderBy(col("doc_id"))
   }
 
-  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram rolling
-    * hashes, minimum per sliding window, distinct mins = the fingerprint.
-    * Implemented as a typed map (sequential per doc, parallel across docs).
-    */
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram hashes,
+    * minimum per sliding window (monotonic-deque, O(1) amortized per
+    * position), distinct mins = the fingerprint. Typed map — sequential per
+    * doc, parallel across docs.
+    *
+    * The k-gram hash is md5-low64 masked to 63 bits: a few ns/gram slower
+    * than the polynomial rolling hash (kept below for reuse), but exactly
+    * replicable in ANSI SQL (`md5_number_lower`), which buys the query a
+    * full-value DuckDB oracle instead of a rows-only check. Output is one
+    * row per (doc, fingerprint value) — all scalar columns. */
   def fingerprints(df: DataFrame, k: Int = 5, window: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val hs = rollingHashes(text, k)
+      .flatMap { case (id, text) =>
+        val hs = kgramHashes(text, k)
         val fp =
           if (hs.isEmpty) Array.empty[Long]
           else if (hs.length <= window) Array(hs.min)
-          else hs.sliding(window).map(_.min).toArray.distinct
-        (id, fp.sorted)
+          else slidingMins(hs, window).distinct
+        fp.sorted.map(h => (id, h))
       }
-      .toDF("doc_id", "fingerprint")
-      .orderBy(col("doc_id"))
+      .toDF("doc_id", "fp")
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  /** md5-low64 (= DuckDB `md5_number_lower`) masked to 63 bits so both
+    * engines stay in signed int64. */
+  def md5Low63(s: String): Long = Corpus64.md5Low64(s) & Long.MaxValue
+
+  def kgramHashes(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    Array.tabulate(text.length - k + 1)(i => md5Low63(text.substring(i, i + k)))
+  }
+
+  /** Minimum of each length-`window` sliding window via a monotonic deque —
+    * O(n) total, no per-position buffer allocation. */
+  def slidingMins(hs: Array[Long], window: Int): Array[Long] = {
+    val out = new Array[Long](hs.length - window + 1)
+    val deque = new Array[Int](hs.length) // indices, increasing hs values
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < hs.length) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - window) head += 1
+      if (i >= window - 1) out(i - window + 1) = hs(deque(head))
+      i += 1
+    }
+    out
   }
 
   def rollingHashes(text: String, k: Int): Array[Long] = {

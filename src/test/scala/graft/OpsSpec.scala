@@ -82,9 +82,59 @@ class OpsSpec extends AnyFunSuite {
       2L -> "the quick brown fox jumps over the lazy dog",
       3L -> "completely unrelated content here")
     val fps = TextOps.fingerprints(df).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
     assert(fps(1L) === fps(2L))
     assert((fps(1L) intersect fps(3L)).isEmpty)
+    // 63-bit masked so every value is signed-int64-safe cross-engine
+    assert(fps.values.flatten.forall(_ >= 0L))
+  }
+
+  test("sliding mins (monotonic deque) equals the naive sliding window") {
+    val rng = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rng.nextInt(40)
+      val w = 1 + rng.nextInt(math.min(n, 8))
+      val hs = Array.fill(n)(rng.nextLong())
+      if (n >= w)
+        assert(TextOps.slidingMins(hs, w).toSeq ===
+          hs.sliding(w).map(_.min).toSeq)
+    }
+  }
+
+  test("top-k aggregator: map-side partial heaps merge to the exact top-k") {
+    val scored = (1L to 500L).map(i => (1L, i, (i % 97).toDouble))
+      .toDF("query_id", "neighbor_id", "score")
+    val out = SimilarityOps.rankTopK(scored.repartition(8), 5).collect()
+    // best score 96 at the smallest neighbor ids having i % 97 == 96
+    val expect = (1L to 500L).map(i => (i, (i % 97).toDouble))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === expect)
+    assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+  }
+
+  test("global top pairs: identical vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0.6f, 0.8f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.topPairs(vecs, k = 3).collect()
+    assert(top.head.getAs[Long]("vec_a") === 0L)
+    assert(top.head.getAs[Long]("vec_b") === 1L)
+    assert(top.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("embedding near-dups: planted near-identical vectors found via LSH") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val vecs = Seq((0L, base, 0), (1L, near, 0), (2L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = SimilarityOps.embeddingNearDups(vecs, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
   test("multimodal kernel: every media span decoded with stable metadata") {
