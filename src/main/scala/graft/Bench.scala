@@ -140,6 +140,16 @@ object Bench {
     val tpLow = scalingDocs / tLow
     val efficiency = tpFull / (4.0 * tpLow)
 
+    // Warm the extraction codepath (JIT + codegen) before any query is
+    // timed: x01 is alphabetically first to touch the pipeline and was
+    // otherwise charged the one-time compile of the whole extraction chain
+    // (5.3 s vs its 0.16 s steady state in round 1).
+    Seq("x01_extract_e2e", "x04_extract_donut").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+
     // min of 2 runs per query — single-shot numbers on this VM are
     // noise-dominated (noisy neighbors)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

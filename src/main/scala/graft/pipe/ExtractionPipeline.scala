@@ -20,7 +20,8 @@ final case class DocOcr(
     face_ref: String,
     face_b64: String,
     media_refs: Seq[String],
-    failures: Long)
+    failures: Long,
+    oversize: Boolean = false)
 
 /** Layout/structure parse (O3 — reference `utils/pdf_processor.py:48-62`
   * via Docling): the reference discards the result, so the engine's
@@ -42,6 +43,41 @@ object LayoutParse {
   * docs plausible (SURVEY.md §4).
   */
 object ExtractionPipeline {
+
+  /** Input-validation cap — the reference rejects uploads over 16 MB at
+    * ingestion (`app/main.py:41` MAX_CONTENT_LENGTH, HTTP 413). The engine
+    * analogue: oversize rows skip the OCR kernel entirely (checked per row
+    * INSIDE the fused stage — no second input scan) and surface as
+    * `Rejected` DocResults, so they land in the rejected sink partition and
+    * count in the metrics rollup. */
+  val MaxInputBytes: Long = 16L * 1024 * 1024
+
+  /** Payload size of a doc: text chars + media-ref bytes (the synthesized
+    * media payload is keyed by its ref; a real binary column would sum the
+    * binary lengths here). */
+  def docBytes(doc: Doc): Long = {
+    var n = 0L
+    doc.spans.foreach { s =>
+      if (s.text != null) n += s.text.length
+      if (s.media_ref != null) n += s.media_ref.length
+    }
+    n
+  }
+
+  private def oversizeOcr(doc: Doc): DocOcr =
+    DocOcr(doc.doc_id, "", Vector.empty, 0.0, null, null, Vector.empty, 0L,
+      oversize = true)
+
+  private def rejectedResult(o: DocOcr): DocResult =
+    DocResult(
+      doc_id = o.doc_id,
+      document_type = "Rejected",
+      doc_type_dir = "rejected",
+      is_valid = false,
+      validation_error = s"payload exceeds $MaxInputBytes-byte cap (app/main.py:41)",
+      ocr_accuracy_score = 0.0,
+      record_json = "{}",
+      spans = Vector.empty)
 
   /** OCR + content assembly for one doc. Spans are processed in offset
     * order: text spans through the HTML main-content extractor, media spans
@@ -194,23 +230,29 @@ object ExtractionPipeline {
     import spark.implicits._
     docs.mapPartitions { it =>
       val backend = Backends.ocr(backendName)
+      def one(d: Doc): DocOcr =
+        if (docBytes(d) > MaxInputBytes) oversizeOcr(d) else ocrDoc(d, backend)
       lineage match {
-        case None => it.map(ocrDoc(_, backend))
+        case None => it.map(one)
         case Some(acc) =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val t0 = System.nanoTime()
           var docs0 = 0L; var fails = 0L; var confSum = 0.0
-          val mapped = it.map { d =>
-            val r = ocrDoc(d, backend)
-            docs0 += 1; fails += r.failures; confSum += r.avg_conf
-            r
-          }
-          mapped ++ {
-            // runs after the iterator drains (partition complete)
+          // completion-listener emission (not an iterator-concat side
+          // effect): the row is emitted even when a downstream operator
+          // short-circuits the iterator (limit/take), and accumulator
+          // updates from failed/speculative attempts are discarded by
+          // Spark's per-task accumulator semantics — no double counting.
+          tc.addTaskCompletionListener[Unit] { _ =>
             acc.add(LineageRow("ocr", pid, docs0, 0L,
               if (docs0 > 0) confSum / docs0 else 0.0, fails,
               (System.nanoTime() - t0) / 1000000))
-            Iterator.empty
+          }
+          it.map { d =>
+            val r = one(d)
+            docs0 += 1; fails += r.failures; confSum += r.avg_conf
+            r
           }
       }
     }
@@ -223,7 +265,8 @@ object ExtractionPipeline {
     import spark.implicits._
     ocr.mapPartitions { it =>
       val donut = () => Backends.donut(donutBackendName)
-      it.map(extractDoc(_, useDonut, donut))
+      it.map(o => if (o.oversize) rejectedResult(o)
+                  else extractDoc(o, useDonut, donut))
     }
   }
 
