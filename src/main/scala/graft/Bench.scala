@@ -81,6 +81,29 @@ object Bench {
       s.stop()
     }
 
+    // Iteration mode: per-query timings only, no taskset scaling phases.
+    val queriesOnly = sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")
+    if (queriesOnly) {
+      val spark = newSession(cpus)
+      Seq("x01_extract_e2e", "x04_extract_donut").foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def one(): Double =
+          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        val sec = try math.min(one(), one()) catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      println(s"""{"queries_only":true,"queries":$qs,"total_query_sec":${f"$total%.3f"}}""")
+      spark.stop()
+      return
+    }
+
     // Each parallelism level runs in its OWN JVM pinned to that many cores
     // (taskset): GC/JIT threads and ergonomics size themselves to the mask,
     // exactly as on an N-core executor. Alternate low/high, best per level.

@@ -63,7 +63,12 @@ object SparkEntry {
     // cleaner.py:404-424 + extractor.py:53-94 precedence chain fires; the
     // DuckDB oracle replicates the chain order-exactly in SQL.
     "x06_classify_driver_docs" -> ((s, dir) =>
-      graft.classify.ClassifyQuery.run(s, dir))
+      graft.classify.ClassifyQuery.run(s, dir)),
+    // Aadhaar/PAN field extraction over driver docs (oracled): planted
+    // payloads exercise number reformat, dob normalization + YoB fallback,
+    // and gender precedence through the REAL extractors.
+    "x07_extract_fields" -> ((s, dir) =>
+      graft.classify.ClassifyQuery.runFields(s, dir))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -141,13 +141,18 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
 
     // exact verify: fetch shingle sets for candidates only, Jaccard as
-    // integer intersection/union sizes
+    // integer intersection/union sizes. The candidate side is broadcast so
+    // the (large) shingle table never shuffles — candidate pairs are a tiny
+    // fraction of the corpus on dedup workloads. When candidates outgrow the
+    // broadcast budget, drop the hint and store `shingleSets` bucketed by
+    // doc_id (TableIO.writeBucketed): then only candidates shuffle.
     val sets = shingleSets(df, w)
-    candidates
-      .join(sets.withColumnRenamed("doc_id", "doc_a")
-                .withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b")
-                .withColumnRenamed("sh", "sh_b"), "doc_b")
+    val withA = sets
+      .withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+      .join(broadcast(candidates), "doc_a") // sets streams map-side
+    sets
+      .withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+      .join(broadcast(withA), "doc_b") // sets streams map-side again
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)

@@ -45,6 +45,11 @@ object TopK {
   type Buf = (Array[Double], Array[Long], Array[Long])
   private val emptyBuf: Buf = (Array.empty, Array.empty, Array.empty)
 
+  /** Buffer-level insert for external bounded-heap kernels
+    * (SimilarityOps.topPairs). */
+  def insertPublic(k: Int, b: Buf, s: Double, a: Long, bId: Long): Buf =
+    insert(k, b._1, b._2, b._3, s, a, bId)
+
   private def mergeBufs(k: Int, x: Buf, y: Buf): Buf = {
     var acc = x
     var i = 0

@@ -137,6 +137,53 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("ann top-k plan: partial aggregation map-side, no window exchange") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val plan = SimilarityOps.bruteTopK(vecs, numQueries = 3, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window reducer in plan:\n$plan")
+    assert(plan.contains("Aggregate"), s"no aggregate in plan:\n$plan")
+  }
+
+  test("minhash LSH shuffle volume stays below the corpus text volume") {
+    // round 1 shuffled each doc's full shingle array through all 16 bands
+    // (~16× shingle volume ≈ 48× text); the band-key shape must keep total
+    // shuffle writes under 1× text volume (bands are 24 B/doc/band and the
+    // candidate verify joins broadcast the tiny candidate set).
+    val rng = new scala.util.Random(3)
+    val rows = (1L to 300L).map { i =>
+      (i, Array.fill(1000)(s"w${rng.nextInt(5000)}").mkString(" "))
+    }
+    val textBytes = rows.map(_._2.length.toLong).sum
+    val sc = spark.sparkContext
+    val df = spark.createDataFrame(sc.parallelize(rows, 4)).toDF("doc_id", "text")
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    sc.addSparkListener(listener)
+    try {
+      DedupOps.minhashLsh(df).write.format("noop").mode("overwrite").save()
+      // listener events are async; wait for the byte count to settle
+      var last = -1L
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(200)
+        val v = acc.get()
+        if (v == last) settled += 1 else { settled = 0; last = v }
+      }
+      val shuffled = acc.get()
+      assert(shuffled > 0, "expected some shuffle (band join)")
+      assert(shuffled < textBytes,
+        s"shuffle wrote $shuffled B for $textBytes B of text — payload leak")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("multimodal kernel: every media span decoded with stable metadata") {
     val docs = graft.io.Synthesizer.docs(spark, 50, 42L)
     val media = MultimodalOps.mediaTable(docs).collect()
