@@ -41,15 +41,41 @@ object SparkEntry {
       xxhash64(col("record_json")).as("record_hash"),
       xxhash64(to_json(col("spans"))).as("spans_hash"))
 
+  def extractDumpPath(dir: String): String =
+    s"/tmp/graft_extract_dump_${docCountFor(dir)}"
+
+  /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
+    * over this dump and their DuckDB oracles re-aggregate it — the
+    * extraction itself stays parity-gated (ReferenceParitySpec), the
+    * relational rollup logic becomes driver-oracled. */
+  private def dumpedResults(s: SparkSession, dir: String): DataFrame = {
+    val path = extractDumpPath(dir)
+    ExtractionPipeline.run(docTable(s, dir)).toDF()
+      .select(col("doc_id"), col("document_type"), col("is_valid"),
+        col("ocr_accuracy_score"), col("validation_error"),
+        size(col("spans")).as("n_spans"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- extraction pipeline (parity-gated; rows-only for the driver) ----
     "x01_extract_e2e" -> ((s, dir) =>
       scalarResult(ExtractionPipeline.run(docTable(s, dir)).toDF())),
+    // integer-only metrics rollup over the per-doc extraction dump (oracled;
+    // sums instead of avgs so the compare is float-order-free)
     "x02_extract_metrics" -> ((s, dir) =>
-      ExtractionPipeline.metrics(ExtractionPipeline.run(docTable(s, dir)))
+      dumpedResults(s, dir)
+        .groupBy(col("document_type"), col("is_valid"))
+        .agg(count(lit(1)).as("doc_count"),
+             sum(round(col("ocr_accuracy_score") * 100)).cast("long")
+               .as("sum_ocr_cents"),
+             sum(col("n_spans")).as("sum_spans"),
+             sum(when(col("validation_error") =!= "", 1L).otherwise(0L))
+               .as("validation_failures"))
         .orderBy(col("document_type"), col("is_valid"))),
     "x03_classify_counts" -> ((s, dir) =>
-      ExtractionPipeline.run(docTable(s, dir)).toDF()
+      dumpedResults(s, dir)
         .groupBy(col("document_type"))
         .agg(count(lit(1)).as("doc_count"),
              sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
@@ -76,5 +102,17 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ PipelineOpsQueries.oracleSql ++
-      graft.classify.ClassifyQuery.oracleSql
+      graft.classify.ClassifyQuery.oracleSql ++ Map(
+      "x02_extract_metrics" ->
+        """SELECT document_type, is_valid, count(*) AS doc_count,
+           CAST(sum(round(ocr_accuracy_score * 100)) AS BIGINT) AS sum_ocr_cents,
+           sum(n_spans) AS sum_spans,
+           sum(CASE WHEN validation_error <> '' THEN 1 ELSE 0 END) AS validation_failures
+           FROM read_parquet('/tmp/graft_extract_dump_2000/*.parquet')
+           GROUP BY document_type, is_valid ORDER BY document_type, is_valid""",
+      "x03_classify_counts" ->
+        """SELECT document_type, count(*) AS doc_count,
+           sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS valid_count
+           FROM read_parquet('/tmp/graft_extract_dump_2000/*.parquet')
+           GROUP BY document_type ORDER BY document_type""")
 }
