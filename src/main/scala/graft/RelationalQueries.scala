@@ -62,8 +62,7 @@ object RelationalQueries {
         .orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          row_number().over(w).as("seq"))
-        .orderBy(col("user_id"), col("seq"))
+          row_number().over(w).as("seq")) // per-event output: no global sort
     }),
 
     // TPC-H Q1-style pricing summary (wide agg, partial+final)

@@ -45,8 +45,7 @@ object ClassifyQuery {
         val d = DocTypeClassifier.extractWithRouting(text, Seq(text))
         (id, d("document_type").asInstanceOf[String])
       }
-      .toDF("doc_id", "document_type")
-      .orderBy(col("doc_id"))
+      .toDF("doc_id", "document_type") // per-doc output: no global sort
   }
 
   /** x07 planted suffixes (doc_id % 4) — full field payloads so the
@@ -78,8 +77,7 @@ object ClassifyQuery {
           f("dob"), f("gender"))
       }
       .toDF("doc_id", "document_type", "aadhaar_number", "pan_number",
-        "dob", "gender")
-      .orderBy(col("doc_id"))
+        "dob", "gender") // per-doc output: no global sort
   }
 
   /** SQL CASE for the planted suffix (mirrors `augmented`). */

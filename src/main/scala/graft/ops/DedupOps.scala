@@ -20,7 +20,9 @@ object DedupOps {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
            count(lit(1)).as("n_docs"))
-      .orderBy(col("text_hash"))
+  // no global orderBy on per-doc/per-group outputs (see TextOps note):
+  // the driver compare is sort-insensitive; a full sort is a wasted shuffle
+  // at 10^12 rows.
 
   /** Distinct word w-shingle count per doc — typed map: the Column
     * formulation re-inlines the tokenizer per array element (O(tokens²),
@@ -38,7 +40,6 @@ object DedupOps {
         (id, n)
       }
       .toDF("doc_id", "n_shingles")
-      .orderBy(col("doc_id"))
   }
 
   /** Word w-shingles of the text as an array column. */
@@ -157,7 +158,6 @@ object DedupOps {
       .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash per document (token-hash bit voting), emitted as four
@@ -179,7 +179,6 @@ object DedupOps {
           ((sig >>> 32) & 0xffffL), ((sig >>> 48) & 0xffffL))
       }
       .toDF("doc_id", "band0", "band1", "band2", "band3")
-      .orderBy(col("doc_id"))
   }
 
   def simhashSig(text: String): Long = {
@@ -219,7 +218,6 @@ object DedupOps {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 }
 

@@ -204,7 +204,6 @@ object SimilarityOps {
       .join(vecs.withColumnRenamed("vec_id", "vec_b")
         .withColumnRenamed("e", "eb"), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("score"))
-      .where(col("score") >= minCosine)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .where(col("score") >= minCosine) // pair output: no global sort
   }
 }

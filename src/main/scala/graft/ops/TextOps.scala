@@ -25,7 +25,9 @@ object TextOps {
       size(wsTokens(col("text"))).as("n_ws_tokens"),
       bpeishCount(col("text")).as("n_bpeish_tokens"),
       length(col("text")).as("n_chars"))
-      .orderBy(col("doc_id"))
+  // NOTE (here and in the other per-doc outputs): no global orderBy — the
+  // driver compare is sort-insensitive and a full-table sort is a gratuitous
+  // extra shuffle at 10^12 rows.
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
@@ -40,7 +42,6 @@ object TextOps {
       length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
       size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).as("n_stopwords"),
       length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
-      .orderBy(col("doc_id"))
   }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -81,7 +82,6 @@ object TextOps {
         (id, hits(0), hits(1), hits(2), hits(3), pred)
       }
       .toDF("doc_id", "en_hits", "fr_hits", "es_hits", "de_hits", "lang_pred")
-      .orderBy(col("doc_id"))
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram hashes,
@@ -107,7 +107,6 @@ object TextOps {
         fp.sorted.map(h => (id, h))
       }
       .toDF("doc_id", "fp")
-      .orderBy(col("doc_id"), col("fp"))
   }
 
   /** md5-low64 (= DuckDB `md5_number_lower`) masked to 63 bits so both

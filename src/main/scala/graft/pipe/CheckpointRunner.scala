@@ -30,6 +30,8 @@ final class CheckpointRunner(outDir: String, buckets: Int = 32, groups: Int = 4,
   private val manifestPath = Paths.get(outDir, "_graft_manifest.txt")
   private val lineagePath = s"$outDir/lineage"
   private val resultPath = s"$outDir/results"
+  /** JSON-lines run log (utils/logger.py analogue). */
+  val runLog = new RunLog(s"$outDir/logs/run.jsonl")
 
   def completedGroups(): Set[Int] =
     if (Files.exists(manifestPath))
@@ -50,11 +52,15 @@ final class CheckpointRunner(outDir: String, buckets: Int = 32, groups: Int = 4,
     val done = completedGroups()
     val perGroup = buckets / groups
     var executed = 0
+    runLog.info("run started", "buckets" -> buckets, "groups" -> groups,
+      "resumed_groups" -> done.size, "use_donut" -> useDonut)
 
     (0 until groups).foreach { g =>
       if (!done.contains(g)) {
-        if (executed >= failAfterGroups)
+        if (executed >= failAfterGroups) {
+          runLog.error("injected failure", "group" -> g)
           throw new RuntimeException(s"injected failure before group $g")
+        }
         val t0 = System.nanoTime()
         val lo = g * perGroup
         val hi = lo + perGroup
@@ -81,9 +87,15 @@ final class CheckpointRunner(outDir: String, buckets: Int = 32, groups: Int = 4,
           .toDS().write.mode(SaveMode.Append).parquet(lineagePath)
 
         markComplete(g)
+        runLog.info("group complete", "group" -> g,
+          "docs" -> stats.getLong(0),
+          "spans" -> (if (stats.isNullAt(1)) 0L else stats.getLong(1)),
+          "invalid" -> (if (stats.isNullAt(3)) 0L else stats.getLong(3)),
+          "wall_ms" -> wallMs)
         executed += 1
       }
     }
+    runLog.info("run finished", "executed_groups" -> executed)
     executed
   }
 

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.io.Synthesizer
@@ -75,6 +76,19 @@ class PipelineSparkSpec extends AnyFunSuite {
 
     // re-run is a no-op
     assert(new CheckpointRunner(dir, buckets = 32, groups = 4).run(docs) === 0)
+
+    // JSON-lines run log (utils/logger.py analogue): every line parses,
+    // lifecycle events recorded across crash + resume + no-op runs
+    val logLines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$dir/logs/run.jsonl"))
+    assert(logLines.size >= 7) // 3 starts + 4 group-completes + ends/error
+    logLines.forEach { l =>
+      assert(l.startsWith("{\"timestamp\":\"") && l.endsWith("}"), l)
+      assert(l.contains("\"level\":\"") && l.contains("\"message\":\""), l)
+    }
+    assert(logLines.asScala.exists(_.contains("injected failure")))
+    assert(logLines.asScala.count(_.contains("group complete")) === 4)
+    assert(logLines.asScala.exists(_.contains("run finished")))
 
     // output identical to the single-shot fused pipeline
     val ckpt = resumed.results(spark).toDF()
