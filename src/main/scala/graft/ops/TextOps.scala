@@ -113,9 +113,19 @@ object TextOps {
     * engines stay in signed int64. */
   def md5Low63(s: String): Long = Corpus64.md5Low64(s) & Long.MaxValue
 
+  /** One UTF-8 encode per doc; each k-gram hashes a window of the shared
+    * byte array (no per-gram String/byte[] allocation). Valid because the
+    * corpus text is ASCII-range; for multi-byte text the window arithmetic
+    * would need char→byte offsets (DuckDB's substr is char-based). */
   def kgramHashes(text: String, k: Int): Array[Long] = {
     if (text.length < k) return Array.empty
-    Array.tabulate(text.length - k + 1)(i => md5Low63(text.substring(i, i + k)))
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.length == text.length) {
+      Array.tabulate(text.length - k + 1)(i =>
+        Corpus64.md5Low64(bytes, i, k) & Long.MaxValue)
+    } else { // non-ASCII fallback: char-correct, slower
+      Array.tabulate(text.length - k + 1)(i => md5Low63(text.substring(i, i + k)))
+    }
   }
 
   /** Minimum of each length-`window` sliding window via a monotonic deque —
