@@ -24,6 +24,11 @@ object PipelineOpsQueries {
   def lshBucketDumpPath(dir: String): String =
     s"/tmp/graft_lsh_buckets_${SparkEntry.docCountFor(dir)}"
 
+  def ivfAssignPath(dir: String): String =
+    s"/tmp/graft_ivf_assign_${SparkEntry.docCountFor(dir)}"
+  def ivfProbePath(dir: String): String =
+    s"/tmp/graft_ivf_probe_${SparkEntry.docCountFor(dir)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -45,6 +50,18 @@ object PipelineOpsQueries {
       MultimodalOps.mediaStatsDumped(SparkEntry.docTable(s, dir),
         mediaDumpPath(dir))),
     "p12_embedding_top_pairs" -> ((s, dir) => SimilarityOps.topPairs(emb(s, dir))),
+    "p13_ann_ivf_topk" -> ((s, dir) => {
+      // IVF-Flat ANN: dump the trained assignment + probe tables so the
+      // oracle re-ranks the exact candidate sets (quantizer is engine code)
+      val e = emb(s, dir)
+      val centroids = graft.ops.IvfOps.train(e)
+      graft.ops.IvfOps.assign(e, centroids)
+        .write.mode("overwrite").parquet(ivfAssignPath(dir))
+      graft.ops.IvfOps.probes(e, centroids, numQueries = 10, nprobe = 2)
+        .write.mode("overwrite").parquet(ivfProbePath(dir))
+      graft.ops.IvfOps.topKFrom(e, s.read.parquet(ivfAssignPath(dir)),
+        s.read.parquet(ivfProbePath(dir)), numQueries = 10, topK = 10)
+    }),
     "p11_shingle_counts" -> ((s, dir) => DedupOps.shingleCounts(docs(s, dir)))
   )
 
@@ -180,6 +197,27 @@ object PipelineOpsQueries {
          ranked AS (SELECT query_id, neighbor_id,
                            row_number() OVER (PARTITION BY query_id
                              ORDER BY score DESC, neighbor_id) AS rank
+                    FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // IVF candidate sets re-ranked from the dumped assignment/probe tables
+    "p13_ann_ivf_topk" ->
+      """WITH a AS (SELECT * FROM read_parquet('/tmp/graft_ivf_assign_2000/*.parquet')),
+         p AS (SELECT * FROM read_parquet('/tmp/graft_ivf_probe_2000/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM p JOIN a USING (cell)),
+         scored AS (SELECT c.query_id, c.neighbor_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             q.q_emb) AS score
+                    FROM cand c
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id
+                    JOIN q ON q.query_id = c.query_id
+                    WHERE c.neighbor_id <> c.query_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank
                     FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",

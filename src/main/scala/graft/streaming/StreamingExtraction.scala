@@ -44,4 +44,32 @@ object StreamingExtraction {
       .groupBy(window(col(tsCol), windowLen), col("document_type"))
       .agg(count(lit(1)).as("doc_count"),
         sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
+
+  /** Streaming exact dedup via custom state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): keyed by content
+    * hash, the state is one boolean per key — the first arrival of a hash
+    * passes through, every later duplicate (within or across micro-batches)
+    * is dropped. At 10^12 docs the state store shards by the same hash key
+    * the batch dedup groups on, so memory per task is bounded by distinct
+    * keys per shard; a TTL (`GroupStateTimeout`) would bound it further for
+    * windows where re-crawl dedup only needs recent history. */
+  def dedupStream(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey { case (_, text) => graft.ops.Corpus64.md5Low64(text) }
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) {
+            Iterator.empty // hash already seen in an earlier batch
+          } else {
+            state.update(true)
+            // keeper = min doc_id within this batch for the key (matches
+            // the batch dedup's min-keeper rule)
+            rows.toSeq.sortBy(_._1).headOption.iterator
+          }
+      }
+  }
 }

@@ -184,6 +184,36 @@ class OpsSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("IVF: planted clusters separate; top-k retrieves within-cell order") {
+    import graft.ops.IvfOps
+    val rng = new scala.util.Random(11)
+    // two well-separated centers, 20 points each, in 8 dims
+    def around(center: Array[Double], id: Long) =
+      (id, center.map(c => (c + rng.nextGaussian() * 0.05).toFloat), 0)
+    val c1 = Array.fill(8)(5.0)
+    val c2 = Array.fill(8)(-5.0)
+    val vecs = ((0L until 20L).map(around(c1, _)) ++
+      (20L until 40L).map(around(c2, _)))
+      .toDF("vec_id", "embedding", "label")
+    val centroids = IvfOps.train(vecs, k = 2, iters = 5)
+    val cells = IvfOps.assign(vecs, centroids).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 20L).map(cells).toSet.size === 1)
+    assert((20L until 40L).map(cells).toSet.size === 1)
+    assert(cells(0L) !== cells(20L))
+    // queries 0..2 probe their own cell first; neighbors stay in-cluster
+    val top = IvfOps.ivfTopK(vecs, numQueries = 3, topK = 5, k = 2,
+      nprobe = 1).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getAs[Long]("neighbor_id") < 20L))
+    // IVF with nprobe=all cells equals brute force
+    val full = IvfOps.ivfTopK(vecs, numQueries = 3, topK = 5, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = SimilarityOps.bruteTopK(vecs, numQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === brute)
+  }
+
   test("multimodal kernel: every media span decoded with stable metadata") {
     val docs = graft.io.Synthesizer.docs(spark, 50, 42L)
     val media = MultimodalOps.mediaTable(docs).collect()

@@ -57,6 +57,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(aad.getAs[Long]("valid_count") === 1L)
   }
 
+  test("streaming dedup drops duplicates within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(3L -> "alpha beta", 1L -> "alpha beta", 2L -> "unique one"))
+    val q = StreamingExtraction.dedupStream(stream.toDS())
+      .toDF("doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // cross-batch duplicate + a fresh doc
+    stream.addData(Seq(9L -> "alpha beta", 4L -> "brand new"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    // min-keeper within batch 1 (doc 1 beats 3), duplicate 9 dropped in batch 2
+    assert(got === Set(1L -> "alpha beta", 2L -> "unique one", 4L -> "brand new"))
+  }
+
   test("partitioned dataset sink routes by (doc_type_dir, is_valid)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val results = ExtractionPipeline.run(Synthesizer.docs(spark, 200, 42L))
