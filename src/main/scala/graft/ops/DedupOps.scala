@@ -126,8 +126,15 @@ object DedupOps {
     * random pair ≈ s³·32 (s ≈ corpus background similarity) — chosen so the
     * LSH output equals the exact-Jaccard pair set on the verification data,
     * which is what the DuckDB all-pairs oracle asserts. */
+  /** `broadcastVerify = true` (default) broadcasts the candidate-pair set
+    * into the verify joins so the shingle table never shuffles — right when
+    * candidates ≪ corpus (typical dedup). Set false when the candidate set
+    * outgrows the broadcast budget: the verify becomes plain shuffle joins,
+    * which are co-located (candidate-side-only shuffle) when the shingle
+    * table is stored bucketed by doc_id (TableIO.writeBucketed). */
   def minhashLsh(df: DataFrame, w: Int = 3, bands: Int = 32,
-                 rowsPerBand: Int = 3, minJaccardPct: Int = 60): DataFrame = {
+                 rowsPerBand: Int = 3, minJaccardPct: Int = 60,
+                 broadcastVerify: Boolean = true): DataFrame = {
     val banded = minhashBands(df, w, bands, rowsPerBand)
       .select(col("doc_id"),
         posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
@@ -148,12 +155,14 @@ object DedupOps {
     // broadcast budget, drop the hint and store `shingleSets` bucketed by
     // doc_id (TableIO.writeBucketed): then only candidates shuffle.
     val sets = shingleSets(df, w)
+    val hint: DataFrame => DataFrame =
+      if (broadcastVerify) broadcast(_) else identity
     val withA = sets
       .withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
-      .join(broadcast(candidates), "doc_a") // sets streams map-side
+      .join(hint(candidates), "doc_a") // sets streams map-side
     sets
       .withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
-      .join(broadcast(withA), "doc_b") // sets streams map-side again
+      .join(hint(withA), "doc_b") // sets streams map-side again
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)

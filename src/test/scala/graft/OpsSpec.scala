@@ -24,13 +24,15 @@ class OpsSpec extends AnyFunSuite {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
     val other = (100 to 140).map(i => s"word$i").mkString(" ")
-    val out = DedupOps.minhashLsh(docsDf(1L -> base, 2L -> nearDup, 3L -> other))
-      .collect()
-    assert(out.length === 1)
-    assert(out(0).getAs[Long]("doc_a") === 1L)
-    assert(out(0).getAs[Long]("doc_b") === 2L)
-    // exact jaccard verified: changing 1 of 40 tokens kills 3 of 38 shingles
-    assert(out(0).getAs[Int]("n_inter") > 30)
+    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    Seq(true, false).foreach { bcast => // broadcast and shuffle-join verify
+      val out = DedupOps.minhashLsh(df, broadcastVerify = bcast).collect()
+      assert(out.length === 1)
+      assert(out(0).getAs[Long]("doc_a") === 1L)
+      assert(out(0).getAs[Long]("doc_b") === 2L)
+      // exact jaccard verified: changing 1 of 40 tokens kills 3 of 38 shingles
+      assert(out(0).getAs[Int]("n_inter") > 30)
+    }
   }
 
   test("simhash pairs: identical docs at hamming 0, unrelated docs unpaired") {
