@@ -62,7 +62,23 @@ object PipelineOpsQueries {
       graft.ops.IvfOps.topKFrom(e, s.read.parquet(ivfAssignPath(dir)),
         s.read.parquet(ivfProbePath(dir)), numQueries = 10, topK = 10)
     }),
-    "p11_shingle_counts" -> ((s, dir) => DedupOps.shingleCounts(docs(s, dir)))
+    "p11_shingle_counts" -> ((s, dir) => DedupOps.shingleCounts(docs(s, dir))),
+    "p14_token_df" -> ((s, dir) => graft.ops.CorpusOps.tokenDf(docs(s, dir))),
+    // PII payloads planted by doc_id % 3 (corpus text is PII-free); the
+    // oracle applies the same augmentation + RE2 patterns
+    "p15_pii_scrub" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" contact john.doe@example.com now"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" call 9876543210 today"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.CorpusOps.piiScrub(aug)
+    }),
+    "p16_repetition_stats" -> ((s, dir) =>
+      graft.ops.CorpusOps.repetitionStats(docs(s, dir))),
+    "p17_source_rollup" -> ((s, dir) =>
+      graft.ops.CorpusOps.sourceRollup(docs(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -182,6 +198,44 @@ object PipelineOpsQueries {
          max(width) AS max_width, max(height) AS max_height
          FROM read_parquet('/tmp/graft_media_dump_2000/*.parquet')
          GROUP BY format ORDER BY format""",
+    "p14_token_df" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         per AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2)
+         SELECT token, count(*) AS doc_freq,
+                CAST(sum(n) AS BIGINT) AS term_freq
+         FROM per GROUP BY token""",
+    "p15_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' contact john.doe@example.com now'
+                        WHEN doc_id % 3 = 1 THEN ' call 9876543210 today'
+                        ELSE '' END AS t2 FROM documents),
+         scrub1 AS (SELECT doc_id, t2,
+           regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g') AS t3 FROM aug)
+         SELECT doc_id,
+           len(regexp_extract_all(t2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t3, '[0-9]{10,}')) AS n_phones,
+           md5(regexp_replace(t3, '[0-9]{10,}', '<PHONE>', 'g')) AS scrubbed_md5
+         FROM scrub1""",
+    "p16_repetition_stats" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents),
+         bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tok),
+         top AS (SELECT doc_id, max(n) AS top_bigram_count FROM
+                   (SELECT doc_id, bg, count(*) AS n FROM bi GROUP BY 1, 2)
+                 GROUP BY doc_id)
+         SELECT t.doc_id, len(tk) AS n_tokens,
+                len(list_distinct(tk)) AS n_distinct_tokens,
+                coalesce(top.top_bigram_count, 0) AS top_bigram_count
+         FROM tok t LEFT JOIN top ON t.doc_id = top.doc_id""",
+    "p17_source_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY source, lang""",
     // bucket-restricted ANN ranking recomputed over the bucket dump p08
     // materializes at query time (sf0.01 path; correctness runs at sf0.01)
     "p08_ann_lsh_topk" ->

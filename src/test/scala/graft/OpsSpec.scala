@@ -216,6 +216,37 @@ class OpsSpec extends AnyFunSuite {
     assert(full === brute)
   }
 
+  test("token DF: doc_freq counts documents, term_freq counts occurrences") {
+    import graft.ops.CorpusOps
+    val out = CorpusOps.tokenDf(docsDf(
+      1L -> "a b a", 2L -> "a c")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") === (2L, 3L))
+    assert(out("b") === (1L, 1L))
+    assert(out("c") === (1L, 1L))
+  }
+
+  test("PII scrub masks emails and long digit runs, counts them") {
+    import graft.ops.CorpusOps
+    val out = CorpusOps.piiScrub(docsDf(
+      1L -> "mail me at a.b@x.io or call 0123456789 maybe 42")).collect()(0)
+    assert(out.getAs[Int]("n_emails") === 1)
+    assert(out.getAs[Int]("n_phones") === 1)
+    // scrubbed text of an identical doc with pre-masked tokens hashes equal
+    val masked = CorpusOps.piiScrub(docsDf(
+      2L -> "mail me at <EMAIL> or call <PHONE> maybe 42")).collect()(0)
+    assert(out.getAs[String]("scrubbed_md5") === masked.getAs[String]("scrubbed_md5"))
+  }
+
+  test("repetition stats: top bigram repetition and distinct tokens") {
+    import graft.ops.CorpusOps
+    val out = CorpusOps.repetitionStats(docsDf(
+      1L -> "spam ham spam ham spam", 2L -> "all words differ here")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) === (5, 2, 2)) // "spam ham" repeats twice
+    assert(out(2L) === (4, 4, 1))
+  }
+
   test("multimodal kernel: every media span decoded with stable metadata") {
     val docs = graft.io.Synthesizer.docs(spark, 50, 42L)
     val media = MultimodalOps.mediaTable(docs).collect()
