@@ -78,7 +78,17 @@ object PipelineOpsQueries {
     "p16_repetition_stats" -> ((s, dir) =>
       graft.ops.CorpusOps.repetitionStats(docs(s, dir))),
     "p17_source_rollup" -> ((s, dir) =>
-      graft.ops.CorpusOps.sourceRollup(docs(s, dir)))
+      graft.ops.CorpusOps.sourceRollup(docs(s, dir))),
+    // preprocess plan over the media dump p10 materializes (depends only on
+    // the dump being written in the same Verify run — each query fn is
+    // self-contained, so write it here too)
+    "p18_media_preprocess" -> ((s, dir) => {
+      // mediaStatsDumped writes the dump eagerly (parquet write is an
+      // action inside the call); the returned stats DF is discarded
+      MultimodalOps.mediaStatsDumped(SparkEntry.docTable(s, dir),
+        mediaDumpPath(dir))
+      MultimodalOps.preprocessPlan(s.read.parquet(mediaDumpPath(dir)))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -236,6 +246,15 @@ object PipelineOpsQueries {
       """SELECT source, lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY source, lang""",
+    // resize/border/frame-sample math replicated over the media dump
+    "p18_media_preprocess" ->
+      """SELECT doc_id, media_ref, width, height,
+         1800 AS new_width,
+         CAST(floor(CAST(height AS DOUBLE) * 1800 / width) AS INT) AS new_height,
+         1900 AS padded_width,
+         CAST(floor(CAST(height AS DOUBLE) * 1800 / width) AS INT) + 100 AS padded_height,
+         CAST(floor((n_frames + 29) / 30.0) AS INT) AS n_sampled_frames
+         FROM read_parquet('/tmp/graft_media_dump_2000/*.parquet')""",
     // bucket-restricted ANN ranking recomputed over the bucket dump p08
     // materializes at query time (sf0.01 path; correctness runs at sf0.01)
     "p08_ann_lsh_topk" ->

@@ -20,18 +20,20 @@ object MultimodalOps {
       width: Int,
       height: Int,
       format: String,
+      n_frames: Int,
       feature: Array[Float])
 
   /** SURROGATE for the real decoder (cv2.imread/resize in the reference,
     * preprocess.py:51-87): metadata and a feature vector derived
     * deterministically from the bytes. Replace with a codec call in prod. */
-  def fakeDecode(ref: String, bytes: Array[Byte]): (Int, Int, String, Array[Float]) = {
+  def fakeDecode(ref: String, bytes: Array[Byte]): (Int, Int, String, Int, Array[Float]) = {
     val h = graft.io.Corpus.hash(ref)
     val width = 640 + (math.abs(h) % 1280).toInt
     val height = 480 + (math.abs(h >> 16) % 960).toInt
     val fmt = if ((h & 1) == 0) "jpeg" else "png"
+    val nFrames = 1 + (math.abs(h >> 24) % 240).toInt // video-style surrogate
     val feat = Array.tabulate(8)(i => (((h >> (i * 8)) & 0xff).toFloat) / 255f)
-    (width, height, fmt, feat)
+    (width, height, fmt, nFrames, feat)
   }
 
   /** Extract every media span as (doc_id, media_ref, content: binary), then
@@ -47,8 +49,8 @@ object MultimodalOps {
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a real codec/model call would go
           batch.iterator.map { case (docId, ref, bytes) =>
-            val (w, h, fmt, feat) = fakeDecode(ref, bytes)
-            MediaMeta(docId, ref, bytes.length, w, h, fmt, feat)
+            val (w, h, fmt, nf, feat) = fakeDecode(ref, bytes)
+            MediaMeta(docId, ref, bytes.length, w, h, fmt, nf, feat)
           }
         }
       }
@@ -74,8 +76,30 @@ object MultimodalOps {
     val spark = docs.sparkSession
     mediaTable(docs).toDF()
       .select(col("doc_id"), col("media_ref"), col("n_bytes"),
-        col("width"), col("height"), col("format"))
+        col("width"), col("height"), col("format"), col("n_frames"))
       .write.mode("overwrite").parquet(dumpPath)
     statsOver(spark.read.parquet(dumpPath))
   }
+
+  /** Preprocess plan over a decoded media table: the reference's OCR input
+    * normalization (width → 1800 px with proportional height, then a 50 px
+    * white border — `preprocess.py:61,79-80`) plus every-30th frame
+    * sampling for video-style media. Pure integer/codegen math so the plan
+    * is oracle-checkable over the dumped media table; the actual pixel
+    * resample happens in the batched decode kernel at execution time. */
+  def preprocessPlan(media: DataFrame, targetWidth: Int = 1800,
+                     border: Int = 50, frameStep: Int = 30): DataFrame =
+    media.select(
+      col("doc_id"), col("media_ref"), col("width"), col("height"),
+      lit(targetWidth).as("new_width"),
+      floor(col("height").cast("double") * targetWidth /
+        col("width")).cast("int").as("new_height"),
+      (lit(targetWidth) + 2 * border).as("padded_width"),
+      (floor(col("height").cast("double") * targetWidth / col("width"))
+        .cast("int") + 2 * border).as("padded_height"),
+      // frames 0, step, 2·step, … < n_frames — explicit floor() because
+      // int/int division is double in both engines and DuckDB's
+      // double→int cast rounds half-even while Spark's truncates
+      floor((col("n_frames") + frameStep - 1) / frameStep).cast("int")
+        .as("n_sampled_frames"))
 }

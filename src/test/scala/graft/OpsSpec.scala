@@ -257,6 +257,19 @@ class OpsSpec extends AnyFunSuite {
     // deterministic: same ref ⇒ same metadata
     val m0 = media.head
     val again = MultimodalOps.fakeDecode(m0.media_ref, Array.empty)
-    assert(again._1 === m0.width && again._4.toSeq === m0.feature.toSeq)
+    assert(again._1 === m0.width && again._4 === m0.n_frames &&
+      again._5.toSeq === m0.feature.toSeq)
+  }
+
+  test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
+    val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
+      .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
+        "n_frames")
+    val out = MultimodalOps.preprocessPlan(media).collect()(0)
+    assert(out.getAs[Int]("new_width") === 1800)
+    assert(out.getAs[Int]("new_height") === 900) // 1800 * (1800/3600)
+    assert(out.getAs[Int]("padded_width") === 1900)
+    assert(out.getAs[Int]("padded_height") === 1000)
+    assert(out.getAs[Int]("n_sampled_frames") === 3) // frames 0,30,60
   }
 }
