@@ -123,6 +123,68 @@ class PropertySpec extends AnyFunSuite {
     assert(o.updated("a", JStr("9")).fields.map(_._1) === Vector("a", "b"))
     assert(o.updated("c", JStr("3")).fields.map(_._1) === Vector("a", "b", "c"))
   }
+
+  // --- token2json round-trip: generate a random nested structure, render
+  // it as a Donut tag stream, and parse it back --------------------------
+  // globally-unique keys: a repeated key along an ancestor path is
+  // ambiguous in the tag format itself (the end-tag search finds the inner
+  // closer first — the reference parser behaves identically), so the
+  // round-trip property holds only for path-distinct keys
+  private val keyCounter = new java.util.concurrent.atomic.AtomicInteger
+  private val keyGen: Gen[String] =
+    Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar)
+        .map(_.mkString + "_" + keyCounter.incrementAndGet()))
+  private val leafGen: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(5))).map(_.mkString(" ")))
+
+  private def structGen(depth: Int): Gen[JObj] = for {
+    n <- Gen.choose(1, 3)
+    keys <- Gen.listOfN(n, keyGen).map(_.distinct)
+    vals <- Gen.sequence[List[JValue], JValue](keys.map { _ =>
+      if (depth <= 0) leafGen.map(JStr(_): JValue)
+      else Gen.frequency(
+        3 -> leafGen.map(JStr(_): JValue),
+        1 -> structGen(depth - 1))
+    })
+  } yield JObj(keys.zip(vals).toVector)
+
+  private def render(v: JValue): String = v match {
+    case JObj(fields) =>
+      fields.map { case (k, x) => s"<s_$k>${render(x)}</s_$k>" }.mkString
+    case JStr(s) => s
+    case other   => other.toString
+  }
+
+  test("token2json round-trips rendered nested dicts (property)") {
+    check(Prop.forAll(structGen(2)) { obj =>
+      graft.kernel.TokenJson.token2json(render(obj)) == obj
+    })
+  }
+
+  // --- top-k aggregator vs a sort-based reference ------------------------
+  test("rankTopK equals sort-based top-k on random scored sets (property)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rowGen = for {
+      q <- Gen.choose(0L, 3L)
+      n <- Gen.choose(0L, 40L)
+      s <- Gen.choose(0, 8).map(_.toDouble) // coarse scores force ties
+    } yield (q, n, s)
+    check(Prop.forAll(Gen.listOfN(120, rowGen)) { rows0 =>
+      val rows = rows0.distinct
+      val got = graft.ops.SimilarityOps
+        .rankTopK(rows.toDF("query_id", "neighbor_id", "score"), 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+      val want = rows.groupBy(_._1).toList.flatMap { case (q, rs) =>
+        rs.map(r => (r._3, r._2)).distinct
+          .sortBy { case (s, id) => (-s, id) }.take(5).zipWithIndex
+          .map { case ((_, id), i) => (q, i + 1, id) }
+      }.sortBy(t => (t._1, t._2))
+      got == want
+    })
+  }
 }
 
 /** O2/O3 flags: first-media-only and layout-parse-behind-flag. */
