@@ -67,6 +67,75 @@ class BoilerplateStripSpec extends AnyFunSuite {
     val html = "<p>subscribe to our newsletter</p><p>actual article</p>"
     assert(BoilerplateStrip.lines(html) === Vector("actual article"))
   }
+
+  // --- reference implementation: the original two-pass replaceAll +
+  // chained-String.replace form, kept verbatim so the fused/single-scan
+  // hot path is equivalence-tested against it --------------------------
+  private object ChainedStrip {
+    import java.util.regex.Pattern
+    private val chromePat = Pattern.compile(
+      "(?is)<!--.*?-->|<(script|style|nav|header|footer|aside|noscript)\\b.*?</\\1\\s*>")
+    private val blockBoundaryPat = Pattern.compile(
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|section|article|blockquote|pre|hr)\\b[^>]*>")
+    private val tagPat = Pattern.compile("<[^>]*>")
+    private val linkPat = Pattern.compile("(?i)<a\\b")
+    private val wsRunPat = Pattern.compile("\\s+")
+    private val boilerKeywords = Seq(
+      "cookie", "subscribe", "copyright", "©", "all rights reserved",
+      "privacy policy", "terms of service", "sign up", "log in", "newsletter")
+    private def decodeEntities(s: String): String =
+      s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    def lines(html: String): Vector[String] = {
+      if (html == null || html.isEmpty) return Vector.empty
+      val sep = "\u0000BLOCK\u0000"
+      var s = chromePat.matcher(html).replaceAll("\n")
+      s = blockBoundaryPat.matcher(s).replaceAll(
+        "\n" + java.util.regex.Matcher.quoteReplacement(sep) + "\n")
+      val blocks = s.split(Pattern.quote(sep))
+      val out = Vector.newBuilder[String]
+      for (block <- blocks) {
+        val linkCount = {
+          val m = linkPat.matcher(block)
+          var c = 0
+          while (m.find()) c += 1
+          c
+        }
+        val text = decodeEntities(tagPat.matcher(block).replaceAll(" "))
+        for (rawLine <- text.split('\n')) {
+          val line = wsRunPat.matcher(rawLine).replaceAll(" ").trim
+          if (line.nonEmpty) {
+            val navLike = linkCount >= 2 && line.length < 80
+            val lower = line.toLowerCase
+            val boiler = boilerKeywords.exists(lower.contains)
+            if (!navLike && !boiler) out += line
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
+  test("fused strip equals the chained two-pass form on corpus spans") {
+    val docs = (0L until 2000L).map(graft.io.Synthesizer.genDoc(42L, _))
+    docs.flatMap(_.spans.filter(_.kind == "text").map(_.text)).foreach { t =>
+      assert(BoilerplateStrip.lines(t) === ChainedStrip.lines(t))
+    }
+  }
+
+  test("fused strip equals the chained form on adversarial random html") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val frag = Gen.oneOf(
+      "<p>", "</p>", "<div class=x>", "</div>", "<script>", "</script>",
+      "<nav>", "</nav>", "<!--", "-->", "<a href=\"#\">", "</a>",
+      "&amp;", "&nbsp;", "&lt;", "&zz;", "&", "<", ">", "text words ",
+      "copyright ", "newsletter ", "plain", " \n ", "<br/>", "<h1>")
+    val htmlGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, frag).map(_.mkString))
+    val res = SCTest.check(SCTest.Parameters.default,
+      Prop.forAll(htmlGen)(h => BoilerplateStrip.lines(h) == ChainedStrip.lines(h)))
+    assert(res.passed)
+  }
 }
 
 /** Properties from SURVEY.md §5.3. */
