@@ -92,6 +92,37 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
              (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_price_c"))),
 
+    // as-of join: each purchase attributed to the user's latest prior (or
+    // simultaneous) click — oracled against DuckDB's native ASOF JOIN
+    "q20_asof_attribution" -> ((s, dir) => {
+      def side(t: String) = this.t(s, dir, "events")
+        .where(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.ops.AsOfJoin.join(side("purchase"), side("click"))
+        .withColumnRenamed("left_id", "purchase_id")
+        .withColumnRenamed("right_id", "click_id")
+    }),
+
+    // grouping sets (ROLLUP): corpus mixture with subtotals + grand total
+    "q21_mixture_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"))),
+
+    // set operation (EXCEPT): dedup drop-list = every doc id that is not
+    // its content group's min keeper; duplicates planted by unioning a
+    // +10000-shifted copy (the driver corpus itself has no exact dups)
+    "q22_dedup_drop_list" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val keepers = aug
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      aug.select(col("doc_id")).except(keepers)
+    }),
+
     // multi-way join + agg (scan→join→agg chain; partial aggregation)
     "q16_region_rollup" -> ((s, dir) =>
       t(s, dir, "customer").as("c")
@@ -149,6 +180,24 @@ object RelationalQueries {
          FROM customer c
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          JOIN region r ON n.n_regionkey = r.r_regionkey
-         GROUP BY r.r_name ORDER BY r.r_name"""
+         GROUP BY r.r_name ORDER BY r.r_name""",
+    "q20_asof_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q21_mixture_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ROLLUP (source, lang)""",
+    "q22_dedup_drop_list" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT doc_id + 10000, text FROM documents)
+         SELECT doc_id FROM aug
+         EXCEPT
+         SELECT min(doc_id) FROM aug GROUP BY md5(text)"""
   )
 }

@@ -216,6 +216,24 @@ class OpsSpec extends AnyFunSuite {
     assert(full === brute)
   }
 
+  test("as-of join picks the latest right row at or before each left ts") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val left = Seq( // (key, ts, id)
+      (1L, t(5), 100L), (1L, t(10), 101L), (1L, t(1), 102L),
+      (2L, t(3), 200L)).toDF("key", "ts", "id")
+    val right = Seq(
+      (1L, t(2), 900L), (1L, t(5), 901L), (1L, t(9), 902L),
+      (3L, t(1), 999L)).toDF("key", "ts", "id")
+    val out = graft.ops.AsOfJoin.join(left, right).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(100L) === 901L) // inclusive: right at the same ts wins
+    assert(out(101L) === 902L)
+    assert(out(102L) === -1L)  // no right at or before
+    assert(out(200L) === -1L)  // key has no right rows at all
+  }
+
   test("token DF: doc_freq counts documents, term_freq counts occurrences") {
     import graft.ops.CorpusOps
     val out = CorpusOps.tokenDf(docsDf(
