@@ -103,6 +103,18 @@ object RelationalQueries {
         .withColumnRenamed("right_id", "click_id")
     }),
 
+    // range join: every click within the hour before each purchase —
+    // bucketed band join (each left probes 2 buckets), not a nested loop
+    "q23_range_attribution" -> ((s, dir) => {
+      def side(ty: String) = t(s, dir, "events")
+        .where(col("event_type") === ty)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.ops.RangeJoin.join(side("purchase"), side("click"),
+        windowMicros = 3600L * 1000000L)
+        .withColumnRenamed("left_id", "purchase_id")
+        .withColumnRenamed("right_id", "click_id")
+    }),
+
     // grouping sets (ROLLUP): corpus mixture with subtotals + grand total
     "q21_mixture_rollup" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -189,6 +201,14 @@ object RelationalQueries {
          SELECT p.event_id AS purchase_id, c.event_id AS click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q23_range_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
     "q21_mixture_rollup" ->
       """SELECT source, lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -48,3 +48,38 @@ object AsOfJoin {
       .toDF("left_id", "right_id")
   }
 }
+
+/** Range (interval) join — the other join Spark lacks a native operator
+  * for: every (left, right) pair with the same key and
+  * `right.ts ∈ [left.ts - window, left.ts]`.
+  *
+  * Scale shape: time is bucketed at `window` granularity; each right row
+  * lands in ONE (key, bucket), each left row probes TWO buckets (its own
+  * and the previous — the interval spans at most two), so the join is an
+  * equi-join on (key, bucket) + an exact range filter. That bounds the
+  * shuffle fan-out at 2× and avoids the O(n²) nested-loop plan Spark picks
+  * for raw inequality joins.
+  */
+object RangeJoin {
+
+  /** leftDf/rightDf: (key: bigint, ts: timestamp, id: bigint);
+    * windowMicros: interval length. Output: (left_id, right_id). */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+           windowMicros: Long): DataFrame = {
+    def base(df: DataFrame) =
+      df.select(col("key").cast("long").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("id"))
+    val right = base(rightDf)
+      .withColumn("bucket", floor(col("tsu") / windowMicros))
+    val left = base(leftDf)
+      .withColumn("bucket", explode(array(
+        floor(col("tsu") / windowMicros) - 1,
+        floor(col("tsu") / windowMicros))))
+    left.as("l").join(right.as("r"),
+        col("l.key") === col("r.key") && col("l.bucket") === col("r.bucket") &&
+        col("r.tsu") >= col("l.tsu") - windowMicros &&
+        col("r.tsu") <= col("l.tsu"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
+  }
+}

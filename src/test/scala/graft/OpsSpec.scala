@@ -234,6 +234,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(200L) === -1L)  // key has no right rows at all
   }
 
+  test("range join finds exactly the rights within the window (bucket edges)") {
+    import java.sql.Timestamp
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val W = 60L * 1000000L // 60s window
+    val left = Seq((1L, t(120), 10L)).toDF("key", "ts", "id")
+    val right = Seq(
+      (1L, t(59), 90L),   // just outside (61s before)
+      (1L, t(60), 91L),   // exactly window edge — inclusive
+      (1L, t(100), 92L),  // inside, previous bucket
+      (1L, t(120), 93L),  // same instant — inclusive
+      (1L, t(121), 94L),  // after left — excluded
+      (2L, t(110), 95L))  // other key
+      .toDF("key", "ts", "id")
+    val got = graft.ops.RangeJoin.join(left, right, W).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 91L), (10L, 92L), (10L, 93L)))
+  }
+
   test("token DF: doc_freq counts documents, term_freq counts occurrences") {
     import graft.ops.CorpusOps
     val out = CorpusOps.tokenDf(docsDf(
