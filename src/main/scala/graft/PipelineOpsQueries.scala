@@ -79,6 +79,8 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.repetitionStats(docs(s, dir))),
     "p17_source_rollup" -> ((s, dir) =>
       graft.ops.CorpusOps.sourceRollup(docs(s, dir))),
+    "p19_count_min_sketch" -> ((s, dir) =>
+      graft.ops.CorpusOps.countMinSketch(docs(s, dir))),
     // preprocess plan over the media dump p10 materializes (depends only on
     // the dump being written in the same Verify run — each query fn is
     // self-contained, so write it here too)
@@ -246,6 +248,16 @@ object PipelineOpsQueries {
       """SELECT source, lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY source, lang""",
+    // exact cell-table replica of the count-min sketch (salted md5 rows)
+    "p19_count_min_sketch" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         cell AS (SELECT r.range AS row,
+             CAST((md5_number_lower(t || '#' || CAST(r.range AS VARCHAR))
+                   & 9223372036854775807) % 256 AS INT) AS bucket
+           FROM tok, range(4) r)
+         SELECT row, bucket, count(*) AS count
+         FROM cell GROUP BY row, bucket""",
     // resize/border/frame-sample math replicated over the media dump
     "p18_media_preprocess" ->
       """SELECT doc_id, media_ref, width, height,

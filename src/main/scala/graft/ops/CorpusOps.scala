@@ -88,4 +88,39 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         max(col("n_chars")).as("max_chars"))
+
+  /** Count-Min Sketch of token frequencies (Cormode & Muthukrishnan '05):
+    * `depth` hash rows × `width` buckets; every token occurrence increments
+    * one bucket per row, and a point estimate is the min over rows. The
+    * sketch is THE mergeable fixed-size summary for heavy-hitter detection
+    * on unbounded vocabularies: per-partition sub-sketches merge by cell
+    * addition (here: the same partial+final hash aggregation), so at 100 TB
+    * the shuffle is depth×width cells per partition regardless of corpus
+    * size. Row hashes are salted md5-low63 (= DuckDB `md5_number_lower`
+    * masked), so the cell table is exactly replicable in SQL. Output:
+    * nonzero cells (row, bucket, count). */
+  def countMinSketch(df: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("text")).as[String]
+      .flatMap { text =>
+        // pre-aggregate per doc: emit each cell once with its local count
+        val cells = new java.util.HashMap[Long, Long]() // (row<<32|bucket) -> n
+        wsPat.split(text.trim).foreach { t =>
+          var r = 0
+          while (r < depth) {
+            val b = (TextOps.md5Low63(t + "#" + r) % width).toInt
+            cells.merge((r.toLong << 32) | b, 1L, (a, x) => a + x)
+            r += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        cells.asScala.iterator.map { case (k, n) =>
+          ((k >>> 32).toInt, (k & 0xffffffffL).toInt, n)
+        }
+      }
+      .toDF("row", "bucket", "n")
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("n")).as("count"))
+  }
 }

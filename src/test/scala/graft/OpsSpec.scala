@@ -283,6 +283,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) === (4, 4, 1))
   }
 
+  test("count-min sketch: point estimates upper-bound true frequencies") {
+    import graft.ops.CorpusOps
+    val df = docsDf(1L -> "x x x y z", 2L -> "x y y w")
+    val cells = CorpusOps.countMinSketch(df, depth = 4, width = 256).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every row's total mass equals total token count
+    (0 until 4).foreach { r =>
+      assert(cells.collect { case ((`r`, _), n) => n }.sum === 9L)
+    }
+    // point estimate (min over rows) >= true count, and == with no collisions
+    def estimate(t: String): Long = (0 until 4).map { r =>
+      val b = (graft.ops.TextOps.md5Low63(t + "#" + r) % 256).toInt
+      cells.getOrElse((r, b), 0L)
+    }.min
+    assert(estimate("x") >= 4L)
+    assert(estimate("y") >= 3L)
+    assert(estimate("absent") >= 0L)
+  }
+
   test("multimodal kernel: every media span decoded with stable metadata") {
     val docs = graft.io.Synthesizer.docs(spark, 50, 42L)
     val media = MultimodalOps.mediaTable(docs).collect()
