@@ -43,7 +43,12 @@ object SimilarityOps {
   /** Brute-force cosine top-k: the first `numQueries` vectors (by vec_id)
     * are the query set (broadcast — small side), ranked against the whole
     * table. Output is integer-only (query, rank, neighbor) so the oracle is
-    * float-free; ties break by neighbor id. */
+    * float-free; ties break by neighbor id.
+    *
+    * Plan note: the `crossJoin(broadcast(queries))` + `=!=` filter compiles
+    * to a BroadcastNestedLoopJoin — here that IS the right plan (the big
+    * side streams once against Q broadcast rows; there is no equi-key), not
+    * the accidental-cartesian smell PlanSweep flags it as. */
   def bruteTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
     val queries = emb.orderBy(col("vec_id")).limit(numQueries)
       .select(col("vec_id").as("query_id"),
