@@ -30,6 +30,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC") // NTZ↔epoch reinterpretation (q24)
       // sandbox tables are tiny (MBs); the default 128 MB maxPartitionBytes
       // bin-packs them into ~4 splits and caps scan parallelism at 4 tasks
       // regardless of cores. 100 TB inputs have the opposite problem — there

@@ -81,6 +81,12 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.sourceRollup(docs(s, dir))),
     "p19_count_min_sketch" -> ((s, dir) =>
       graft.ops.CorpusOps.countMinSketch(docs(s, dir))),
+    "p20_hll_registers" -> ((s, dir) =>
+      graft.ops.CorpusOps.hllRegisters(docs(s, dir))),
+    "p21_bloom_filter" -> ((s, dir) =>
+      graft.ops.CorpusOps.bloomFilter(docs(s, dir))),
+    "p22_jaccard_pairs" -> ((s, dir) =>
+      DedupOps.exactJaccardPairs(docs(s, dir))),
     // preprocess plan over the media dump p10 materializes (depends only on
     // the dump being written in the same Verify run — each query fn is
     // self-contained, so write it here too)
@@ -306,6 +312,54 @@ object PipelineOpsQueries {
                     FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // HLL register-table replica: md5-low63 per DISTINCT token (max over
+    // occurrences == max over distincts), bucket = low p bits, rho from
+    // bin()-length (bin prints no leading zeros → length == bit position)
+    "p20_hll_registers" ->
+      """WITH tok AS (SELECT DISTINCT
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         h AS (SELECT md5_number_lower(t) & 9223372036854775807 AS hash FROM tok),
+         r AS (SELECT CAST(hash & 63 AS INT) AS bucket, hash >> 6 AS v FROM h)
+         SELECT bucket,
+                max(CASE WHEN v = 0 THEN 58
+                    ELSE 58 - length(bin(v)) END) AS max_rho
+         FROM r GROUP BY bucket ORDER BY bucket""",
+    // Bloom filter bit-table replica: k=3 salted md5 bits over distinct
+    // tokens, OR'd into 32-bit words via sum over distinct set bits
+    "p21_bloom_filter" ->
+      """WITH tok AS (SELECT DISTINCT
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         bits AS (SELECT DISTINCT
+             CAST((md5_number_lower(t || '!' || CAST(j.range AS VARCHAR))
+                   & 9223372036854775807) % 2048 AS INT) AS bit
+           FROM tok, range(3) j)
+         SELECT bit // 32 AS word_idx,
+                CAST(sum(CAST(1 AS BIGINT) << (bit % 32)) AS BIGINT) AS bits
+         FROM bits GROUP BY 1 ORDER BY 1""",
+    // exact shingle-Jaccard pairs over md5-low63 shingle hashes (the
+    // inverted-index join the Spark side runs, replicated hash-exactly)
+    "p22_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
+         FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50
+         ORDER BY doc_a, doc_b""",
     // exact all-pairs cosine top-k (the Spark side must reproduce it from
     // the distributed bounded-heap)
     "p12_embedding_top_pairs" ->

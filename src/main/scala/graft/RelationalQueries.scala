@@ -135,6 +135,73 @@ object RelationalQueries {
       aug.select(col("doc_id")).except(keepers)
     }),
 
+    // gap-based sessionization (12-hour inactivity — the median per-user gap
+    // in this corpus is ~7 h, so sessions genuinely merge): lag → new-session
+    // flag → running sum = session index → per-session rollup. One shuffle
+    // keyed by user_id; both windows and the final groupBy reuse that
+    // partitioning (single Exchange in the plan).
+    "q24_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        // ts is TIMESTAMP_NTZ; the session tz is pinned UTC (Verify/Bench),
+        // so the cast reinterprets wall-clock as epoch — matching DuckDB's
+        // epoch_us(ts) on naive timestamps. (Gaps/durations are shift-
+        // invariant anyway; only the reinterpretation must be constant.)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+               col("us") - col("prev_us") > 43200L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("us")) - min(col("us"))).as("duration_us"),
+             min(col("event_id")).as("min_event_id"))
+    }),
+
+    // exact discrete percentiles (rank-based, integer-exact across engines):
+    // rn == ceil(q·n/100) computed with integer arithmetic so no float
+    // interpolation can diverge. Per-group sort = one keyed shuffle; at
+    // 10^12 rows swap in approx_percentile (t-digest) — this query is the
+    // exact formulation the sketch is validated against.
+    "q25_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val w = Window.partitionBy(col("st")).orderBy(col("cents"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("st"))))
+        .select(col("st").as("o_orderstatus"), col("cents"), col("rn"), col("n"),
+          explode(array(lit(25L), lit(50L), lit(75L))).as("q"))
+        .where(col("rn") === expr("(q * n + 99) div 100"))
+        .select(col("o_orderstatus"), col("q"), col("cents").as("price_cents"))
+    }),
+
+    // pivot (lang columns fixed up front — a pivot without explicit values
+    // costs an extra distinct-collect pass at scale)
+    "q26_pivot_mixture" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source"))),
+
+    // semi join (EXISTS): customers with ≥1 order, by market segment —
+    // left_semi ships only the join key of the probe side
+    "q27_semijoin_segments" -> ((s, dir) =>
+      t(s, dir, "customer").as("c")
+        .join(t(s, dir, "orders").as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))),
+
     // multi-way join + agg (scan→join→agg chain; partial aggregation)
     "q16_region_rollup" -> ((s, dir) =>
       t(s, dir, "customer").as("c")
@@ -218,6 +285,45 @@ object RelationalQueries {
                       UNION ALL SELECT doc_id + 10000, text FROM documents)
          SELECT doc_id FROM aug
          EXCEPT
-         SELECT min(doc_id) FROM aug GROUP BY md5(text)"""
+         SELECT min(doc_id) FROM aug GROUP BY md5(text)""",
+    "q24_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                    IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                    > 43200000000
+             THEN 1 ELSE 0 END AS new_sess FROM ev),
+         g AS (SELECT user_id, event_id, us,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                max(us) - min(us) AS duration_us,
+                min(event_id) AS min_event_id
+         FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q25_percentiles" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderkey FROM orders),
+         r AS (SELECT st, cents,
+             row_number() OVER (PARTITION BY st ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY st) AS n FROM o)
+         SELECT st AS o_orderstatus, CAST(q.q AS BIGINT) AS q,
+                cents AS price_cents
+         FROM r JOIN (VALUES (25), (50), (75)) q(q)
+           ON rn = (q.q * n + 99) // 100
+         ORDER BY o_orderstatus, q""",
+    "q26_pivot_mixture" ->
+      """SELECT source,
+         count(*) FILTER (lang = 'de') AS de,
+         count(*) FILTER (lang = 'en') AS en,
+         count(*) FILTER (lang = 'es') AS es,
+         count(*) FILTER (lang = 'fr') AS fr,
+         count(*) FILTER (lang = 'zh') AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+    "q27_semijoin_segments" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

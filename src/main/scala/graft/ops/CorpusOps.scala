@@ -2,6 +2,7 @@ package graft.ops
 
 import java.util.regex.Pattern
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators a training-data pipeline runs ahead of
@@ -122,5 +123,85 @@ object CorpusOps {
       .toDF("row", "bucket", "n")
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("n")).as("count"))
+  }
+
+  /** HyperLogLog registers (Flajolet et al. '07) over the token vocabulary:
+    * 2^p registers, each holding max(rho) where rho = 1 + leading-zero count
+    * of the hash suffix. Like the count-min sketch, the register table is
+    * THE mergeable cardinality summary: per-partition sub-sketches merge by
+    * register-wise max (here: the same partial+final max aggregation), so
+    * the shuffle is 2^p rows per partition regardless of corpus size — the
+    * scalable alternative to count(DISTINCT token) when the vocabulary
+    * outgrows memory. Hash is md5-low63 (= DuckDB `md5_number_lower`
+    * masked), so the register table is exactly replicable in SQL
+    * (rho via 58 - length(bin(v)) — bin() prints no leading zeros).
+    * Output: nonzero registers (bucket, max_rho). */
+  def hllRegisters(df: DataFrame, p: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val w = 63 - p // hash-suffix width in bits (the md5-low hash is masked to 63)
+    df.select(col("text")).as[String]
+      .flatMap { text =>
+        // pre-aggregate per doc: one register array, emit nonzero cells
+        val regs = new Array[Int](m)
+        wsPat.split(text.trim).foreach { t =>
+          val h = TextOps.md5Low63(t)
+          val b = (h & (m - 1)).toInt
+          val v = h >>> p
+          val rho =
+            if (v == 0L) w + 1
+            else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+          if (rho > regs(b)) regs(b) = rho
+        }
+        Iterator.range(0, m).filter(regs(_) > 0).map(b => (b, regs(b)))
+      }
+      .toDF("bucket", "rho")
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Deterministic Bloom filter over the corpus token stream: mBits bits,
+    * k salted md5-low63 hashes per token. Built as a typed `Aggregator`
+    * whose buffer is the fixed-size bit array and whose merge is bitwise
+    * OR — the canonical mergeable membership summary: partial filters build
+    * map-side and the shuffle is mBits/8 bytes per partition total,
+    * independent of corpus size. (Use: pre-filtering a dedup drop-list or
+    * a seen-URL set before the expensive keyed join; no false negatives.)
+    * Output: nonzero 32-bit words (word_idx, bits) — 32-bit chunks keep
+    * every value positive-int64 so the DuckDB replica (sum of 1<<(bit%32)
+    * over distinct set bits) is overflow-free. */
+  def bloomFilter(df: DataFrame, mBits: Int = 2048, k: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val agg = new org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long](mBits / 64)
+      def reduce(b: Array[Long], text: String): Array[Long] = {
+        wsPat.split(text.trim).foreach { t =>
+          var j = 0
+          while (j < k) {
+            val bit = (TextOps.md5Low63(t + "!" + j) % mBits).toInt
+            b(bit >> 6) |= (1L << (bit & 63))
+            j += 1
+          }
+        }
+        b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+      }
+      def finish(b: Array[Long]): Array[Long] = b
+      def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+      def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    }
+    df.select(col("text")).as[String]
+      .select(agg.toColumn.name("words"))
+      .flatMap { words =>
+        Iterator.range(0, mBits / 32).map { wi =>
+          (wi, (words(wi >> 1) >>> ((wi & 1) * 32)) & 0xffffffffL)
+        }.filter(_._2 != 0L)
+      }
+      .toDF("word_idx", "bits")
   }
 }

@@ -206,6 +206,39 @@ object DedupOps {
     sig
   }
 
+  /** EXACT n-gram Jaccard pairs via an inverted-index self-join — the
+    * non-approximate counterpart of `minhashLsh` (use when the threshold is
+    * low enough that LSH recall curves get expensive, or as the ground-truth
+    * pass). Shuffle payload is (doc_id, shingle_hash, set_size) = 24
+    * bytes/shingle — the 8-byte md5-low63 hash stands in for the shingle
+    * text, and carrying the set size inline removes the two extra
+    * size-lookup joins. Scale note: join fan-out is sum over shingle keys of
+    * df² — on web corpora cap the document frequency (drop shingles with
+    * df > ~100; stop-shingles contribute no discriminating power) before the
+    * self-join; left uncapped here because the DuckDB oracle is the exact
+    * uncapped pair set. Hash = DuckDB `md5_number_lower` masked, so the
+    * oracle replicates hash-exactly. */
+  def exactJaccardPairs(df: DataFrame, w: Int = 3,
+                        minJaccardPct: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleArr(text, w).map(TextOps.md5Low63).distinct
+        val n = hs.length
+        hs.iterator.map(h => (id, h, n))
+      }
+      .toDF("doc_id", "h", "n_sh")
+    hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
   /** SimHash near-dup pairs: docs sharing any 16-bit band (≤3 differing
     * bands ⇐ hamming ≤ 3 guaranteed candidates), verified by exact hamming
     * distance ≤ maxHamming. */

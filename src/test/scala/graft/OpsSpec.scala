@@ -316,6 +316,66 @@ class OpsSpec extends AnyFunSuite {
       again._5.toSeq === m0.feature.toSeq)
   }
 
+  test("hll registers: independent re-derivation + estimate within HLL error") {
+    val docs = docsDf(
+      1L -> (1 to 300).map(i => s"word$i").mkString(" "),
+      2L -> (200 to 500).map(i => s"word$i").mkString(" "),
+      3L -> "word1 word2 word3")
+    val regs = graft.ops.CorpusOps.hllRegisters(docs).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Int]("max_rho")).toMap
+    // independent brute-force re-derivation over the distinct vocabulary
+    val vocab = (1 to 500).map(i => s"word$i").toSet
+    val expected = scala.collection.mutable.Map.empty[Int, Int]
+    vocab.foreach { t =>
+      val h = graft.ops.TextOps.md5Low63(t)
+      val b = (h & 63L).toInt
+      val v = h >>> 6
+      val rho = if (v == 0L) 58 else 58 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      if (rho > expected.getOrElse(b, 0)) expected(b) = rho
+    }
+    assert(regs === expected.toMap)
+    // harmonic-mean estimate within the ~1.04/sqrt(64)=13% HLL band (3σ)
+    val m = 64
+    val z = 1.0 / (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b, 0))).sum
+    val est = 0.709 * m * m * z
+    assert(math.abs(est - vocab.size) / vocab.size < 0.4, s"estimate $est vs 500")
+  }
+
+  test("bloom filter: no false negatives; mergeable across partitions") {
+    val docs = docsDf(
+      1L -> (1 to 50).map(i => s"tok$i").mkString(" "),
+      2L -> (51 to 100).map(i => s"tok$i").mkString(" "))
+      .repartition(4) // exercises partial-buffer merge
+    val words = graft.ops.CorpusOps.bloomFilter(docs).collect()
+      .map(r => r.getAs[Int]("word_idx") -> r.getAs[Long]("bits")).toMap
+    def bitSet(bit: Int): Boolean =
+      ((words.getOrElse(bit / 32, 0L) >> (bit % 32)) & 1L) == 1L
+    // every inserted token's k=3 bits are set (bloom invariant)
+    (1 to 100).foreach { i =>
+      (0 until 3).foreach { j =>
+        val bit = (graft.ops.TextOps.md5Low63(s"tok$i!$j") % 2048).toInt
+        assert(bitSet(bit), s"missing bit for tok$i hash $j")
+      }
+    }
+    // not saturated: 100 tokens × 3 bits < 300 of 2048 bits
+    val popcount = words.values.map(java.lang.Long.bitCount).sum
+    assert(popcount <= 300 && popcount > 100)
+  }
+
+  test("exact jaccard pairs: planted near-dup found with exact set sizes") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val out = graft.ops.DedupOps.exactJaccardPairs(
+      docsDf(1L -> base, 2L -> nearDup, 3L -> other)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    // 40 tokens → 38 shingles; changing token 7 kills shingles 5,6,7
+    assert(r.getAs[Long]("n_inter") === 35L)
+    assert(r.getAs[Long]("n_union") === 41L)
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
