@@ -87,6 +87,11 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.bloomFilter(docs(s, dir))),
     "p22_jaccard_pairs" -> ((s, dir) =>
       DedupOps.exactJaccardPairs(docs(s, dir))),
+    "p23_tfidf_topk" -> ((s, dir) =>
+      graft.ops.CorpusOps.tfidfTopK(docs(s, dir))),
+    "p24_hash_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.hashSample(docs(s, dir),
+        Map("en" -> 50), defaultPct = 20)),
     // preprocess plan over the media dump p10 materializes (depends only on
     // the dump being written in the same Verify run — each query fn is
     // self-contained, so write it here too)
@@ -360,6 +365,36 @@ object PipelineOpsQueries {
          SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
          FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50
          ORDER BY doc_a, doc_b""",
+    // TF-IDF top-k ranking replica: integer idf via // division, dot over
+    // shared tokens only, ties by neighbor_id
+    "p23_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         idf AS (SELECT token,
+             ((SELECT count(*) FROM documents) * 100) // count(*) AS idf
+           FROM tf GROUP BY token),
+         w AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS wt
+               FROM tf JOIN idf USING (token)),
+         scored AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+                      sum(d.wt * q.wt) AS dot
+                    FROM w d JOIN w q ON d.token = q.token
+                      AND q.doc_id < 10 AND d.doc_id <> q.doc_id
+                    GROUP BY 1, 2),
+         ranked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id) AS rank
+                    FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // deterministic stratified sample replica (same md5 rule, same salt)
+    "p24_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || '|smp')
+                & 9223372036854775807) % 100
+               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+         ORDER BY doc_id""",
     // exact all-pairs cosine top-k (the Spark side must reproduce it from
     // the distributed bounded-heap)
     "p12_embedding_top_pairs" ->

@@ -32,4 +32,24 @@ object TableIO {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String = "doc_id"): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  // ------------------------------------------------------------------
+  // Interchange formats (ingest/egress edges of the pipeline; columnar
+  // parquet stays the internal format). Schemas are ALWAYS explicit:
+  // inferSchema costs a full extra scan — at 100 TB that is a second job.
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines (one object per line — splittable, unlike a JSON array). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -19,21 +19,26 @@ object CorpusOps {
     * partial+final aggregation — the vocabulary table this produces is
     * what tokenizer training / IDF weighting consumes. Scale shape:
     * explode-free map + single shuffle keyed by token. */
-  def tokenDf(df: DataFrame): DataFrame = {
+  def tokenDf(df: DataFrame): DataFrame =
+    tokenTf(df)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("term_freq"))
+
+  /** Per-doc token term frequencies (doc_id, token, tf) — one typed pass per
+    * doc with a local hash map (explode-free: raw text never shuffles). */
+  def tokenTf(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (_, text) =>
+      .flatMap { case (id, text) =>
         val counts = new java.util.HashMap[String, Long]()
         wsPat.split(text.trim).foreach { t =>
           counts.merge(t, 1L, (a, b) => a + b)
         }
         import scala.jdk.CollectionConverters._
-        counts.asScala.iterator.map { case (t, n) => (t, n) }
+        counts.asScala.iterator.map { case (t, n) => (id, t, n) }
       }
-      .toDF("token", "n")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("doc_freq"), sum(col("n")).as("term_freq"))
+      .toDF("doc_id", "token", "tf")
   }
 
   // RE2-compatible patterns (the oracle runs them in DuckDB): no
@@ -203,5 +208,55 @@ object CorpusOps {
         }.filter(_._2 != 0L)
       }
       .toDF("word_idx", "bits")
+  }
+
+  /** TF-IDF text similarity search: top-k most similar documents per query
+    * doc (the text counterpart of the embedding ANN family). Integer-exact
+    * across engines: idf = (N·idfScale) div df (integer division — no log,
+    * whose last-ulp could diverge between JVMs/engines), weight = tf·idf,
+    * score = dot product accumulated ONLY over shared tokens via the token
+    * inverted index — never a dense doc×doc product. Top-k via the
+    * bounded-heap Aggregator (partial top-k map-side). At web scale the
+    * inverted index is additionally df-capped (stop-tokens pair everything
+    * with everything and carry no signal); uncapped here because the DuckDB
+    * oracle replicates the exact uncapped ranking. */
+  def tfidfTopK(df: DataFrame, numQueries: Int = 10, k: Int = 10,
+                idfScale: Long = 100L): DataFrame = {
+    val n = df.count() // one cheap metadata-ish pass; a known table stat at scale
+    val tf = tokenTf(df)
+    val idf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), expr(s"($n * $idfScale) div df").as("idf"))
+    // vocabulary is ≪ corpus: broadcast the idf table into the weight join
+    val w = tf.join(broadcast(idf), "token")
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("wt"))
+    val qw = w.where(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("token"),
+        col("wt").as("q_wt"))
+    val scored = w.join(broadcast(qw),
+        w("token") === qw("token") && col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("wt") * col("q_wt")).cast("double").as("score")) // dots ≪ 2^53: exact
+    SimilarityOps.rankTopK(scored, k)
+  }
+
+  /** Deterministic stratified sampling — the corpus-mixing primitive. Keep a
+    * row iff md5-low63(key‖salt) mod 100 < rate(stratum); rates per language
+    * here. Unlike `sampleBy` (seeded RNG, partition-order-sensitive and not
+    * reproducible outside Spark), the hash rule is a pure row function:
+    * re-runs, retries, and other engines (the DuckDB oracle) select the
+    * exact same rows, and changing the salt redraws the sample. Narrow:
+    * filter only, no shuffle. */
+  def hashSample(df: DataFrame, ratePctByLang: Map[String, Int],
+                 defaultPct: Int, salt: String = "smp"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = ratePctByLang // serializable copy for the closure
+    df.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)]
+      .filter { case (id, lang) =>
+        val r = rates.getOrElse(lang, defaultPct)
+        TextOps.md5Low63(id.toString + "|" + salt) % 100 < r
+      }
+      .toDF("doc_id", "lang")
   }
 }

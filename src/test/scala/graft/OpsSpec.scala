@@ -376,6 +376,50 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_union") === 41L)
   }
 
+  test("tfidf top-k: doc sharing the query's rare token outranks common-only overlap") {
+    // q shares rare token "needle" with d1; d2 overlaps only on the common
+    // token "the" (df=4 → tiny idf) — d1 must rank first
+    val docs = docsDf(
+      0L -> "the needle alpha",
+      1L -> "the needle beta",
+      2L -> "the the the gamma",
+      3L -> "unrelated words only")
+    val out = graft.ops.CorpusOps.tfidfTopK(docs, numQueries = 1, k = 3).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).head === 1L)
+    // d3 shares no token with q → absent from the ranking entirely
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(3L))
+  }
+
+  test("hash sample: deterministic, stratified, salt-sensitive") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val a = graft.ops.CorpusOps.hashSample(docs, Map("en" -> 50), 20)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.ops.CorpusOps.hashSample(docs, Map("en" -> 50), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b) // pure row rule: re-runs select identical rows
+    val en = a.count(_ % 2 == 0); val fr = a.count(_ % 2 == 1)
+    assert(en > fr) // 50% stratum vs 20% stratum
+    val salted = graft.ops.CorpusOps.hashSample(docs, Map("en" -> 50), 20,
+      salt = "other").collect().map(_.getLong(0)).toSet
+    assert(salted !== a) // salt redraws
+  }
+
+  test("csv/jsonl round-trip preserves rows with explicit schema") {
+    val df = Seq((1L, "alpha", 2.5), (2L, "beta", -1.0)).toDF("id", "name", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_io").toString
+    graft.io.TableIO.writeCsv(df, s"$base/csv")
+    graft.io.TableIO.writeJsonl(df, s"$base/jsonl")
+    val backCsv = graft.io.TableIO.readCsv(spark, s"$base/csv", df.schema)
+    val backJson = graft.io.TableIO.readJsonl(spark, s"$base/jsonl", df.schema)
+    Seq(backCsv, backJson).foreach { back =>
+      // file sources mark everything nullable — compare names + types
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        df.schema.map(f => (f.name, f.dataType)))
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    }
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
