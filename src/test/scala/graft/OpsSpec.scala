@@ -420,6 +420,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted skew join: row-identical to the plain join, heavy key spread") {
+    // key 7 carries 60% of probe rows (the skew); dim is small
+    val probe = ((1L to 600L).map(i => (7L, i)) ++
+      (1L to 400L).map(i => (i % 5, 1000L + i))).toDF("k", "row_id")
+    val build = (0L to 7L).map(k => (k, s"dim$k")).toDF("k", "dim_val")
+    val plain = probe.join(build, "k")
+    val salted = graft.ops.SkewJoin.saltedJoin(
+      probe, build, "k", col("row_id"), heavyKeys = Seq(7L), salts = 8)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the heavy key's probe rows really did receive > 1 distinct salt
+    val nSalts = probe.where(col("k") === 7L)
+      .select(pmod(xxhash64(col("row_id")), lit(8)))
+      .distinct().count()
+    assert(nSalts > 1)
+  }
+
+  test("merge upsert: update replaces whole row, insert adds, delete removes") {
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("doc_id", "name", "v")
+    val delta = Seq(
+      (2L, "b2", 22, false), // update
+      (4L, "d", 40, false),  // insert
+      (3L, "", 0, true))     // delete
+      .toDF("doc_id", "name", "v", "is_delete")
+    val out = graft.ops.MergeOps.upsert(snapshot, delta, "doc_id",
+        deleteCol = Some("is_delete"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out === Set((1L, "a", 10), (2L, "b2", 22), (4L, "d", 40)))
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",

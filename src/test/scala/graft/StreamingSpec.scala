@@ -77,6 +77,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(1L -> "alpha beta", 2L -> "unique one", 4L -> "brand new"))
   }
 
+  test("stream-static broadcast join enriches micro-batches with a dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("en", 10L), ("fr", 20L)).toDF("lang", "weight")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(1L -> "en", 2L -> "fr", 3L -> "en"))
+    // static side broadcast: every micro-batch joins map-side, no
+    // stream-side shuffle — the enrichment shape for per-record dimension
+    // lookups at 10^12 rows (dim tables stay small)
+    val joined = stream.toDS().toDF("doc_id", "lang")
+      .join(broadcast(dim), "lang")
+      .groupBy(col("weight")).agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    stream.addData(Seq(4L -> "fr", 5L -> "de")) // de: no dim row → dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 2L, 20L -> 2L))
+  }
+
   test("partitioned dataset sink routes by (doc_type_dir, is_valid)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val results = ExtractionPipeline.run(Synthesizer.docs(spark, 200, 42L))
