@@ -189,8 +189,9 @@ object RelationalQueries {
         .groupBy(col("source"))
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy(col("source"))),
+        .na.fill(0L)),
+        // no orderBy: the driver compare sorts rows itself, and a global
+        // range-partition sort on a rollup this small is a wasted shuffle
 
     // semi join (EXISTS): customers with ≥1 order, by market segment —
     // left_semi ships only the join key of the probe side

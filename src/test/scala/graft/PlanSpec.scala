@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan assertions for the scale claims the query comments make:
+  * these are the properties that decide whether a plan survives 100× data,
+  * so they are pinned by tests, not prose. Runs the driver queries over
+  * miniature driver-shaped parquet tables (the unit-suite smoke path for
+  * the q-/p-query lambdas, which otherwise only run driver-side). */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Temp dir with miniature events/orders/documents tables. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(ts0.getTime + i * 600000L), (i % 10).toLong,
+        if (i % 3 == 0) "purchase" else "click", i * 1.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    (0 until 90).map { i =>
+      (i.toLong, (i % 30).toLong, Seq("F", "O", "P")(i % 3), 100.0 + i,
+        new java.sql.Timestamp(ts0.getTime + i * 86400000L), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    (0 until 40).map { i =>
+      (i.toLong, s"alpha beta tok$i gamma delta tok${i % 7}",
+        Seq("en", "fr")(i % 2), s"src${i % 3}", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Build a DataFrame with AQE off so the static plan is inspectable —
+    * with AQE on, executedPlan is an AdaptiveSparkPlanExec leaf that hides
+    * the tree from collect(). Production keeps AQE on; these tests pin the
+    * plan Catalyst produces, which AQE only refines (it cannot add
+    * shuffles the static plan avoided). */
+  private def staticPlan(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try build.queryExecution.executedPlan
+    finally spark.conf.set(key, prev)
+  }
+
+  private def shuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect { case e: ShuffleExchangeExec => e }.size
+
+  test("q24 sessionize: ONE shuffle — lag/sum windows and the session rollup " +
+    "all reuse the user_id partitioning") {
+    val df = RelationalQueries.queries("q24_sessionize")(spark, dir)
+    val plan = staticPlan(df)
+    assert(shuffles(plan) === 1, s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q25 percentiles: both windows share the o_orderstatus partitioning " +
+    "(one shuffle)") {
+    val df = RelationalQueries.queries("q25_percentiles")(spark, dir)
+    val plan = staticPlan(df)
+    assert(shuffles(plan) === 1, s"plan:\n$plan")
+    assert(df.count() === 9) // 3 statuses × 3 quantiles
+  }
+
+  test("q13 top-k compiles to TakeOrderedAndProject — never a global sort") {
+    val df = RelationalQueries.queries("q13_topk_docs")(spark, dir)
+    val plan = staticPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Sort ["), s"global sort crept in:\n$plan")
+  }
+
+  test("p23 tfidf top-k: idf and query sides broadcast; no cartesian") {
+    val df = graft.ops.CorpusOps.tfidfTopK(
+      spark.read.parquet(s"$dir/documents.parquet"), numQueries = 3, k = 5)
+    val plan = staticPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q26 pivot with explicit values: no distinct-collect pre-pass " +
+    "(single aggregate pair over the scan)") {
+    val df = RelationalQueries.queries("q26_pivot_mixture")(spark, dir)
+    // pivot with explicit values = the (source,lang) partial + source final
+    // aggregate pair, two shuffles; an implicit pivot would additionally run
+    // a separate distinct-collect job before planning, and a tail sort would
+    // add a range-partition exchange
+    val plan = staticPlan(df)
+    assert(shuffles(plan) <= 2, s"plan:\n$plan")
+    assert(df.count() === 3) // src0..src2
+  }
+
+  test("approx_percentile tracks the exact rank-based percentiles (q25's " +
+    "10^12-row path)") {
+    val exact = RelationalQueries.queries("q25_percentiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("st"))
+      .agg(percentile_approx(col("cents"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("qs"))
+      .collect().flatMap { r =>
+        val qs = r.getSeq[Long](1)
+        Seq(25L, 50L, 75L).zip(qs).map { case (q, v) => (r.getString(0), q) -> v }
+      }.toMap
+    exact.foreach { case (k, ev) =>
+      val av = approx(k)
+      // high-accuracy sketch on a tiny group: within 2% of the exact value
+      assert(math.abs(av - ev).toDouble / ev < 0.02, s"$k exact=$ev approx=$av")
+    }
+  }
+}
