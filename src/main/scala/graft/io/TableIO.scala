@@ -34,6 +34,28 @@ object TableIO {
     spark.table(left).join(spark.table(right), key)
 
   // ------------------------------------------------------------------
+  // Data layout for scan pruning. At 100 TB the fastest scan is the one
+  // that never happens: hive-style partition dirs are eliminated at
+  // planning time (PartitionFilters), and range-clustering the rows within
+  // each partition gives every parquet row group a narrow min/max band on
+  // the cluster key, so pushed predicates skip whole row groups at read
+  // time. TableIOSpec measures both effects on FileSourceScanExec metrics.
+
+  /** Write with hive-style `partitionBy(partitionCol)` dirs, rows
+    * range-clustered on `clusterCol` within each partition (one sorted
+    * run per output file ⇒ tight per-row-group min/max stats). */
+  def writePartitionedClustered(df: DataFrame, path: String,
+                                partitionCol: String, clusterCol: String,
+                                filesPerPartition: Int = 4): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(filesPerPartition, col(partitionCol), col(clusterCol))
+      .sortWithinPartitions(col(partitionCol), col(clusterCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  // ------------------------------------------------------------------
   // Interchange formats (ingest/egress edges of the pipeline; columnar
   // parquet stays the internal format). Schemas are ALWAYS explicit:
   // inferSchema costs a full extra scan — at 100 TB that is a second job.

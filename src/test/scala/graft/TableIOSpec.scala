@@ -41,6 +41,59 @@ class TableIOSpec extends AnyFunSuite {
       assert(mismatches === 0)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("partitioned+clustered layout: dir pruning at plan time, row-group " +
+    "skipping from min/max stats at read time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val n = 40000
+    // k is a deterministic pseudo-random key in [0, 1e6) — clustering must
+    // create the min/max locality, not the generator
+    val df = (0 until n).map { i =>
+      (i.toLong, s"type${i % 4}", (i * 2654435761L) % 1000000L)
+    }.toDF("id", "event_type", "k")
+    // 16 range buckets over (event_type, k): each of the 4 dirs gets ~4
+    // files, each covering ~a quarter of the k range
+    TableIO.writePartitionedClustered(df, s"$dir/clustered", "event_type", "k",
+      filesPerPartition = 16)
+    // control: same partition dirs, random row order within
+    df.repartition(16).write.mode("overwrite")
+      .partitionBy("event_type").parquet(s"$dir/random")
+
+    def scanStats(path: String, filter: org.apache.spark.sql.Column)
+        : (Long, Long, String) = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path).where(filter)
+        q.collect()
+        val scan = q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value,
+          scan.toString)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
+    val pred = col("event_type") === "type1" &&
+      col("k").between(100000L, 150000L)
+    val (filesC, rowsC, planC) = scanStats(s"$dir/clustered", pred)
+    val (filesR, rowsR, _) = scanStats(s"$dir/random", pred)
+    val (filesAll, _, _) = scanStats(s"$dir/clustered", lit(true))
+
+    // partition pruning: only type1's directory is opened
+    assert(planC.contains("PartitionFilters"), planC)
+    assert(filesC < filesAll, s"no dir pruning: $filesC of $filesAll files")
+    assert(filesR < filesAll * 2) // control reads only its dir too
+    // row-group skipping: the clustered scan surfaces only the row groups
+    // whose [min,max] overlaps the 5% k band; the random layout's row
+    // groups all span ~the full k range, so none are skipped
+    assert(rowsC <= n / 8, s"clustered scan surfaced $rowsC rows")
+    assert(rowsR >= n / 4 * 9 / 10, s"control unexpectedly pruned: $rowsR")
+    // same answer either way
+    assert(spark.read.parquet(s"$dir/clustered").where(pred).count() ===
+      spark.read.parquet(s"$dir/random").where(pred).count())
+  }
 }
 
 /** The driver's smoke check: SparkEntry.entry must return rows. */
