@@ -186,6 +186,57 @@ class OpsSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("bloom semi-join reduction: same rows as the plain join, ≥5× fewer " +
+    "records through the shuffle") {
+    // 20k probe rows, 50 build keys (1 in 400 matches): the probe side's
+    // exchange should carry ~matches + fpp·|probe|, not all 20k rows
+    val large = spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") * 7 % 1000).as("payload"))
+    val small = spark.range(0, 50).select((col("id") * 400).as("k"),
+      lit("dim").as("tag"))
+    val sc = spark.sparkContext
+    def shuffleRecords(run: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      sc.addSparkListener(listener)
+      try {
+        run
+        var last = -1L
+        var settled = 0
+        while (settled < 3) {
+          Thread.sleep(200)
+          val v = acc.get()
+          if (v == last) settled += 1 else { settled = 0; last = v }
+        }
+        acc.get()
+      } finally sc.removeSparkListener(listener)
+    }
+    // force the shuffle-join path — the operator exists for the case where
+    // the build side is too big to broadcast whole but its BLOOM FILTER
+    // (fixed-size bits) still is
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plainRows = large.join(small, "k").collect().toSet
+      val plainShuffled = shuffleRecords(
+        large.join(small, "k").write.format("noop").mode("overwrite").save())
+      val reduced = graft.ops.BloomJoin.bloomReducedJoin(large, small, "k",
+        expectedItems = 100, fpp = 0.01)
+      assert(reduced.collect().toSet === plainRows)
+      val bloomShuffled = shuffleRecords(
+        graft.ops.BloomJoin.bloomReducedJoin(large, small, "k",
+          expectedItems = 100, fpp = 0.01)
+          .write.format("noop").mode("overwrite").save())
+      assert(plainShuffled >= 20000, s"plain join shuffled $plainShuffled")
+      assert(bloomShuffled * 5 < plainShuffled,
+        s"bloom filter did not reduce the shuffle: $bloomShuffled vs $plainShuffled")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("IVF: planted clusters separate; top-k retrieves within-cell order") {
     import graft.ops.IvfOps
     val rng = new scala.util.Random(11)

@@ -94,6 +94,47 @@ class TableIOSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/clustered").where(pred).count() ===
       spark.read.parquet(s"$dir/random").where(pred).count())
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact dirs at " +
+    "runtime (join on the partition column)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = (0 until 20000).map { i =>
+      (i.toLong, s"type${i % 4}", i * 3L)
+    }.toDF("id", "event_type", "v")
+    graft.io.TableIO.writePartitionedClustered(fact, s"$dir/fact",
+      "event_type", "id", filesPerPartition = 16)
+    // dim must be a real table (a LocalRelation's filter constant-folds
+    // away before the PartitionPruning rule can see it)
+    Seq(("type1", "keep"), ("type2", "drop"), ("type3", "drop"),
+      ("type0", "drop")).toDF("event_type", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+
+    // DPP needs the non-AQE planner's reused-broadcast subquery to be
+    // visible; useStats=false so the tiny test tables pass the cost gate
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = spark.read.parquet(s"$dir/fact")
+        .join(dim.where(col("tag") === "keep"), "event_type")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head // fact scan is the partitioned one
+      assert(scan.toString.contains("dynamicpruning"), scan.toString)
+      val (files, rows) =
+        (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
+      // only type1's directory is read: ~1/4 of files and exactly 1/4 of rows
+      assert(rows === 5000, s"fact scan surfaced $rows rows")
+      assert(files <= 8, s"fact scan opened $files files")
+      assert(q.count() === 5000)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
 
 /** The driver's smoke check: SparkEntry.entry must return rows. */
