@@ -193,6 +193,29 @@ object RelationalQueries {
         // no orderBy: the driver compare sorts rows itself, and a global
         // range-partition sort on a rollup this small is a wasted shuffle
 
+    // set op (INTERSECT): buyers present in BOTH order slices. Catalyst
+    // plans intersect as a distinct left-semi join — keys-only shuffle;
+    // the integer rollup keeps the driver output scalar
+    "q28_intersect_buyers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(
+          o.where(col("o_totalprice") > 150000.0).select(col("o_custkey")))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(col("o_custkey")).cast("long").as("sum_custkey"))
+    }),
+
+    // set op (UNION distinct): docs in EITHER slice, deduped — completes
+    // the set-op family (EXCEPT=q22, INTERSECT=q28)
+    "q29_union_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.where(col("lang") === "en").select(col("doc_id"))
+        .union(d.where(col("n_chars") > 500).select(col("doc_id")))
+        .distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_doc_id"))
+    }),
+
     // semi join (EXISTS): customers with ≥1 order, by market segment —
     // left_semi ships only the join key of the probe side
     "q27_semijoin_segments" -> ((s, dir) =>
@@ -325,6 +348,17 @@ object RelationalQueries {
     "q27_semijoin_segments" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q28_intersect_buyers" ->
+      """SELECT count(*) AS n_buyers,
+                CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+         FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+               INTERSECT
+               SELECT o_custkey FROM orders WHERE o_totalprice > 150000)""",
+    "q29_union_docs" ->
+      """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+               UNION
+               SELECT doc_id FROM documents WHERE n_chars > 500)"""
   )
 }
