@@ -49,12 +49,28 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("win_out")
       .outputMode("update").start()
     q.processAllAvailable()
-    q.stop()
     val rows = spark.table("win_out").collect()
     assert(rows.length === 2) // two 5-minute windows
     val aad = rows.find(_.getAs[String]("document_type") == "Aadhaar Card").get
     assert(aad.getAs[Long]("doc_count") === 2L)
     assert(aad.getAs[Long]("valid_count") === 1L)
+
+    // batch 2: the watermark is now 10:07 − 10 min = 09:57, so a 09:30
+    // straggler must be DROPPED (never aggregated), while a fresh 10:20
+    // row opens its window normally — the semantics that bound state at
+    // 10^12 events (windows older than the watermark are evictable)
+    val late = java.sql.Timestamp.valueOf("2026-01-01 09:30:00")
+    stream.addData(Seq((late, "Voter ID", true), (ts(20), "PAN Card", true)))
+    q.processAllAvailable()
+    q.stop()
+    val rows2 = spark.table("win_out").collect()
+    assert(!rows2.exists(_.getAs[String]("document_type") == "Voter ID"),
+      "late row beyond the watermark leaked into the aggregation")
+    assert(rows2.exists { r =>
+      r.getAs[String]("document_type") == "PAN Card" &&
+        r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[java.sql.Timestamp]("start").toString.contains("10:20")
+    }, "fresh 10:20 window missing")
   }
 
   test("streaming dedup drops duplicates within and across micro-batches") {
