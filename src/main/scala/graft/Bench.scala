@@ -143,17 +143,28 @@ object Bench {
     // load; alternation decorrelates a slow window from any one level).
     val midLow = math.max(cpus / 16, 1)
     val levels = Seq(midLow, lowCpus, cpus).distinct
-    val best = scala.collection.mutable.Map[Int, (Double, Double)]()
-    (1 to 3).foreach { _ =>
-      levels.foreach { level =>
-        val (s, c) = runPhase(level)
-        val cur = best.getOrElse(level, (Double.MaxValue, Double.MaxValue))
-        best(level) = (math.min(cur._1, s), math.min(cur._2, c))
-      }
+    val rounds: Seq[Map[Int, (Double, Double)]] = (1 to 3).map { _ =>
+      levels.map(level => level -> runPhase(level)).toMap
     }
-    val (tMidLow, _) = best(midLow)
-    val (tLow, cpuLow) = best(lowCpus)
-    val (tFull, cpuHigh) = best(cpus)
+    def minOf(level: Int): (Double, Double) =
+      (rounds.map(_(level)._1).min, rounds.map(_(level)._2).min)
+    val (tMidLow, _) = minOf(midLow)
+    val (tLow, cpuLow) = minOf(lowCpus)
+    val (tFull, cpuHigh) = minOf(cpus)
+    // Per-ROUND efficiencies: per-level minima can pair a calm high phase
+    // with a loaded low phase from a different time window, distorting the
+    // ratio (observed on this VM: a loaded low phase makes 2→8 read
+    // superlinear and 8→32 read artificially poor). Within one round the
+    // two phases are adjacent in time, so the best round is the cleanest
+    // load-free estimate of the efficiency itself.
+    def eff(lo: Int, hi: Int, r: Map[Int, (Double, Double)]): Double =
+      r(lo)._1 / (4.0 * r(hi)._1)
+    val roundEffRaw = rounds.map(eff(lowCpus, cpus, _))
+    val roundEffNorm = rounds.map { r =>
+      val env = math.min(r(lowCpus)._2 / r(cpus)._2, 1.0)
+      eff(lowCpus, cpus, r) / env
+    }
+    val roundEffMid = rounds.map(eff(midLow, lowCpus, _))
     // (N, 4N) = (cpus/16, cpus/4): inside this VM's flat per-core region
     val effMid = (scalingDocs / tLow) / (4.0 * (scalingDocs / tMidLow))
     // per-core speed ratio high vs low = the VM's max achievable efficiency
@@ -177,8 +188,12 @@ object Bench {
     }
 
     // min of 3 runs per query — single-shot numbers on this VM are
-    // noise-dominated (noisy neighbors)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // noise-dominated (noisy neighbors). SPARK_GRAFT_SKIP_QUERIES=1 skips
+    // the tail (iteration aid: validate the scaling phases alone).
+    val queryList =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = queryList.map { case (name, fn) =>
       def one(): Double =
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       val sec = try Seq(one(), one(), one()).min catch { case _: Throwable => -1.0 }
@@ -202,7 +217,13 @@ object Bench {
       s""""efficiency_normalized":${f"$effNormalized%.3f"}},""" +
       s""""pair_within_cpu_envelope":{"parallelism_low":$midLow,""" +
       s""""parallelism_high":$lowCpus,"sec_low":${f"$tMidLow%.3f"},""" +
-      s""""sec_high":${f"$tLow%.3f"},"efficiency":${f"$effMid%.3f"}}}}""")
+      s""""sec_high":${f"$tLow%.3f"},"efficiency":${f"$effMid%.3f"}},""" +
+      s""""per_round":{""" +
+      s""""eff_raw":[${roundEffRaw.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""eff_normalized":[${roundEffNorm.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""eff_envelope_pair":[${roundEffMid.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""best_normalized":${f"${roundEffNorm.max}%.3f"},""" +
+      s""""best_envelope_pair":${f"${roundEffMid.max}%.3f"}}}}""")
     spark.stop()
   }
 }
