@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -60,6 +60,8 @@ object functions {
   import org.apache.spark.sql.GraftColumnBridge._
   def py_title(c: Column): Column = column(PyTitle(expression(c)))
   def py_round2(c: Column): Column = column(PyRound2(expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
@@ -68,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.pyTitleDesc)
     ext.injectFunction(GraftExtensions.pyRound2Desc)
+    ext.injectFunction(GraftExtensions.cosineDesc)
   }
 }
 object GraftExtensions {
@@ -79,11 +82,92 @@ object GraftExtensions {
     (FunctionIdentifier("py_round2"),
       new ExpressionInfo(classOf[PyRound2].getName, "py_round2"),
       (args: Seq[Expression]) => PyRound2(args.head))
+  val cosineDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
 
   /** Register into an already-running session (tests / REPL). */
   def registerInto(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(pyTitleDesc._1, pyTitleDesc._2, pyTitleDesc._3)
     reg.registerFunction(pyRound2Desc._1, pyRound2Desc._2, pyRound2Desc._3)
+    reg.registerFunction(cosineDesc._1, cosineDesc._2, cosineDesc._3)
   }
+}
+
+/** Cosine similarity over two array<double> columns as ONE codegen'd
+  * expression. The `zip_with`+`aggregate` formulation is correct but runs
+  * interpreted — Catalyst higher-order functions evaluate their lambda per
+  * element through the expression interpreter, outside whole-stage codegen.
+  * This kernel is a tight fused loop (dot + both norms in one pass, no
+  * intermediate array), accumulating in index order so the result is
+  * bit-identical to the sequential left-to-right folds the HOF version and
+  * the DuckDB oracles compute. Null if lengths differ or any element is
+  * null (the HOF version's null propagation). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires ARRAY<DOUBLE> args, got $l, $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
 }

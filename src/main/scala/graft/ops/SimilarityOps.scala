@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Cosine similarity between two array<float/double> columns, computed in
-    * double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<double> columns: the codegen'd
+    * CosineSimilarity expression (one fused pass — Catalyst higher-order
+    * functions run their lambda interpreted, per element). Bit-identical
+    * to [[cosineHof]] (asserted by ExpressionSpec), so oracles and tie
+    * ordering are unchanged. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.functions.cosine_sim(a, b)
+
+  /** The zip_with/aggregate formulation — retained as the executable spec
+    * the native expression is equality-tested against. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))

@@ -40,4 +40,43 @@ class ExpressionSpec extends AnyFunSuite {
     // "*(1)" is the WholeStageCodegen marker in the compact plan string
     assert(plan.trim.startsWith("*(1) Project [py_title("), plan)
   }
+
+  test("cosine_sim is bit-identical to the zip_with/aggregate fold " +
+    "(codegen and interpreted paths)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    Seq("true", "false").foreach { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val out = df.select(col("id"),
+          gf.cosine_sim(col("a"), col("b")).as("native"),
+          graft.ops.SimilarityOps.cosineHof(col("a"), col("b")).as("hof"))
+          .collect()
+        out.foreach { r =>
+          // exact double equality: same FP accumulation order by design
+          assert(r.getDouble(1) === r.getDouble(2),
+            s"id=${r.getLong(0)} codegen=$codegen")
+        }
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("cosine_sim null semantics: length mismatch and null element → null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (3L, Seq[java.lang.Double](1.0, 0.0), Seq[java.lang.Double](1.0, 0.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), gf.cosine_sim(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === None)
+    assert(out(2L) === None)
+    assert(out(3L) === Some(1.0))
+  }
 }
