@@ -62,6 +62,8 @@ object functions {
   def py_round2(c: Column): Column = column(PyRound2(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def sign_lsh_bucket(c: Column, planes: Array[Array[Double]]): Column =
+    column(SignLshBucket(expression(c), planes))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
@@ -170,4 +172,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_sim"
+}
+
+/** Sign-random-projection LSH bucket id over an array<double> embedding:
+  * all `planes.length` hyperplane dots in ONE codegen'd pass (the column
+  * formulation recomputes an interpreted zip_with/aggregate per bit). The
+  * plane matrix rides along as a referenced object in the generated class.
+  * Bit-identical to the per-bit fold: each dot accumulates in index order
+  * and bit b contributes 1L<<b when its dot >= 0. */
+case class SignLshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_bucket requires ARRAY<DOUBLE>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    SignLshBucket.bucketOf(a, planes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshBucket.bucketOf($c, $planesRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
+  override def prettyName: String = "sign_lsh_bucket"
+}
+
+object SignLshBucket {
+  /** Shared by interpreted eval and generated code. */
+  def bucketOf(a: org.apache.spark.sql.catalyst.util.ArrayData,
+               planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(a.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getDouble(i) * p(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
 }

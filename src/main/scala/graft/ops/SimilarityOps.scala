@@ -79,17 +79,15 @@ object SimilarityOps {
 
   /** Sign-random-projection bucket id per vector (the IVF/LSH scale path):
     * vectors in the same bucket are ANN candidates; search cost drops from
-    * O(N) to O(N / 2^bits) per query at the cost of recall. */
+    * O(N) to O(N / 2^bits) per query at the cost of recall. All bits are
+    * computed by the codegen'd SignLshBucket expression in one pass (the
+    * per-bit zip_with formulation ran `bits` interpreted array traversals
+    * per row); bit-identical per ExpressionSpec. */
   def lshBuckets(emb: DataFrame, bits: Int = 8): DataFrame = {
     val planes = hyperplanes(64, bits)
-    val bucket = (0 until bits).map { b =>
-      val dot = aggregate(
-        zip_with(col("embedding").cast("array<double>"),
-          lit(planes(b)), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a + c)
-    emb.select(col("vec_id"), bucket.as("bucket"))
+    emb.select(col("vec_id"),
+      graft.functions.functions.sign_lsh_bucket(
+        col("embedding").cast("array<double>"), planes).as("bucket"))
   }
 
   /** Bucketed ANN top-k: same ranking as bruteTopK but candidates are
@@ -185,14 +183,9 @@ object SimilarityOps {
   def lshBucketsMulti(emb: DataFrame, bits: Int = 8, tables: Int = 4): DataFrame =
     (0 until tables).map { t =>
       val planes = hyperplanes(64, bits, seed = 7L + 1000L * t)
-      val bucket = (0 until bits).map { b =>
-        val dot = aggregate(
-          zip_with(col("embedding").cast("array<double>"),
-            lit(planes(b)), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce((a, c) => a + c)
-      emb.select(col("vec_id"), lit(t).as("table_id"), bucket.as("bucket"))
+      emb.select(col("vec_id"), lit(t).as("table_id"),
+        graft.functions.functions.sign_lsh_bucket(
+          col("embedding").cast("array<double>"), planes).as("bucket"))
     }.reduce(_ unionByName _)
 
   /** Embedding-cosine near-duplicate pairs: candidates share a bucket in ANY

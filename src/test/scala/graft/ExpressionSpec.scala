@@ -66,6 +66,28 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("sign_lsh_bucket matches the per-bit when-chain fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planes = graft.ops.SimilarityOps.hyperplanes(64, 8)
+    val rng = new scala.util.Random(23)
+    val df = (1 to 200).map(i => (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1)))
+      .toDF("id", "emb")
+    // the original column formulation: one interpreted zip_with/aggregate
+    // per bit, summed as powers of two
+    val chain = (0 until 8).map { b =>
+      val dot = aggregate(
+        zip_with(col("emb"), lit(planes(b)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a + c)
+    val out = df.select(
+      gf.sign_lsh_bucket(col("emb"), planes).as("native"), chain.as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.map(_.getLong(0)).distinct.length > 10) // buckets actually vary
+  }
+
   test("cosine_sim null semantics: length mismatch and null element → null") {
     import spark.implicits._
     val df = Seq(
