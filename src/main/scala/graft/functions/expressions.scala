@@ -208,6 +208,51 @@ case class SignLshBucket(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "sign_lsh_bucket"
 }
 
+/** Broadcast-Bloom membership probe as a codegen'd unary expression — the
+  * probe side of `BloomJoin.bloomReducedJoin`. A `udf()` here costs a boxed
+  * lambda call per probe row on the ONE operator whose whole point is
+  * cutting probe-side cost; this stays inside whole-stage codegen. The
+  * sketch rides along as a referenced object in the generated class (same
+  * pattern as SignLshBucket's plane matrix) and ships with the task binary,
+  * which Spark broadcasts once per stage. String keys hash via their UTF-8
+  * bytes — `BloomFilter.putString`/`mightContainString` delegate to exactly
+  * those bytes, so `mightContainBinary(getBytes)` is bit-equivalent without
+  * the per-row String allocation. */
+case class BloomMightContain(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires BIGINT, INT or STRING key, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType =>
+      filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    case IntegerType => filter.mightContainLong(input.asInstanceOf[Int].toLong)
+    case _ => filter.mightContainLong(input.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary(($c).getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainLong((long)($c))")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 object SignLshBucket {
   /** Shared by interpreted eval and generated code. */
   def bucketOf(a: org.apache.spark.sql.catalyst.util.ArrayData,

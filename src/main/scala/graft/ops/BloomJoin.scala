@@ -27,20 +27,26 @@ object BloomJoin {
   /** Inner join with the probe (`large`) side pre-filtered by a Bloom
     * filter of `small`'s keys. Key column must be integral or string.
     * NOT valid for outer joins (dropped probe rows would lose their
-    * null-extended output row). */
+    * null-extended output row).
+    *
+    * The probe is a codegen'd Catalyst expression (BloomMightContain), not a
+    * `udf()` — per-row lambda boxing on the probe side would tax exactly the
+    * rows this operator exists to make cheap. `expectedItems` ≤ 0 (default)
+    * sizes the sketch from `small.count()` — one agg-only job, trivially
+    * cheap next to the build scan, and it keeps the fpp contract honest: a
+    * fixed guess that the build side outgrows silently degrades the realized
+    * fpp and evaporates the shuffle reduction. */
   def bloomReducedJoin(large: DataFrame, small: DataFrame, key: String,
-                       expectedItems: Long = 1000000L,
+                       expectedItems: Long = -1L,
                        fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = large.sparkSession.sparkContext.broadcast(bf)
-    val keep = large.schema(key).dataType match {
-      case LongType | IntegerType =>
-        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-      case StringType =>
-        udf((k: String) => k != null && bc.value.mightContainString(k))
-      case t =>
-        throw new IllegalArgumentException(s"unsupported key type $t")
+    val n = if (expectedItems > 0) expectedItems else math.max(small.count(), 1L)
+    val bf = small.stat.bloomFilter(key, n, fpp)
+    large.schema(key).dataType match {
+      case LongType | IntegerType | StringType => ()
+      case t => throw new IllegalArgumentException(s"unsupported key type $t")
     }
-    large.filter(keep(col(key))).join(small, key)
+    import org.apache.spark.sql.GraftColumnBridge._
+    val keep = column(graft.functions.BloomMightContain(expression(col(key)), bf))
+    large.filter(keep).join(small, key)
   }
 }

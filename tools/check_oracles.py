@@ -47,12 +47,18 @@ def main():
             print(f"FAIL {q}: rows {len(g)} != {len(w)}")
             n_fail += 1
             continue
-        # exact value compare, tolerant of dtype (int64 vs int32 etc.)
+        # dtype-strict value compare: the driver hashes the STRING rendering
+        # of every cell, so numerically-equal values with different dtypes
+        # (DuckDB HUGEINT -> pandas float64: "296.0" vs engine int64 "296")
+        # must FAIL here too — a tolerant compare hid exactly that class in
+        # round 2 (p06/x02/x03). Require equal value AND equal rendering.
         mismatch = None
         for c in g.columns:
             a, b = g[c].tolist(), w[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
-                same = (x == y) or (pd.isna(x) and pd.isna(y)) or str(x) == str(y)
+                both_na = (not isinstance(x, (list, tuple)) and pd.isna(x)) and \
+                          (not isinstance(y, (list, tuple)) and pd.isna(y))
+                same = both_na or (x == y and str(x) == str(y))
                 if not same:
                     mismatch = (c, i, x, y)
                     break
