@@ -179,13 +179,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * formulation recomputes an interpreted zip_with/aggregate per bit). The
   * plane matrix rides along as a referenced object in the generated class.
   * Bit-identical to the per-bit fold: each dot accumulates in index order
-  * and bit b contributes 1L<<b when its dot >= 0. */
+  * and bit b contributes 1L<<b when its dot >= 0. Null (like
+  * CosineSimilarity, and like the HOF fold's null propagation) when the
+  * embedding's length differs from the planes' dimensionality or any
+  * element is null — a malformed row must not be silently bucketed on a
+  * truncated dot.
+  *
+  * Equality is STRUCTURAL over the plane contents (case-class equality on
+  * an Array field is reference-based, which would defeat canonicalization,
+  * subexpression elimination and exchange reuse for two semantically
+  * identical expressions). */
 case class SignLshBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types.{ArrayType, LongType}
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -194,14 +204,30 @@ case class SignLshBucket(child: Expression, planes: Array[Array[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    SignLshBucket.bucketOf(a, planes)
+    if (!SignLshBucket.wellFormed(a, planes)) null
+    else SignLshBucket.bucketOf(a, planes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SignLshBucket.bucketOf($c, $planesRef)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if (!graft.functions.SignLshBucket.wellFormed($c, $planesRef)) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = graft.functions.SignLshBucket.bucketOf($c, $planesRef);
+       |}
+     """.stripMargin)
   }
+
+  override def equals(other: Any): Boolean = other match {
+    case s: SignLshBucket => child == s.child &&
+      java.util.Arrays.deepEquals(planes.asInstanceOf[Array[AnyRef]],
+        s.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
     copy(child = newChild)
@@ -254,14 +280,36 @@ case class BloomMightContain(child: Expression,
 }
 
 object SignLshBucket {
-  /** Shared by interpreted eval and generated code. */
+  /** Input contract check shared by interpreted eval and generated code:
+    * embedding length must equal every plane's dimensionality and no
+    * element may be null. The null scan is O(n) next to the O(n·bits)
+    * bucket computation — negligible, and it keeps `bucketOf` a pure
+    * primitive-long kernel (no per-row boxing). */
+  def wellFormed(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 planes: Array[Array[Double]]): Boolean = {
+    val n = a.numElements()
+    var b = 0
+    while (b < planes.length) {
+      if (planes(b).length != n) return false
+      b += 1
+    }
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Shared by interpreted eval and generated code. Callers must have
+    * checked `wellFormed` first. */
   def bucketOf(a: org.apache.spark.sql.catalyst.util.ArrayData,
                planes: Array[Array[Double]]): Long = {
     var bucket = 0L
     var b = 0
     while (b < planes.length) {
       val p = planes(b)
-      val n = math.min(a.numElements(), p.length)
+      val n = p.length
       var dot = 0.0
       var i = 0
       while (i < n) { dot += a.getDouble(i) * p(i); i += 1 }

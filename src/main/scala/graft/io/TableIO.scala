@@ -43,12 +43,18 @@ object TableIO {
 
   /** Write with hive-style `partitionBy(partitionCol)` dirs, rows
     * range-clustered on `clusterCol` within each partition (one sorted
-    * run per output file ⇒ tight per-row-group min/max stats). */
+    * run per output file ⇒ tight per-row-group min/max stats).
+    *
+    * `numRangeBuckets` is the TOTAL `repartitionByRange` bucket count across
+    * ALL partition values, not per-dir — with V distinct partition values
+    * each hive dir receives roughly `numRangeBuckets / V` files. Size it to
+    * the job's write parallelism (at 100 TB: ≈ total input bytes / target
+    * file size, e.g. 512 MB files). */
   def writePartitionedClustered(df: DataFrame, path: String,
                                 partitionCol: String, clusterCol: String,
-                                filesPerPartition: Int = 4): Unit = {
+                                numRangeBuckets: Int = 32): Unit = {
     import org.apache.spark.sql.functions.col
-    df.repartitionByRange(filesPerPartition, col(partitionCol), col(clusterCol))
+    df.repartitionByRange(numRangeBuckets, col(partitionCol), col(clusterCol))
       .sortWithinPartitions(col(partitionCol), col(clusterCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)

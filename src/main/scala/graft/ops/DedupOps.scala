@@ -213,13 +213,19 @@ object DedupOps {
     * bytes/shingle — the 8-byte md5-low63 hash stands in for the shingle
     * text, and carrying the set size inline removes the two extra
     * size-lookup joins. Scale note: join fan-out is sum over shingle keys of
-    * df² — on web corpora cap the document frequency (drop shingles with
-    * df > ~100; stop-shingles contribute no discriminating power) before the
-    * self-join; left uncapped here because the DuckDB oracle is the exact
-    * uncapped pair set. Hash = DuckDB `md5_number_lower` masked, so the
-    * oracle replicates hash-exactly. */
+    * df² — `maxDf` caps it: shingle keys with document frequency above the
+    * cap (stop-shingles — boilerplate n-grams shared by thousands of pages)
+    * are dropped BEFORE the self-join, bounding per-key fan-out at cap² and
+    * making this the production path at web scale. `n_sh` stays computed
+    * over the UNCAPPED shingle set, so `n_union` is exact; only `n_inter`
+    * can undercount (pairs overlapping solely in stop-shingles are missed —
+    * the standard, documented recall trade of a df-capped inverted index).
+    * The driver query (p22) runs uncapped so the DuckDB oracle is the exact
+    * pair set; OpsSpec gates the capped path. Hash = DuckDB
+    * `md5_number_lower` masked, so the oracle replicates hash-exactly. */
   def exactJaccardPairs(df: DataFrame, w: Int = 3,
-                        minJaccardPct: Int = 50): DataFrame = {
+                        minJaccardPct: Int = 50,
+                        maxDf: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
@@ -229,7 +235,16 @@ object DedupOps {
         hs.iterator.map(h => (id, h, n))
       }
       .toDF("doc_id", "h", "n_sh")
-    hashed.as("a").join(hashed.as("b"),
+    // df-cap: keys-only aggregation + semi-join, both keyed on `h` — the
+    // same partitioning the self-join needs, so AQE/exchange-reuse keeps
+    // the extra pass cheap relative to the fan-out it prevents.
+    val indexed = maxDf.fold(hashed) { cap =>
+      val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap)
+        .select(col("h"))
+      hashed.join(rare, Seq("h"), "left_semi")
+    }
+    indexed.as("a").join(indexed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))

@@ -19,13 +19,30 @@ object MergeOps {
 
   /** @param deleteCol boolean column on `delta` marking deletions; rows
     *                  where it is true erase the key from the output (the
-    *                  column itself is not carried into the result). */
+    *                  column itself is not carried into the result).
+    * @param requireUniqueDeltaKeys delta keys must be unique — a duplicate
+    *                  key would fan out through the full-outer join, emitting
+    *                  one output row per duplicate and silently corrupting
+    *                  the snapshot. Real MERGE INTO raises on multiple
+    *                  matches; so does this (default): one keys-only agg job
+    *                  over the delta — the small side by construction —
+    *                  before the merge plan executes. Disable only when the
+    *                  producer already guarantees uniqueness. */
   def upsert(snapshot: DataFrame, delta: DataFrame, key: String,
-             deleteCol: Option[String] = None): DataFrame = {
+             deleteCol: Option[String] = None,
+             requireUniqueDeltaKeys: Boolean = true): DataFrame = {
     val dataCols = snapshot.columns.filter(_ != key)
     require((dataCols :+ key).forall(delta.columns.contains),
       s"delta must carry the snapshot schema; missing " +
         (dataCols :+ key).filterNot(delta.columns.contains).mkString(","))
+    if (requireUniqueDeltaKeys) {
+      val dup = delta.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE delta has duplicate keys (e.g. $key=${dup.head.get(0)} × " +
+          s"${dup.head.getLong(1)}) — dedup the delta or pass " +
+          "requireUniqueDeltaKeys=false")
+    }
     val del = deleteCol.map(c => coalesce(col(s"d.$c"), lit(false)))
       .getOrElse(lit(false))
     snapshot.as("s")

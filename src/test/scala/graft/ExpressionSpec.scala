@@ -88,6 +88,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.length > 10) // buckets actually vary
   }
 
+  test("sign_lsh_bucket null semantics: length mismatch and null element → " +
+    "null; structural equality over plane contents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planes = graft.ops.SimilarityOps.hyperplanes(4, 3)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),           // shorter than planes
+      (2L, Seq[java.lang.Double](1.0, null, 0.5, 2.0)), // null element
+      (3L, Seq[java.lang.Double](1.0, 0.0, 0.5, 2.0))   // well-formed
+    ).toDF("id", "emb")
+    val out = df.select(col("id"), gf.sign_lsh_bucket(col("emb"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && !out(3L))
+    // structural equality: two expressions over equal-but-distinct plane
+    // arrays must compare equal (canonicalization / exchange-reuse hinges
+    // on it; case-class equality on Array fields is reference-based)
+    // one shared child (Column→Expression conversion embeds a per-call-site
+    // origin); equal-but-distinct plane arrays are what's under test here
+    import org.apache.spark.sql.GraftColumnBridge.expression
+    val child = expression(col("emb"))
+    val p2 = planes.map(_.clone())
+    val e1 = graft.functions.SignLshBucket(child, planes)
+    val e2 = graft.functions.SignLshBucket(child, p2)
+    assert(e1 === e2)
+    assert(e1.hashCode === e2.hashCode)
+    assert(e1 !== graft.functions.SignLshBucket(child,
+      planes.map(_.map(_ + 1.0))))
+  }
+
   test("cosine_sim null semantics: length mismatch and null element → null") {
     import spark.implicits._
     val df = Seq(

@@ -427,6 +427,64 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_union") === 41L)
   }
 
+  test("df-capped jaccard: same pairs as uncapped when overlap is content, " +
+    "fewer records through the shuffle") {
+    // 120 docs share a 12-token boilerplate block (stop-shingles, df=120)
+    // and carry unique tails (pairwise Jaccard ≪ 50%); one planted near-dup
+    // pair overlaps on CONTENT shingles (df=2). Capping df at 5 must drop
+    // the stop-shingle postings — and with them the ~120²/2-pairs-per-key
+    // join fan-out feeding the pair aggregation — while reproducing the
+    // exact uncapped pair set, since the planted pair's overlap survives
+    // the cap. The capped path's own extra shuffles (keys-only df agg +
+    // semi-join) are linear in postings, far below the quadratic fan-out.
+    val boiler = (1 to 12).map(i => s"common$i").mkString(" ")
+    val crowd = (1 to 120).map { i =>
+      (i.toLong, boiler + " " + (1 to 20).map(j => s"u${i}_$j").mkString(" "))
+    }
+    val base = (1 to 40).map(i => s"pair$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"pair$i").mkString(" ")
+    val docs = docsDf(crowd ++ Seq(100L -> base, 101L -> nearDup): _*)
+
+    val sc = spark.sparkContext
+    def shuffleRecords(run: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      sc.addSparkListener(listener)
+      try {
+        run
+        var last = -1L
+        var settled = 0
+        while (settled < 3) {
+          Thread.sleep(200)
+          val v = acc.get()
+          if (v == last) settled += 1 else { settled = 0; last = v }
+        }
+        acc.get()
+      } finally sc.removeSparkListener(listener)
+    }
+
+    def rows(maxDf: Option[Int]) = graft.ops.DedupOps
+      .exactJaccardPairs(docs, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))).toSet
+    val uncapped = rows(None)
+    assert(uncapped.map(p => (p._1, p._2)) === Set((100L, 101L)))
+    assert(rows(Some(5)) === uncapped) // exact same pairs, sizes included
+    val recUncapped = shuffleRecords(graft.ops.DedupOps
+      .exactJaccardPairs(docs)
+      .write.format("noop").mode("overwrite").save())
+    val recCapped = shuffleRecords(graft.ops.DedupOps
+      .exactJaccardPairs(docs, maxDf = Some(5))
+      .write.format("noop").mode("overwrite").save())
+    assert(recCapped < recUncapped,
+      s"df cap did not cut the shuffle: $recCapped vs $recUncapped")
+  }
+
   test("tfidf top-k: doc sharing the query's rare token outranks common-only overlap") {
     // q shares rare token "needle" with d1; d2 overlaps only on the common
     // token "the" (df=4 → tiny idf) — d1 must rank first
@@ -499,6 +557,19 @@ class OpsSpec extends AnyFunSuite {
         deleteCol = Some("is_delete"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(out === Set((1L, "a", 10), (2L, "b2", 22), (4L, "d", 40)))
+  }
+
+  test("merge upsert raises on duplicate delta keys (real MERGE semantics)") {
+    val snapshot = Seq((1L, "a", 10)).toDF("doc_id", "name", "v")
+    val delta = Seq((1L, "x", 1), (1L, "y", 2)).toDF("doc_id", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.MergeOps.upsert(snapshot, delta, "doc_id")
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // explicit opt-out still fans out (documented escape hatch)
+    val out = graft.ops.MergeOps.upsert(snapshot, delta, "doc_id",
+      requireUniqueDeltaKeys = false).collect()
+    assert(out.length === 2)
   }
 
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {

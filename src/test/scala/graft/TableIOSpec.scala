@@ -55,7 +55,7 @@ class TableIOSpec extends AnyFunSuite {
     // 16 range buckets over (event_type, k): each of the 4 dirs gets ~4
     // files, each covering ~a quarter of the k range
     TableIO.writePartitionedClustered(df, s"$dir/clustered", "event_type", "k",
-      filesPerPartition = 16)
+      numRangeBuckets = 16)
     // control: same partition dirs, random row order within
     df.repartition(16).write.mode("overwrite")
       .partitionBy("event_type").parquet(s"$dir/random")
@@ -103,7 +103,7 @@ class TableIOSpec extends AnyFunSuite {
       (i.toLong, s"type${i % 4}", i * 3L)
     }.toDF("id", "event_type", "v")
     graft.io.TableIO.writePartitionedClustered(fact, s"$dir/fact",
-      "event_type", "id", filesPerPartition = 16)
+      "event_type", "id", numRangeBuckets = 16)
     // dim must be a real table (a LocalRelation's filter constant-folds
     // away before the PartitionPruning rule can see it)
     Seq(("type1", "keep"), ("type2", "drop"), ("type3", "drop"),
