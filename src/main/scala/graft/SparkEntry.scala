@@ -8,11 +8,13 @@ import graft.pipe.ExtractionPipeline
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
   * Extraction-pipeline queries (x*) run over the deterministic synthesized
-  * interleaved doc table (seed 42; doc count scales with the sf dir name) —
-  * their correctness gate is the reference-code parity fixtures
-  * (ReferenceParitySpec), not DuckDB, so they carry no oracleSql.
-  * SQL-expressible queries (q*) run over the driver's parquet tables in
-  * `sfDir` and each has an exact DuckDB oracle.
+  * interleaved doc table (seed 42; doc count scales with the sf dir name).
+  * Their ground truth is the reference's own Python (executed by
+  * tools/ref_oracle.py over the dumped OCR IR): ReferenceParitySpec gates
+  * byte-level parity, and the committed golden parquets derived from those
+  * fixtures (tools/make_golden.py) give x01/x04/x05 full DuckDB oracles
+  * too. SQL-expressible queries (q* and p*) run over the driver's parquet
+  * tables in `sfDir` and each has an exact DuckDB oracle.
   */
 object SparkEntry {
 
@@ -30,16 +32,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ExtractionPipeline.run(docTable(spark, "sf0.001")).toDF()
 
-  /** Driver-facing projection of DocResult: scalar columns only — the
-    * driver's pandas compare sorts every output and throws on array columns.
-    * `spans_hash` = xxhash64 of the JSON-serialized span array, which is
-    * order-sensitive, so the span-sequence-equality invariant (kind, text,
-    * media_ref, order) stays checkable through the hash. */
-  def scalarResult(df: DataFrame): DataFrame =
+  /** Driver-facing projection of DocResult, hash-compatible with the
+    * committed reference-Python goldens (fixtures/golden_extract_*.parquet,
+    * produced by tools/ref_oracle.py executing the reference's own modules,
+    * then tools/make_golden.py): scalar columns only — the driver's pandas
+    * compare sorts every output and throws on array columns. `spans_md5`
+    * hashes the canonical span serialization (U+0001-joined
+    * "kind U+0002 text U+0002 media_ref U+0002 offset", null media_ref → ""),
+    * which is order-sensitive, so the span-sequence-equality invariant
+    * (kind, text, media_ref, order) is driver-checked against an oracle the
+    * REFERENCE code computed. md5 (not xxhash64) because DuckDB shares it;
+    * ocr_cents = floor(score·100 + 0.5) — identical float64 arithmetic on
+    * the parity-equal stored double, no second rounding divergence. */
+  def goldenResult(df: DataFrame): DataFrame = {
+    val spanStr = array_join(
+      transform(col("spans"), s =>
+        concat_ws("\u0002", s.getField("kind"),
+          coalesce(s.getField("text"), lit("")),
+          coalesce(s.getField("media_ref"), lit("")),
+          s.getField("offset").cast("string"))),
+      "\u0001")
     df.select(col("doc_id"), col("document_type"), col("is_valid"),
-      col("ocr_accuracy_score"), col("validation_error"),
-      xxhash64(col("record_json")).as("record_hash"),
-      xxhash64(to_json(col("spans"))).as("spans_hash"))
+      col("validation_error"),
+      floor(col("ocr_accuracy_score") * 100 + 0.5).cast("long").as("ocr_cents"),
+      md5(col("record_json").cast("binary")).as("record_md5"),
+      md5(spanStr.cast("binary")).as("spans_md5"))
+  }
+
+  def goldenPath(dir: String, donut: Boolean): String = {
+    val suffix = if (donut) "_donut" else ""
+    s"/root/repo/fixtures/golden_extract${suffix}_${docCountFor(dir)}.parquet"
+  }
 
   def extractDumpPath(dir: String): String =
     s"/tmp/graft_extract_dump_${docCountFor(dir)}"
@@ -59,9 +82,10 @@ object SparkEntry {
   }
 
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- extraction pipeline (parity-gated; rows-only for the driver) ----
+    // --- extraction pipeline: driver-oracled against the committed
+    // reference-Python goldens (see goldenResult) --------------------------
     "x01_extract_e2e" -> ((s, dir) =>
-      scalarResult(ExtractionPipeline.run(docTable(s, dir)).toDF())),
+      goldenResult(ExtractionPipeline.run(docTable(s, dir)).toDF())),
     // integer-only metrics rollup over the per-doc extraction dump (oracled;
     // sums instead of avgs so the compare is float-order-free)
     "x02_extract_metrics" -> ((s, dir) =>
@@ -81,9 +105,10 @@ object SparkEntry {
              sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
         .orderBy(col("document_type"))),
     "x04_extract_donut" -> ((s, dir) =>
-      scalarResult(ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())),
+      goldenResult(ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())),
+    // salted path must be bit-identical to the fused path — same golden
     "x05_extract_salted" -> ((s, dir) =>
-      scalarResult(graft.pipe.SaltedPipeline.run(docTable(s, dir)).toDF())),
+      goldenResult(graft.pipe.SaltedPipeline.run(docTable(s, dir)).toDF())),
     // classifier chain over the DRIVER's documents table (oracled): trigger
     // markers are planted deterministically by doc_id so every branch of the
     // cleaner.py:404-424 + extractor.py:53-94 precedence chain fires; the
@@ -125,5 +150,28 @@ object SparkEntry {
         s"""SELECT document_type, count(*) AS doc_count,
            CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_count
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
-           GROUP BY document_type ORDER BY document_type""")
+           GROUP BY document_type ORDER BY document_type""") ++
+      goldenOracles(dir)
+
+  /** x01/x04/x05 oracles: the committed golden parquets ARE the reference
+    * code's own output (fixtures generated by executing the reference's
+    * Python — an oracle independent of every line of this engine). Emitted
+    * only when a golden exists for the run's doc count, so an off-contract
+    * sf degrades to the rows-only check instead of a broken read. */
+  private def goldenOracles(dir: String): Map[String, String] = {
+    def sql(donut: Boolean): Option[(Boolean, String)] = {
+      val p = goldenPath(dir, donut)
+      if (new java.io.File(p).exists())
+        Some(donut -> s"""SELECT doc_id, document_type, is_valid,
+             validation_error, ocr_cents, record_md5, spans_md5
+             FROM read_parquet('$p')""")
+      else None
+    }
+    (sql(donut = false), sql(donut = true)) match {
+      case (Some((_, plain)), Some((_, donut))) =>
+        Map("x01_extract_e2e" -> plain, "x05_extract_salted" -> plain,
+            "x04_extract_donut" -> donut)
+      case _ => Map.empty
+    }
+  }
 }
