@@ -235,7 +235,57 @@ object RelationalQueries {
           col("n.n_regionkey") === col("r.r_regionkey"))
         .groupBy(col("r.r_name"))
         .agg(countDistinct(col("c.c_custkey")).as("n_customers"))
-        .orderBy(col("r_name")))
+        .orderBy(col("r_name"))),
+
+    // the Iceberg table-maintenance loop as ONE oracled artifact (the
+    // north_star's daily job): write the snapshot hive-partitioned by lang
+    // + range-clustered on doc_id (TableIO.writePartitionedClustered =
+    // the Iceberg partition/sort-order seam), MERGE a deterministic delta
+    // (updates / inserts / deletes — MergeOps.upsert, incl. its
+    // unique-delta-keys gate), rewrite the new snapshot in the same
+    // layout, and read it back through a parquet-backed dim join on the
+    // partition column so runtime DPP prunes the non-joined lang dirs
+    // (the mechanism TableIOSpec asserts on scan metrics). The oracle
+    // replays the merge arithmetic straight off `documents`.
+    "q30_iceberg_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_iceberg_${SparkEntry.docCountFor(dir)}"
+      val snap0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      graft.io.TableIO.writePartitionedClustered(snap0, s"$base/snap",
+        "lang", "doc_id", numRangeBuckets = 8)
+      val snapshot = s.read.parquet(s"$base/snap")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val updates = snap0
+        .where(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          lit("delta-update").as("source"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          lit(false).as("is_delete"))
+      val deletes = snap0.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          lit(true).as("is_delete"))
+      val inserts = snap0.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          lit("delta-insert").as("source"),
+          lit(77L).as("n_chars"),
+          lit(false).as("is_delete"))
+      val delta = updates.unionByName(deletes).unionByName(inserts)
+      val merged = graft.ops.MergeOps.upsert(snapshot, delta, "doc_id",
+        deleteCol = Some("is_delete"))
+      graft.io.TableIO.writePartitionedClustered(merged, s"$base/merged",
+        "lang", "doc_id", numRangeBuckets = 8)
+      Seq("en", "fr").toDF("lang")
+        .write.mode("overwrite").parquet(s"$base/dim")
+      s.read.parquet(s"$base/merged")
+        .join(s.read.parquet(s"$base/dim"), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -359,6 +409,26 @@ object RelationalQueries {
       """SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
          FROM (SELECT doc_id FROM documents WHERE lang = 'en'
                UNION
-               SELECT doc_id FROM documents WHERE n_chars > 500)"""
+               SELECT doc_id FROM documents WHERE n_chars > 500)""",
+    // MERGE replica: kept = neither updated (%7, unless deleted) nor
+    // deleted (%11); updates bump n_chars; inserts shift doc_id by 10M
+    "q30_iceberg_maintenance" ->
+      """WITH snap AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         upd AS (SELECT doc_id, lang, 'delta-update' AS source,
+                        n_chars + 1000 AS n_chars
+                 FROM snap WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0),
+         ins AS (SELECT doc_id + 10000000 AS doc_id, lang,
+                        'delta-insert' AS source, 77 AS n_chars
+                 FROM snap WHERE doc_id % 13 = 0),
+         kept AS (SELECT * FROM snap
+                  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0),
+         merged AS (SELECT * FROM kept UNION ALL
+                    SELECT * FROM upd UNION ALL
+                    SELECT * FROM ins)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM merged WHERE lang IN ('en', 'fr')
+         GROUP BY lang ORDER BY lang"""
   )
 }
