@@ -88,6 +88,17 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.bloomFilter(docs(s, dir))),
     "p22_jaccard_pairs" -> ((s, dir) =>
       DedupOps.exactJaccardPairs(docs(s, dir))),
+    // the df-CAPPED inverted index — the production path at web scale
+    // (stop-shingle fan-out bounded at cap²) — driver-verified against a
+    // DuckDB replica that applies the identical df rule; n_union stays
+    // exact because set sizes are computed pre-cap
+    "p25_jaccard_capped" -> ((s, dir) =>
+      DedupOps.exactJaccardPairs(docs(s, dir), maxDf = Some(3))),
+    // dedup terminal step: LSH pairs → connected components (large-star/
+    // small-star) → (doc, keeper, cluster size); oracled by a DuckDB
+    // recursive-CTE transitive closure over the exact pair set
+    "p26_dup_clusters" -> ((s, dir) =>
+      DedupOps.dupClusters(DedupOps.minhashLsh(docs(s, dir)))),
     "p23_tfidf_topk" -> ((s, dir) =>
       graft.ops.CorpusOps.tfidfTopK(docs(s, dir))),
     "p24_hash_sample" -> ((s, dir) =>
@@ -187,6 +198,37 @@ object PipelineOpsQueries {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60
          ORDER BY doc_a, doc_b""",
+    // connected components over the exact near-dup pair set (identical to
+    // what the LSH path finds at these recall-1 parameters): symmetric
+    // closure via recursive CTE, cluster_id = min reachable doc_id
+    "p26_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         prs AS (SELECT doc_a, doc_b FROM cand
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                    FROM reach GROUP BY u),
+         szs AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM labels GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size
+         FROM labels l JOIN szs s USING (cluster_id)
+         ORDER BY l.doc_id""",
     // full simhash replica: md5-low64 per token, 64-bit vote, 16-bit bands
     "p06_simhash" ->
       """WITH toks AS (SELECT doc_id,
@@ -365,6 +407,32 @@ object PipelineOpsQueries {
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.n AS na, b.n AS nb, count(*) AS n_inter
                    FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
+         FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50
+         ORDER BY doc_a, doc_b""",
+    // df-capped variant: identical pipeline with postings of shingle keys
+    // whose document frequency exceeds the cap removed before the
+    // self-join; set sizes (and so n_union) remain the uncapped ones
+    "p25_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         dfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+         idx AS (SELECT hn.doc_id, hn.h, hn.n
+                 FROM hn JOIN dfreq USING (h) WHERE dfreq.df <= 3),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
                    GROUP BY 1, 2, 3, 4)
          SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
          FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50

@@ -254,6 +254,83 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over a near-dup
+    * pair graph (the terminal step of every dedup family — pairs from
+    * `minhashLsh` / `simhashPairs` / `exactJaccardPairs` → transitive
+    * clusters → canonical keeper per cluster). Returns
+    * (doc_id, cluster_id, cluster_size) for every doc that appears in
+    * `pairs`, where cluster_id = min doc_id of the component (the keeper).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    * in O(log n) rounds even on pathological chain graphs, vs O(diameter)
+    * for naive label propagation. Each round is two passes, each a keyed
+    * groupBy + join on the SAME node key (co-partitioned, AQE reuses the
+    * exchange); shuffle payload is 16-byte edges only. Lineage is
+    * truncated per round with an eager localCheckpoint — without it the
+    * iterated plan grows exponentially and the optimizer, not the data,
+    * becomes the bottleneck (at cluster scale, point
+    * spark.sparkContext.setCheckpointDir at durable storage and swap
+    * checkpoint() in). Convergence = edge-set fixpoint, detected by a
+    * (count, xor-of-xxhash64) signature — one tiny agg action per round. */
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    // canonical undirected edges, oriented (u = hi, v = lo), self-loops out
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+              least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u});
+    // strictly-decreasing targets keep orientation (hi, lo)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: smaller-neighbors N≤(u) and u itself all link to
+    // m = min(N≤(u)); input is (hi, lo)-oriented so N≤ is just v
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val relink = e.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      relink.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    def signature(e: DataFrame): (Long, Option[Long]) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+
+    // fixpoint is a star graph (member → root); min-agg guards the
+    // (bounded-iteration) non-converged case; roots label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cid"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cid")))
+      .groupBy("doc_id").agg(min(col("cid")).as("cluster_id"))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** SimHash near-dup pairs: docs sharing any 16-bit band (≤3 differing
     * bands ⇐ hamming ≤ 3 guaranteed candidates), verified by exact hamming
     * distance ≤ maxHamming. */

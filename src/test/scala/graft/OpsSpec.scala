@@ -572,6 +572,65 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length === 2)
   }
 
+  test("dup clusters: chain graph collapses to one component (log rounds)") {
+    // a 40-node path is the worst case for naive propagation (diameter 39);
+    // large-star/small-star must still land everything on cluster 1 within
+    // the default iteration budget
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dupClusters(chain).collect()
+    assert(out.length === 40)
+    assert(out.forall(_.getAs[Long]("cluster_id") === 1L))
+    assert(out.forall(_.getAs[Long]("cluster_size") === 40L))
+  }
+
+  test("dup clusters: components, keepers and sizes match a union-find " +
+       "reference on a random graph") {
+    // deterministic pseudo-random graph: 60 nodes, 45 edges
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(45)((rnd.nextInt(60).toLong + 1,
+                              rnd.nextInt(60).toLong + 1))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val expectedSizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size }
+
+    val out = DedupOps.dupClusters(edges.toDF("doc_a", "doc_b")).collect()
+    val got = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // union-find roots are path-min under our max→min union rule = min of
+    // component, same label rule as dupClusters
+    assert(got === expected)
+    assert(out.map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("cluster_size"))
+      .toMap === expectedSizes.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("dup clusters: empty pair set yields empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.dupClusters(empty).collect().isEmpty)
+  }
+
+  test("dup clusters end-to-end: LSH pairs resolve to transitive clusters") {
+    // three mutually-near docs (transitive chain through doc 2) + unrelated
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val d2 = (1 to 40).map(i => if (i == 7) "X" else s"token$i").mkString(" ")
+    val d3 = (1 to 40).map(i => if (i == 33) "Y" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val df = docsDf(1L -> base, 2L -> d2, 3L -> d3, 9L -> other)
+    val out = DedupOps.dupClusters(DedupOps.minhashLsh(df)).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+      r.getAs[Long]("cluster_size"))).toSet ===
+      Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
