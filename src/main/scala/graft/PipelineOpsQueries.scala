@@ -99,6 +99,16 @@ object PipelineOpsQueries {
     // recursive-CTE transitive closure over the exact pair set
     "p26_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(DedupOps.minhashLsh(docs(s, dir)))),
+    // benchmark decontamination: docs with doc_id % 20 == 0 stand in as the
+    // eval set; every remaining doc sharing any word 4-gram with it is
+    // flagged with its matched-gram count
+    "p27_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      graft.ops.CorpusOps.decontaminate(
+        d.where(col("doc_id") % 20 =!= 0),
+        d.where(col("doc_id") % 20 === 0), w = 4)
+    }),
     "p23_tfidf_topk" -> ((s, dir) =>
       graft.ops.CorpusOps.tfidfTopK(docs(s, dir))),
     "p24_hash_sample" -> ((s, dir) =>
@@ -229,6 +239,24 @@ object PipelineOpsQueries {
          SELECT l.doc_id, l.cluster_id, s.cluster_size
          FROM labels l JOIN szs s USING (cluster_id)
          ORDER BY l.doc_id""",
+    // decontamination replica: same masked md5-low63 gram hashes, same
+    // doc_id % 20 eval split, distinct-gram hit counts per flagged doc
+    "p27_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+3], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0)
+         SELECT doc_id, count(*) AS n_hit_grams
+         FROM hs JOIN bench USING (h)
+         WHERE doc_id % 20 <> 0
+         GROUP BY doc_id ORDER BY doc_id""",
     // full simhash replica: md5-low64 per token, 64-bit vote, 16-bit bands
     "p06_simhash" ->
       """WITH toks AS (SELECT doc_id,

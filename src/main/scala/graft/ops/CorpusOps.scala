@@ -240,6 +240,42 @@ object CorpusOps {
     SimilarityOps.rankTopK(scored, k)
   }
 
+  /** Benchmark DECONTAMINATION — the train/eval overlap check every LLM
+    * data pipeline runs before training: flag corpus documents that share
+    * any word w-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+    * rule; 13-grams there, parameterized here). Returns
+    * (doc_id, n_hit_grams) for each contaminated corpus doc — n_hit_grams =
+    * how many of its distinct w-grams appear anywhere in the benchmark.
+    *
+    * Scale shape: the corpus side never shuffles its text — each doc maps
+    * to distinct 8-byte gram hashes and only those flow into the overlap
+    * join. Eval sets are MBs against a 100-TB corpus, so the benchmark
+    * gram set broadcasts (default) and the whole op is ONE narrow pass
+    * over the corpus plus a map-side hash probe. When the benchmark
+    * outgrows the broadcast budget (`broadcastBenchmark = false`), the
+    * overlap becomes a shuffle join keyed on the gram hash with the corpus
+    * side pre-filtered by a Bloom filter of benchmark grams
+    * (`BloomJoin.bloomReducedJoin`) — non-overlapping grams, the
+    * overwhelming majority, are dropped BEFORE the exchange. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, w: Int = 13,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          DedupOps.shingleArr(text, w).iterator
+            .map(s => (id, TextOps.md5Low63(s)))
+        }
+        .toDF("doc_id", "h")
+    val benchGrams = grams(benchmark).select(col("h")).distinct()
+    val overlapped =
+      if (broadcastBenchmark) grams(corpus).join(broadcast(benchGrams), "h")
+      else BloomJoin.bloomReducedJoin(grams(corpus), benchGrams, "h")
+    overlapped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixing primitive. Keep a
     * row iff md5-low63(key‖salt) mod 100 < rate(stratum); rates per language
     * here. Unlike `sampleBy` (seeded RNG, partition-order-sensitive and not

@@ -631,6 +631,24 @@ class OpsSpec extends AnyFunSuite {
       Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
   }
 
+  test("decontaminate flags docs sharing a w-gram with the benchmark; " +
+       "broadcast and bloom paths agree") {
+    // doc 1 embeds a verbatim 5-token benchmark span, doc 2 is clean,
+    // doc 3 shares a 4-token run only (below w=5)
+    val benchSpan = "the quick brown fox jumps"
+    val corpus = docsDf(
+      1L -> s"prefix tokens then $benchSpan and a tail",
+      2L -> "completely unrelated content with no overlap at all",
+      3L -> "the quick brown fox sits still today ok")
+    val bench = docsDf(100L -> s"eval question about $benchSpan over lazy dogs")
+    Seq(true, false).foreach { bcast =>
+      val out = graft.ops.CorpusOps.decontaminate(corpus, bench, w = 5,
+        broadcastBenchmark = bcast).collect()
+      assert(out.map(r => (r.getLong(0), r.getAs[Long]("n_hit_grams"))).toSet
+        === Set((1L, 1L))) // exactly the one shared 5-gram, doc 1 only
+    }
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
