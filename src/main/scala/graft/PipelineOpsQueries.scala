@@ -109,6 +109,17 @@ object PipelineOpsQueries {
         d.where(col("doc_id") % 20 =!= 0),
         d.where(col("doc_id") % 20 === 0), w = 4)
     }),
+    // embedding-modality cluster resolution: the exact top-100 cosine pair
+    // graph (p12's oracled edge set) resolved into transitive clusters by
+    // the same large-star/small-star machinery as p26
+    "p28_embed_dup_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      DedupOps.dupClusters(
+        SimilarityOps.topPairs(emb(s, dir), 100)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+                col("cluster_size"))
+    }),
     "p23_tfidf_topk" -> ((s, dir) =>
       graft.ops.CorpusOps.tfidfTopK(docs(s, dir))),
     "p24_hash_sample" -> ((s, dir) =>
@@ -239,6 +250,28 @@ object PipelineOpsQueries {
          SELECT l.doc_id, l.cluster_id, s.cluster_size
          FROM labels l JOIN szs s USING (cluster_id)
          ORDER BY l.doc_id""",
+    // embedding cluster replica: p12's exact top-100 edge set → symmetric
+    // recursive closure, cluster_id = min reachable vec_id
+    "p28_embed_dup_clusters" ->
+      """WITH RECURSIVE scored AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) AS score
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         top AS (SELECT vec_a, vec_b FROM scored
+                 ORDER BY score DESC, vec_a, vec_b LIMIT 100),
+         edges AS (SELECT vec_a AS u, vec_b AS v FROM top
+                   UNION SELECT vec_b, vec_a FROM top),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+                    FROM reach GROUP BY u),
+         szs AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM labels GROUP BY cluster_id)
+         SELECT l.vec_id, l.cluster_id, s.cluster_size
+         FROM labels l JOIN szs s USING (cluster_id)
+         ORDER BY l.vec_id""",
     // decontamination replica: same masked md5-low63 gram hashes, same
     // doc_id % 20 eval split, distinct-gram hit counts per flagged doc
     "p27_decontaminate" ->

@@ -169,6 +169,45 @@ object SimilarityOps {
       .orderBy(col("rank"))
   }
 
+  /** ALL pairs with cosine ≥ minCosine — the threshold sibling of
+    * `topPairs`, same broadcast-kernel brute contract (exactness baseline;
+    * the 10^12 path is `embeddingNearDups`, whose LSH candidates verify
+    * against the same inequality). Emits (doc_a, doc_b) with doc_a < doc_b,
+    * ready for `DedupOps.dupClusters`. Dot and norm accumulate in index
+    * order, so the score — and therefore the ≥ decision at the threshold
+    * boundary — is bit-identical to the Catalyst/DuckDB sequential folds. */
+  def thresholdPairs(emb: DataFrame, minCosine: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Array[Double])]
+    val side = vecs.collect().sortBy(_._1) // broadcast side (brute contract)
+    val ids = side.map(_._1)
+    val es = side.map(_._2)
+    val norms = es.map(norm)
+    val bc = spark.sparkContext.broadcast((ids, es, norms))
+    val thr = minCosine
+    vecs.mapPartitions { it =>
+      val (ids, es, norms) = bc.value
+      it.flatMap { case (aId, ae) =>
+        val an = norm(ae)
+        val out = Array.newBuilder[(Long, Long)]
+        var j = 0
+        while (j < ids.length) {
+          if (ids(j) > aId) {
+            val be = es(j)
+            var dot = 0.0
+            var i = 0
+            while (i < ae.length) { dot += ae(i) * be(i); i += 1 }
+            if (dot / (an * norms(j)) >= thr) out += ((aId, ids(j)))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("doc_a", "doc_b")
+  }
+
   private def norm(e: Array[Double]): Double = {
     var s = 0.0
     var i = 0

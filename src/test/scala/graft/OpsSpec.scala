@@ -649,6 +649,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold pairs: planted near-identical vectors found, others not; " +
+       "clusters resolve transitively") {
+    val a = Array.tabulate(8)(i => math.sin(i + 1.0).toFloat)
+    def nudge(eps: Float) = a.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + eps else v }
+    val vecs = Seq(
+      (1L, a), (2L, nudge(0.01f)), (3L, nudge(0.02f)), // mutual near-dups
+      (4L, Array.tabulate(8)(i => math.cos(3.0 * i).toFloat))) // unrelated
+      .toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.thresholdPairs(vecs, minCosine = 0.999)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val clusters = DedupOps.dupClusters(pairs).collect()
+    assert(clusters.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet ===
+      Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
