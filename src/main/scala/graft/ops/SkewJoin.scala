@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Detect heavy keys: keys holding ≥ `minSharePct` percent of the rows.
+    * One keyed partial+final count (the count table is |distinct keys|
+    * rows, never |rows|), one tiny agg over it for the total, then the
+    * driver collects only keys over the bar — bounded by construction at
+    * 100/minSharePct entries, so the `isin` literal stays small no matter
+    * how large the input. This is the derivation pass `saltedJoin`'s
+    * heavyKeys parameter documents. */
+  def heavyKeys(df: DataFrame, key: String,
+                minSharePct: Double = 1.0): Seq[Any] = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n"))).head().getLong(0)
+    counts.where(col("__n") * 100 >= lit(total * minSharePct))
+      .select(col(key)).collect().map(_.get(0)).toSeq
+  }
+
+  /** `saltedJoin` with the heavy-key list derived by `heavyKeys` — the
+    * one-call adaptive form for when the skew profile isn't known ahead
+    * of time. */
+  def adaptiveSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                         saltSource: Column, minSharePct: Double = 1.0,
+                         salts: Int = 8): DataFrame =
+    saltedJoin(probe, build, key, saltSource,
+      heavyKeys(probe, key, minSharePct), salts)
+
   /** @param saltSource a probe-side column with per-row variation (an id,
     *                   an offset — anything; only its hash is used). */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,

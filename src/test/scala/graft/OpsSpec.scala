@@ -543,6 +543,21 @@ class OpsSpec extends AnyFunSuite {
       .select(pmod(xxhash64(col("row_id")), lit(8)))
       .distinct().count()
     assert(nSalts > 1)
+    // adaptive form: detector finds exactly the planted heavy key (60%
+    // share vs ~8% for the rest) and the one-call join stays row-identical
+    val detected = graft.ops.SkewJoin.heavyKeys(probe, "k", minSharePct = 20.0)
+    assert(detected === Seq(7L))
+    val adaptive = graft.ops.SkewJoin.adaptiveSaltedJoin(
+      probe, build, "k", col("row_id"), minSharePct = 20.0, salts = 8)
+    assert(adaptive.exceptAll(plain).isEmpty && plain.exceptAll(adaptive).isEmpty)
+    // no-skew input: empty heavy list degrades to the plain join
+    val uniform = (1L to 100L).map(i => (i % 10, i)).toDF("k", "row_id")
+    assert(graft.ops.SkewJoin.heavyKeys(uniform, "k", minSharePct = 50.0).isEmpty)
+    val degenerate = graft.ops.SkewJoin.adaptiveSaltedJoin(
+      uniform, build, "k", col("row_id"), minSharePct = 50.0)
+    val uniformPlain = uniform.join(build, "k")
+    assert(degenerate.exceptAll(uniformPlain).isEmpty &&
+      uniformPlain.exceptAll(degenerate).isEmpty)
   }
 
   test("merge upsert: update replaces whole row, insert adds, delete removes") {

@@ -98,6 +98,33 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() === 3) // src0..src2
   }
 
+  test("p27 decontaminate (broadcast path): bench set broadcasts — corpus " +
+    "grams shuffle only for the final per-doc count, never for the overlap") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = staticPlan(graft.ops.CorpusOps.decontaminate(
+      d.where(col("doc_id") % 20 =!= 0), d.where(col("doc_id") % 20 === 0),
+      w = 3))
+    // exchanges: ONE on the (tiny) bench side for its distinct, ONE on the
+    // (already joined-down) matched grams for the per-doc count — the
+    // corpus gram stream itself reaches the overlap join without shuffling
+    assert(shuffles(plan) === 2, s"plan:\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"plan:\n$plan")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"plan:\n$plan")
+  }
+
+  test("thresholdPairs: one narrow pass — zero shuffles in the pair kernel") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = staticPlan(
+      graft.ops.SimilarityOps.thresholdPairs(vecs, minCosine = 0.99))
+    assert(shuffles(plan) === 0, s"plan:\n$plan")
+  }
+
   test("approx_percentile tracks the exact rank-based percentiles (q25's " +
     "10^12-row path) within the sketch's rank-error bound") {
     val accuracy = 10000L
