@@ -264,8 +264,7 @@ object CorpusOps {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
-          DedupOps.shingleArr(text, w).iterator
-            .map(s => (id, TextOps.md5Low63(s)))
+          DedupOps.gramHashes(text, w).iterator.map(h => (id, h))
         }
         .toDF("doc_id", "h")
     val benchGrams = grams(benchmark).select(col("h")).distinct()

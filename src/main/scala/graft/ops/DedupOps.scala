@@ -68,6 +68,12 @@ object DedupOps {
       toks.slice(i, i + w).mkString(" ")).distinct
   }
 
+  /** Distinct word w-gram hashes of one text (masked md5-low63 — the
+    * cross-engine hash the SQL oracles replicate). The per-row kernel
+    * behind `CorpusOps.decontaminate` and its streaming analogue. */
+  def gramHashes(text: String, w: Int): Array[Long] =
+    shingleArr(text, w).map(TextOps.md5Low63)
+
   /** Per-doc distinct shingle sets: (doc_id, sh). At 100 TB this table is
     * written bucketed by doc_id (TableIO.writeBucketed) so the verify joins
     * below are shuffle-free on the big side. */

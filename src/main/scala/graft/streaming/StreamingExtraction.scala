@@ -45,6 +45,33 @@ object StreamingExtraction {
       .agg(count(lit(1)).as("doc_count"),
         sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
 
+  /** Streaming benchmark decontamination — the continuous-ingestion form
+    * of `CorpusOps.decontaminate`: the static eval set's gram hashes (MBs
+    * against an unbounded stream) are collected once at query build and
+    * broadcast; each arriving doc counts its distinct w-gram hashes
+    * against the broadcast set inside the map stage. Per-doc stateless:
+    * zero shuffles, no state store, no watermark needed — the right shape
+    * for a filter that every ingested document must pass exactly once.
+    * Emits (doc_id, n_hit_grams) for contaminated docs only. */
+  def decontaminateStream(docs: Dataset[(Long, String)],
+                          benchmark: DataFrame,
+                          w: Int = 13): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchSet: Set[Long] = benchmark
+      .select(col("text")).as[String]
+      .flatMap(t => graft.ops.DedupOps.gramHashes(t, w))
+      .distinct().collect().toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    docs.map { case (id, text) =>
+      val set = bc.value
+      var n = 0L
+      graft.ops.DedupOps.gramHashes(text, w)
+        .foreach(h => if (set.contains(h)) n += 1)
+      (id, n)
+    }.filter(_._2 > 0L)
+  }
+
   /** Streaming exact dedup via custom state
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): keyed by content
     * hash, the state is one boolean per key — the first arrival of a hash

@@ -93,6 +93,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(1L -> "alpha beta", 2L -> "unique one", 4L -> "brand new"))
   }
 
+  test("streaming decontamination flags docs against the static benchmark, " +
+       "matching the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchSpan = "the quick brown fox jumps"
+    val bench = Seq((100L, s"eval item with $benchSpan inside"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> s"leading words $benchSpan trailing words", // hit (batch 1)
+      2L -> "nothing shared here at all today",         // clean (batch 1)
+      3L -> s"another doc also containing $benchSpan")  // hit (batch 2)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(corpus.take(2))
+    val q = StreamingExtraction.decontaminateStream(stream.toDS(), bench, w = 5)
+      .toDF("doc_id", "n_hit_grams")
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(corpus.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decon_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val batch = graft.ops.CorpusOps.decontaminate(
+        corpus.toDF("doc_id", "text"), bench, w = 5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_grams")).toSet
+    assert(got === batch)
+    assert(got.map(_._1) === Set(1L, 3L))
+  }
+
   test("stream-static broadcast join enriches micro-batches with a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
