@@ -247,6 +247,40 @@ object RelationalQueries {
     // partition column so runtime DPP prunes the non-joined lang dirs
     // (the mechanism TableIOSpec asserts on scan metrics). The oracle
     // replays the merge arithmetic straight off `documents`.
+    // the salted-skew-join operator as a driver-verified artifact: every
+    // event_type holds ~20% of the rows, so ALL keys clear the 10% bar and
+    // the whole probe side flows through the salted path — output must be
+    // row-identical to the plain join the oracle runs
+    "q31_skew_salted_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1), ("view", 2), ("purchase", 5),
+        ("signup", 3), ("error", 4)).toDF("event_type", "weight")
+      graft.ops.SkewJoin.adaptiveSaltedJoin(
+          t(s, dir, "events"), dim, "event_type",
+          saltSource = col("event_id"), minSharePct = 10.0, salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long")
+            * col("weight")).as("weighted_value_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // the Bloom-reduced join as a driver-verified artifact: heavy users
+    // (>= 80 events) are the build side; the probe side drops non-members
+    // before the exchange, and the inner join's exactness (no false
+    // negatives, FPs removed by the join itself) makes the plain-join SQL
+    // the oracle
+    "q32_bloom_reduced_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val heavy = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 80)
+        .select(col("user_id"))
+      graft.ops.BloomJoin.bloomReducedJoin(ev, heavy, "user_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     "q30_iceberg_maintenance" -> ((s, dir) => {
       import s.implicits._
       val base = s"/tmp/graft_iceberg_${SparkEntry.docCountFor(dir)}"
@@ -301,6 +335,20 @@ object RelationalQueries {
     "q12_verify_antijoin" ->
       """SELECT count(*) AS orphan_orders FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+    "q31_skew_salted_rollup" ->
+      """WITH dim(event_type, weight) AS (VALUES ('click', 1), ('view', 2),
+             ('purchase', 5), ('signup', 3), ('error', 4))
+         SELECT e.event_type, count(*) AS n_events,
+           CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * d.weight) AS BIGINT) AS weighted_value_cents
+         FROM events e JOIN dim d USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q32_bloom_reduced_users" ->
+      """WITH heavy AS (SELECT user_id FROM events
+                        GROUP BY user_id HAVING count(*) >= 80)
+         SELECT e.user_id, count(*) AS n_events
+         FROM events e JOIN heavy USING (user_id)
+         GROUP BY e.user_id ORDER BY e.user_id""",
     "q13_topk_docs" ->
       """SELECT doc_id, n_chars FROM documents
          ORDER BY n_chars DESC, doc_id ASC LIMIT 100""",
