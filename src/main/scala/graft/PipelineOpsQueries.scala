@@ -122,6 +122,9 @@ object PipelineOpsQueries {
     }),
     "p23_tfidf_topk" -> ((s, dir) =>
       graft.ops.CorpusOps.tfidfTopK(docs(s, dir))),
+    // Gopher-style composite keep/drop decision with every signal emitted
+    "p29_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(docs(s, dir))),
     "p24_hash_sample" -> ((s, dir) =>
       graft.ops.CorpusOps.hashSample(docs(s, dir),
         Map("en" -> 50), defaultPct = 20)),
@@ -250,6 +253,37 @@ object PipelineOpsQueries {
          SELECT l.doc_id, l.cluster_id, s.cluster_size
          FROM labels l JOIN szs s USING (cluster_id)
          ORDER BY l.doc_id""",
+    // quality-filter replica: same integer rule products, bigram top count
+    // via per-doc group-max, keep as 0/1
+    "p29_quality_filter" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                    FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS b
+                FROM t),
+         bgc AS (SELECT doc_id, max(c) AS top FROM
+                   (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+                 GROUP BY doc_id),
+         sig AS (SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+                     AS sum_token_chars,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS BIGINT) AS n_alpha_tokens,
+                   CAST(len(list_filter(tk,
+                     x -> x IN ('the','a','of','and','to','in','is')))
+                     AS BIGINT) AS n_stop_hits
+                 FROM t)
+         SELECT s.doc_id, n_tokens, sum_token_chars, n_alpha_tokens,
+           n_stop_hits, CAST(coalesce(b.top, 0) AS BIGINT) AS n_top_bigram,
+           CAST((n_tokens BETWEEN 30 AND 100000
+             AND sum_token_chars BETWEEN 3 * n_tokens AND 10 * n_tokens
+             AND 100 * n_alpha_tokens >= 80 * n_tokens
+             AND n_stop_hits >= 2
+             AND 100 * coalesce(b.top, 0) <= 20 * greatest(n_tokens - 1, 1))
+             AS BIGINT) AS keep
+         FROM sig s LEFT JOIN bgc b USING (doc_id)
+         ORDER BY s.doc_id""",
     // embedding cluster replica: p12's exact top-100 edge set → symmetric
     // recursive closure, cluster_id = min reachable vec_id
     "p28_embed_dup_clusters" ->

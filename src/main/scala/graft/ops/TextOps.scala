@@ -44,6 +44,62 @@ object TextOps {
       length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
   }
 
+  /** Composite document-quality FILTER — the Gopher/C4-style keep-or-drop
+    * decision (Rae et al. 2021 appendix A1.1, re-expressed as integer
+    * arithmetic so the decision is float-free and the SQL oracle replicates
+    * it bit-for-bit): token count in [minTokens, maxTokens], mean token
+    * length in [minMeanLen, maxMeanLen] (as sum-vs-n·bound products),
+    * ≥ minAlphaPct% tokens containing a letter, ≥ minStopHits stopword
+    * occurrences, and top-bigram repetition ≤ maxBigramPct% of bigrams.
+    * One typed pass per doc (tokenize once, all counters fill in one scan —
+    * same rationale as `langId`); emits every signal plus keep ∈ {0,1} so
+    * downstream mixing can re-threshold without recomputing. */
+  def qualityFilter(df: DataFrame, minTokens: Int = 30, maxTokens: Int = 100000,
+                    minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                    minAlphaPct: Int = 80, minStopHits: Int = 2,
+                    maxBigramPct: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stops = stopwords.toSet
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        val n = toks.length
+        var sumChars = 0L
+        var alpha = 0L
+        var stop = 0L
+        toks.foreach { t =>
+          sumChars += t.length
+          var hasAlpha = false
+          var i = 0
+          while (i < t.length && !hasAlpha) {
+            val c = t.charAt(i)
+            hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+            i += 1
+          }
+          if (hasAlpha) alpha += 1
+          if (stops.contains(t)) stop += 1
+        }
+        val bigrams = new scala.collection.mutable.HashMap[String, Int]()
+        var i = 0
+        while (i < n - 1) {
+          val k = toks(i) + " " + toks(i + 1)
+          bigrams.update(k, bigrams.getOrElse(k, 0) + 1)
+          i += 1
+        }
+        val topBigram = if (bigrams.isEmpty) 0L else bigrams.values.max.toLong
+        val keep =
+          n >= minTokens && n <= maxTokens &&
+          sumChars >= minMeanLen.toLong * n && sumChars <= maxMeanLen.toLong * n &&
+          100L * alpha >= minAlphaPct.toLong * n &&
+          stop >= minStopHits &&
+          100L * topBigram <= maxBigramPct.toLong * math.max(n - 1, 1)
+        (id, n.toLong, sumChars, alpha, stop, topBigram, if (keep) 1L else 0L)
+      }
+      .toDF("doc_id", "n_tokens", "sum_token_chars", "n_alpha_tokens",
+        "n_stop_hits", "n_top_bigram", "keep")
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "fr" -> Seq("le", "la", "et", "les", "des"),

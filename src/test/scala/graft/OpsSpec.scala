@@ -682,6 +682,22 @@ class OpsSpec extends AnyFunSuite {
       Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
   }
 
+  test("quality filter: each Gopher-style rule drops its planted violator, " +
+       "clean doc kept") {
+    val good = ("the cat and dog walk of a park in town is nice " +
+      (1 to 25).map(i => s"word$i").mkString(" ")) // 37 toks, stops, varied
+    val tooShort = "the of and is a tiny one"                  // < 30 tokens
+    val noStops = (1 to 40).map(i => s"tok$i").mkString(" ")   // 0 stop hits
+    val repetitive = "the of " + Array.fill(35)("spam ham").mkString(" ")
+    val longTokens = "the of " + (1 to 40)
+      .map(i => s"supercalifragilistic$i").mkString(" ")       // mean len > 10
+    val out = TextOps.qualityFilter(docsDf(
+        1L -> good, 2L -> tooShort, 3L -> noStops, 4L -> repetitive,
+        5L -> longTokens))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
