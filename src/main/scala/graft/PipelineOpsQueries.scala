@@ -125,6 +125,36 @@ object PipelineOpsQueries {
     // Gopher-style composite keep/drop decision with every signal emitted
     "p29_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(docs(s, dir))),
+    // the WHOLE curation chain as one artifact: quality filter →
+    // exact-dedup keeper → decontamination drop → stratified hash sample →
+    // per-language mixture rollup. Every stage joins back on doc_id
+    // (semi/anti — co-partitioned at scale when the corpus is bucketed by
+    // doc_id), so raw text flows through exactly the per-stage kernels and
+    // never through a join.
+    "p30_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val d = docs(s, dir)
+      val train = d.where(col("doc_id") % 20 =!= 0)
+      val evalSet = d.where(col("doc_id") % 20 === 0)
+      val quality = TextOps.qualityFilter(train)
+        .where(col("keep") === 1).select(col("doc_id"))
+      val keepers = DedupOps.exact(train)
+        .select(col("keeper_doc_id").as("doc_id"))
+      val contaminated = graft.ops.CorpusOps.decontaminate(train, evalSet, w = 4)
+        .select(col("doc_id"))
+      val sampled = graft.ops.CorpusOps
+        .hashSample(train, Map("en" -> 50), defaultPct = 20)
+        .select(col("doc_id"))
+      train
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(sampled, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "p24_hash_sample" -> ((s, dir) =>
       graft.ops.CorpusOps.hashSample(docs(s, dir),
         Map("en" -> 50), defaultPct = 20)),
@@ -284,6 +314,61 @@ object PipelineOpsQueries {
              AS BIGINT) AS keep
          FROM sig s LEFT JOIN bgc b USING (doc_id)
          ORDER BY s.doc_id""",
+    // curation-chain replica: the p29/p01/p27/p24 rules composed as CTEs
+    // over the train split, rolled up per language
+    "p30_curation_pipeline" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                  FROM train),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS b
+                FROM toks),
+         bgc AS (SELECT doc_id, max(c) AS top FROM
+                   (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+                 GROUP BY doc_id),
+         sig AS (SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+                     AS sum_tc,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS BIGINT) AS n_alpha,
+                   CAST(len(list_filter(tk,
+                     x -> x IN ('the','a','of','and','to','in','is')))
+                     AS BIGINT) AS n_stop
+                 FROM toks),
+         quality AS (SELECT s.doc_id FROM sig s LEFT JOIN bgc b USING (doc_id)
+                     WHERE n_tokens BETWEEN 30 AND 100000
+                       AND sum_tc BETWEEN 3 * n_tokens AND 10 * n_tokens
+                       AND 100 * n_alpha >= 80 * n_tokens
+                       AND n_stop >= 2
+                       AND 100 * coalesce(b.top, 0)
+                           <= 20 * greatest(n_tokens - 1, 1)),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
+         alltoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                     FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+3], ' ')) END)) AS s
+                FROM alltoks),
+         hs AS (SELECT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+         contaminated AS (SELECT DISTINCT doc_id FROM hs JOIN bench USING (h)
+                          WHERE doc_id % 20 <> 0),
+         sampled AS (SELECT doc_id FROM train
+                     WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || '|smp')
+                            & 9223372036854775807) % 100
+                           < CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM train
+         WHERE doc_id IN (SELECT doc_id FROM quality)
+           AND doc_id IN (SELECT doc_id FROM keepers)
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+           AND doc_id IN (SELECT doc_id FROM sampled)
+         GROUP BY lang ORDER BY lang""",
     // embedding cluster replica: p12's exact top-100 edge set → symmetric
     // recursive closure, cluster_id = min reachable vec_id
     "p28_embed_dup_clusters" ->
