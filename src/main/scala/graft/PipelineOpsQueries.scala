@@ -155,6 +155,10 @@ object PipelineOpsQueries {
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // OOV stats vs a top-20 induced vocab (corpus vocabulary is 31 tokens,
+    // so the 11 rarest become the OOV tail)
+    "p31_oov_stats" -> ((s, dir) =>
+      graft.ops.CorpusOps.oovStats(docs(s, dir), vocabSize = 20)),
     "p24_hash_sample" -> ((s, dir) =>
       graft.ops.CorpusOps.hashSample(docs(s, dir),
         Map("en" -> 50), defaultPct = 20)),
@@ -314,6 +318,22 @@ object PipelineOpsQueries {
              AS BIGINT) AS keep
          FROM sig s LEFT JOIN bgc b USING (doc_id)
          ORDER BY s.doc_id""",
+    // OOV replica: same induced vocab (term_freq DESC, token ASC, LIMIT),
+    // per-doc occurrence and type counts outside it
+    "p31_oov_stats" ->
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         vocab AS (SELECT tok FROM
+                     (SELECT tok, sum(tf) AS term_freq FROM tf GROUP BY tok)
+                   ORDER BY term_freq DESC, tok LIMIT 20)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                    THEN tf ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+           CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
     // curation-chain replica: the p29/p01/p27/p24 rules composed as CTEs
     // over the train split, rolled up per language
     "p30_curation_pipeline" ->

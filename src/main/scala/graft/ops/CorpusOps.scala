@@ -240,6 +240,30 @@ object CorpusOps {
     SimilarityOps.rankTopK(scored, k)
   }
 
+  /** Token-coverage / OOV statistics against an INDUCED top-V vocabulary —
+    * the tokenizer-evaluation primitive: induce vocab = the `vocabSize`
+    * highest-term-frequency tokens (ties broken by token text, so the
+    * boundary is deterministic cross-engine), then per doc count the
+    * occurrences (n_oov_tokens) and distinct types (n_oov_types) falling
+    * outside it. Scale shape: everything runs over the (doc_id, token, tf)
+    * table — raw text tokenizes once in `tokenTf`'s typed pass; the vocab
+    * is V rows, broadcast into a left join marker; one keyed aggregation
+    * per doc. Every doc appears (zero counts included) since every doc has
+    * at least one token row. */
+  def oovStats(df: DataFrame, vocabSize: Int = 50000): DataFrame = {
+    val tf = tokenTf(df)
+    val vocab = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("term_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("__v"))
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__v").isNull, col("tf")).otherwise(0L))
+             .as("n_oov_tokens"),
+           sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+  }
+
   /** Benchmark DECONTAMINATION — the train/eval overlap check every LLM
     * data pipeline runs before training: flag corpus documents that share
     * any word w-gram with an evaluation/benchmark set (the GPT-3 appendix-C

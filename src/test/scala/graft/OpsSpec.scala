@@ -698,6 +698,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("oov stats: rare tokens fall outside the induced vocab; " +
+       "tie at the boundary breaks by token text") {
+    // freqs: aa=4, bb=3, cc=2, dd=2, ee=1 → top-3 vocab = aa, bb, cc
+    // (cc beats dd on the tie by token order); OOV = dd, ee
+    val out = graft.ops.CorpusOps.oovStats(docsDf(
+        1L -> "aa aa bb cc dd",
+        2L -> "aa aa bb bb cc dd ee"), vocabSize = 3)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_oov_tokens"), r.getAs[Long]("n_oov_types"))).toSet
+    assert(out === Set((1L, 1L, 1L), (2L, 2L, 2L)))
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
