@@ -93,29 +93,35 @@ object DedupOps {
                    rowsPerBand: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val numHashes = bands * rowsPerBand
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingleArr(text, w)
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        sh.foreach { s =>
-          val base = Corpus64.hash(s)
-          var i = 0
-          while (i < numHashes) {
-            val h = mix64(base ^ (i * 0x632be59bd9b4e019L))
-            if (h < sig(i)) sig(i) = h
-            i += 1
-          }
-        }
-        val bandKeys = Array.tabulate(bands) { b =>
-          var h = b.toLong
-          var r = 0
-          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
-          h
-        }
-        (id, bandKeys.toSeq)
-      }
+      .map { case (id, text) => (id, bandKeysFor(text, w, bands, rowsPerBand).toSeq) }
       .toDF("doc_id", "band_keys")
+  }
+
+  /** The per-row minhash band-key kernel behind `minhashBands` — also
+    * probes the streaming near-dup index (`StreamingExtraction
+    * .nearDupStream`). Band id is baked into each key's fold seed, so keys
+    * from different band positions never collide by construction. */
+  def bandKeysFor(text: String, w: Int, bands: Int,
+                  rowsPerBand: Int): Array[Long] = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingleArr(text, w)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val base = Corpus64.hash(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ (i * 0x632be59bd9b4e019L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      var h = b.toLong
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      h
+    }
   }
 
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.

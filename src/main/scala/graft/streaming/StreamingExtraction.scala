@@ -72,6 +72,58 @@ object StreamingExtraction {
     }.filter(_._2 > 0L)
   }
 
+  /** Streaming NEAR-dup detection vs a static corpus — continuous-ingestion
+    * LSH: the corpus is indexed once at query build (minhash band key →
+    * doc ids, plus per-doc gram-hash sets for the exact-Jaccard verify) and
+    * broadcast; each arriving doc computes its own band keys in the map
+    * stage, probes the index for candidates, and verifies them exactly —
+    * per-doc stateless, zero stream-side shuffles, no state store. Emits
+    * (doc_id, corpus_doc_id, n_inter, n_union) per verified near-dup.
+    *
+    * Contract: the band index must fit executor memory (24 B/band/doc —
+    * hundreds of millions of corpus docs per executor-GB). Past that, the
+    * same band keys become a stream-static equi-join on (band_id,
+    * band_key) against the parquet-backed `minhashBands` table — identical
+    * semantics, one stream-side shuffle per micro-batch. */
+  def nearDupStream(docs: Dataset[(Long, String)], staticCorpus: DataFrame,
+                    w: Int = 3, bands: Int = 32, rowsPerBand: Int = 3,
+                    minJaccardPct: Int = 60): Dataset[(Long, Long, Int, Int)] = {
+    import graft.ops.DedupOps
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val corpus = staticCorpus
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect()
+    val index = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    corpus.foreach { case (id, text) =>
+      DedupOps.bandKeysFor(text, w, bands, rowsPerBand).foreach { k =>
+        index.computeIfAbsent(k, _ => new java.util.ArrayList[Long]()).add(id)
+      }
+    }
+    val sets: Map[Long, Array[Long]] = corpus.map { case (id, text) =>
+      id -> DedupOps.gramHashes(text, w).sorted
+    }.toMap
+    val bcIndex = spark.sparkContext.broadcast(index)
+    val bcSets = spark.sparkContext.broadcast(sets)
+    docs.flatMap { case (id, text) =>
+      val idx = bcIndex.value
+      val cands = scala.collection.mutable.SortedSet[Long]()
+      DedupOps.bandKeysFor(text, w, bands, rowsPerBand).foreach { k =>
+        val hit = idx.get(k)
+        if (hit != null) hit.forEach(c => cands += c)
+      }
+      val mine = DedupOps.gramHashes(text, w).toSet
+      cands.iterator.flatMap { c =>
+        val other = bcSets.value(c)
+        var inter = 0
+        other.foreach(h => if (mine.contains(h)) inter += 1)
+        val union = mine.size + other.length - inter
+        if (inter * 100 >= union * minJaccardPct) Some((id, c, inter, union))
+        else None
+      }.toSeq
+    }
+  }
+
   /** Streaming exact dedup via custom state
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): keyed by content
     * hash, the state is one boolean per key — the first arrival of a hash

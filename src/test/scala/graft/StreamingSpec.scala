@@ -123,6 +123,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1) === Set(1L, 3L))
   }
 
+  test("streaming near-dup detection flags arrivals against the static " +
+       "LSH index with exact-verified jaccard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((10L, base), (11L, other)).toDF("doc_id", "text")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i")
+      .mkString(" ")
+    val fresh = (200 to 240).map(i => s"new$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(50L -> nearDup))
+    val q = StreamingExtraction.nearDupStream(stream.toDS(), corpus)
+      .toDF("doc_id", "corpus_doc_id", "n_inter", "n_union")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(Seq(51L -> fresh, 52L -> base)) // clean + exact dup
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // near-dup: 1 of 40 tokens changed kills 3 of 38 shingles; exact dup:
+    // full overlap. The unrelated arrival and corpus doc 11 never pair.
+    assert(got === Set((50L, 10L, 35, 41), (52L, 10L, 38, 38)))
+  }
+
   test("stream-static broadcast join enriches micro-batches with a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
