@@ -162,6 +162,11 @@ object PipelineOpsQueries {
     "p24_hash_sample" -> ((s, dir) =>
       graft.ops.CorpusOps.hashSample(docs(s, dir),
         Map("en" -> 50), defaultPct = 20)),
+    // exact per-stratum quotas (deterministic hash-order rank), the
+    // companion to rate-based p24
+    "p32_quota_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.quotaSample(docs(s, dir),
+        Map("en" -> 40), defaultQuota = 15)),
     // preprocess plan over the media dump p10 materializes (depends only on
     // the dump being written in the same Verify run — each query fn is
     // self-contained, so write it here too)
@@ -318,6 +323,17 @@ object PipelineOpsQueries {
              AS BIGINT) AS keep
          FROM sig s LEFT JOIN bgc b USING (doc_id)
          ORDER BY s.doc_id""",
+    // quota-sample replica: same masked-md5 rank order per stratum
+    "p32_quota_sample" ->
+      """WITH ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    (md5_number_lower(CAST(doc_id AS VARCHAR) || '|qta')
+                     & 9223372036854775807) ASC, CAST(doc_id AS BIGINT) ASC)
+                    AS rk
+                FROM documents)
+         SELECT doc_id, lang FROM ranked
+         WHERE rk <= CASE WHEN lang = 'en' THEN 40 ELSE 15 END
+         ORDER BY doc_id""",
     // OOV replica: same induced vocab (term_freq DESC, token ASC, LIMIT),
     // per-doc occurrence and type counts outside it
     "p31_oov_stats" ->

@@ -299,6 +299,33 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Exact-QUOTA stratified sampling — the mixing primitive when the recipe
+    * says "exactly n docs per language", not a rate: rank docs within each
+    * stratum by md5-low63(doc_id‖salt) (a deterministic, engine-independent
+    * shuffle order; ties impossible since doc_id is unique per stratum) and
+    * keep rank ≤ quota. One exchange keyed by the stratum; the window is a
+    * rank, so at 10^12 rows the same result comes from a per-stratum
+    * bounded-heap top-k (`TopK`) instead of the full sort — this
+    * formulation is the exactness contract both share. */
+  def quotaSample(df: DataFrame, quotaByLang: Map[String, Int],
+                  defaultQuota: Int, salt: String = "qta"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = quotaByLang
+    val keyed = df.select(col("doc_id").cast("long"), col("lang"))
+      .as[(Long, String)]
+      .map { case (id, lang) =>
+        (id, lang, TextOps.md5Low63(id.toString + "|" + salt),
+          rates.getOrElse(lang, defaultQuota)) }
+      .toDF("doc_id", "lang", "rk_hash", "quota")
+    keyed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("rk_hash"), col("doc_id"))))
+      .where(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixing primitive. Keep a
     * row iff md5-low63(key‖salt) mod 100 < rate(stratum); rates per language
     * here. Unlike `sampleBy` (seeded RNG, partition-order-sensitive and not

@@ -710,6 +710,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 1L, 1L), (2L, 2L, 2L)))
   }
 
+  test("quota sample: exactly n per stratum, deterministic across runs, " +
+       "salt redraws") {
+    val df = (1L to 50L).map(i => (i, if (i <= 30) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val a = graft.ops.CorpusOps.quotaSample(df, Map("en" -> 7), 4).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.count(_._2 == "en") === 7 && a.count(_._2 == "fr") === 4)
+    val b = graft.ops.CorpusOps.quotaSample(df, Map("en" -> 7), 4).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet === b.toSet) // re-run stable
+    val c = graft.ops.CorpusOps.quotaSample(df, Map("en" -> 7), 4,
+      salt = "other").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(c.length === 11 && c.toSet != a.toSet) // salt redraws the sample
+    // quota larger than the stratum returns the whole stratum
+    val d = graft.ops.CorpusOps.quotaSample(df, Map("en" -> 100), 100).collect()
+    assert(d.length === 50)
+  }
+
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
     val media = Seq(("d1", "m1", 10, 3600, 1800, "jpeg", 61))
       .toDF("doc_id", "media_ref", "n_bytes", "width", "height", "format",
