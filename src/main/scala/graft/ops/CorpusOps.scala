@@ -326,6 +326,51 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** The 10^12-row formulation of `quotaSample` — identical output (spec-
+    * pinned), different plan: instead of a full per-stratum sort under the
+    * rank window, each input partition keeps a bounded max-heap of the
+    * quota smallest hashes per stratum (map-side partial top-k: ≤ quota
+    * candidates per stratum per partition survive), then one stratum-keyed
+    * exchange merges the partial heaps. State is O(strata × quota) per
+    * task regardless of input size; ties are impossible because doc_id is
+    * unique within a stratum. */
+  def quotaSampleTopK(df: DataFrame, quotaByLang: Map[String, Int],
+                      defaultQuota: Int, salt: String = "qta"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = quotaByLang
+    type Heap = scala.collection.mutable.PriorityQueue[(Long, Long)]
+    def newHeap(): Heap =
+      new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+        Ordering.by(_._1)) // max-heap on hash: root = worst kept candidate
+    def offer(heap: Heap, quota: Int, h: Long, id: Long): Unit =
+      if (heap.size < quota) heap.enqueue((h, id))
+      else if (quota > 0 && h < heap.head._1) {
+        heap.dequeue(); heap.enqueue((h, id))
+      }
+    val partial = df.select(col("doc_id").cast("long"), col("lang"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap[String, Heap]()
+        it.foreach { case (id, lang) =>
+          offer(heaps.getOrElseUpdate(lang, newHeap()),
+            rates.getOrElse(lang, defaultQuota),
+            TextOps.md5Low63(id.toString + "|" + salt), id)
+        }
+        heaps.iterator.flatMap { case (lang, heap) =>
+          heap.iterator.map { case (h, id) => (lang, h, id) }
+        }
+      }
+    partial.groupByKey(_._1)
+      .flatMapGroups { (lang, it) =>
+        val heap = newHeap()
+        val quota = rates.getOrElse(lang, defaultQuota)
+        it.foreach { case (_, h, id) => offer(heap, quota, h, id) }
+        heap.iterator.map { case (_, id) => (id, lang) }.toSeq
+      }
+      .toDF("doc_id", "lang")
+  }
+
   /** Deterministic stratified sampling — the corpus-mixing primitive. Keep a
     * row iff md5-low63(key‖salt) mod 100 < rate(stratum); rates per language
     * here. Unlike `sampleBy` (seeded RNG, partition-order-sensitive and not

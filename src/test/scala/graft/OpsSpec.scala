@@ -726,6 +726,16 @@ class OpsSpec extends AnyFunSuite {
     // quota larger than the stratum returns the whole stratum
     val d = graft.ops.CorpusOps.quotaSample(df, Map("en" -> 100), 100).collect()
     assert(d.length === 50)
+    // the bounded-heap (map-side partial top-k) formulation is output-
+    // identical to the rank-window formulation — on a multi-partition
+    // input, so partial heaps really merge
+    val wide = df.repartition(7)
+    val viaWindow = graft.ops.CorpusOps.quotaSample(wide, Map("en" -> 7), 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaHeap = graft.ops.CorpusOps.quotaSampleTopK(wide, Map("en" -> 7), 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaHeap === viaWindow)
+    assert(viaHeap === a.toSet) // and partition-count-invariant
   }
 
   test("preprocess plan: width-1800 resize, 50px border, every-30th frame") {
