@@ -176,7 +176,30 @@ object PipelineOpsQueries {
       MultimodalOps.mediaStatsDumped(SparkEntry.docTable(s, dir),
         mediaDumpPath(dir))
       MultimodalOps.preprocessPlan(s.read.parquet(mediaDumpPath(dir)))
-    })
+    }),
+    // concat-then-chunk sequence packing: per-doc global token offset +
+    // pack range via the distributed prefix sum (never a SinglePartition
+    // window); oracled by the running-sum window formulation
+    "p33_seq_packing" -> ((s, dir) =>
+      graft.ops.PackingOps.packChunks(docs(s, dir), capacity = 256)),
+    // per-source caps (keep the 10 longest docs per source): bounded-heap
+    // partial top-k per partition, one source-keyed merge
+    "p34_domain_cap" -> ((s, dir) =>
+      graft.ops.CorpusOps.domainCap(docs(s, dir), cap = 10)),
+    // HLL estimator vs exact cardinality on distinct (doc, token) pairs —
+    // integer-arithmetic estimate so the oracle replicates it bit-for-bit
+    "p35_hll_validate" -> ((s, dir) =>
+      graft.ops.CorpusOps.hllValidate(docs(s, dir))),
+    // cross-doc repeated 4-gram coverage (boilerplate/template signal)
+    "p36_repeated_grams" -> ((s, dir) =>
+      graft.ops.CorpusOps.repeatedGramStats(docs(s, dir), w = 4)),
+    // CMS point estimates vs exact counts for the top-20 tokens (integer,
+    // est >= exact by construction — the oracle checks the same cells)
+    "p37_cms_validate" -> ((s, dir) =>
+      graft.ops.CorpusOps.cmsValidate(docs(s, dir))),
+    // integer unigram-surprisal quality score (perplexity-filter stand-in)
+    "p38_surprisal" -> ((s, dir) =>
+      graft.ops.CorpusOps.surprisalScores(docs(s, dir), vocabSize = 20))
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -693,6 +716,114 @@ object PipelineOpsQueries {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT row_number() OVER (ORDER BY score DESC, vec_a, vec_b) AS rank,
                 vec_a, vec_b
-         FROM scored ORDER BY score DESC, vec_a, vec_b LIMIT 100"""
+         FROM scored ORDER BY score DESC, vec_a, vec_b LIMIT 100""",
+    // packing replica: the exclusive running-sum window over doc_id order
+    "p33_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS global_offset
+           FROM t)
+         SELECT doc_id, n_tokens, global_offset,
+                CAST(global_offset // 256 AS BIGINT) AS start_pack,
+                CAST((global_offset + greatest(n_tokens, 1) - 1) // 256
+                     AS BIGINT) AS end_pack
+         FROM c ORDER BY doc_id""",
+    // per-source cap replica: quality-rank window, longest-first
+    "p34_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+           FROM documents)
+         SELECT doc_id, source, n_chars, rk FROM r
+         WHERE rk <= 10 ORDER BY source, rk""",
+    // HLL validation replica: same register build as p20 but keyed by
+    // (doc_id|token), then the identical integer estimator formula
+    "p35_hll_validate" ->
+      """WITH pairs AS (SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         h AS (SELECT md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || t)
+                      & 9223372036854775807 AS hash FROM pairs),
+         r AS (SELECT CAST(hash & 63 AS INT) AS bucket, hash >> 6 AS v FROM h),
+         regs AS (SELECT bucket,
+             max(CASE WHEN v = 0 THEN 58
+                 ELSE 58 - length(bin(v)) END) AS rho
+           FROM r GROUP BY bucket),
+         fullr AS (SELECT b.range AS bucket, COALESCE(regs.rho, 0) AS rho
+           FROM range(64) b LEFT JOIN regs ON regs.bucket = b.range),
+         den AS (SELECT sum(CAST(1 AS BIGINT) << (30 - least(rho, 30)))
+                   AS denom FROM fullr),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairs),
+         est AS (SELECT CAST((709 * 64 * 64 * (CAST(1 AS BIGINT) << 30))
+                   // denom // 1000 AS BIGINT) AS est_int FROM den)
+         SELECT CAST(64 AS BIGINT) AS m, n_exact, est_int,
+                CAST(abs(est_int - n_exact) * 1000 // n_exact AS BIGINT)
+                  AS err_permille
+         FROM ex, est""",
+    // repeated-gram coverage replica: distinct 4-gram md5-low63 hashes,
+    // df >= 2 set, per-doc totals + hit counts
+    "p36_repeated_grams" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+3], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM hs GROUP BY doc_id),
+         rep AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM hs JOIN rep USING (h) GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams,
+                CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_repeated_grams
+         FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY t.doc_id""",
+    // CMS validation replica: p19's cell table + exact top-20 counts,
+    // point estimate = min over the 4 salted-row cells
+    "p37_cms_validate" ->
+      """WITH occ AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         cells AS (SELECT r.range AS row,
+             CAST((md5_number_lower(t || '#' || CAST(r.range AS VARCHAR))
+                   & 9223372036854775807) % 256 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM occ, range(4) r GROUP BY 1, 2),
+         ex AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_count
+                FROM occ GROUP BY t
+                ORDER BY exact_count DESC, t LIMIT 20),
+         est AS (SELECT e.t, e.exact_count, min(c.cnt) AS est_count
+           FROM ex e CROSS JOIN range(4) r
+           JOIN cells c ON c.row = r.range
+             AND c.bucket = CAST((md5_number_lower(e.t || '#' ||
+                 CAST(r.range AS VARCHAR)) & 9223372036854775807) % 256 AS INT)
+           GROUP BY e.t, e.exact_count)
+         SELECT t AS token, exact_count,
+                CAST(est_count AS BIGINT) AS est_count,
+                CAST(est_count - exact_count AS BIGINT) AS overshoot
+         FROM est ORDER BY token""",
+    // surprisal replica: same bit-length arithmetic, same top-20 vocab
+    // boundary (freq DESC, token ASC), OOV scores as tf = 1
+    "p38_surprisal" ->
+      """WITH occ AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         gtf AS (SELECT t, CAST(count(*) AS BIGINT) AS gtf
+                 FROM occ GROUP BY t),
+         tot AS (SELECT CAST(sum(gtf) AS BIGINT) AS n FROM gtf),
+         vocab AS (SELECT t, gtf FROM gtf ORDER BY gtf DESC, t LIMIT 20)
+         SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum((SELECT length(bin(n)) FROM tot)
+                         - length(bin(COALESCE(v.gtf, 1)))) AS BIGINT)
+                  AS surprisal
+         FROM occ o LEFT JOIN vocab v ON o.t = v.t
+         GROUP BY o.doc_id ORDER BY o.doc_id"""
   )
 }

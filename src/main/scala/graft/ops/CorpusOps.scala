@@ -390,4 +390,190 @@ object CorpusOps {
       }
       .toDF("doc_id", "lang")
   }
+
+  /** Per-SOURCE document caps — the Common-Crawl-style "keep at most `cap`
+    * docs per domain, best first" mixing rule (quality rank = longer doc
+    * wins, doc_id breaks ties). Same map-side partial-top-k shape as
+    * `quotaSampleTopK`: every input partition keeps a bounded heap of the
+    * cap best (n_chars, doc_id) candidates per source it sees, then ONE
+    * source-keyed exchange of ≤ cap rows/source/partition merges the
+    * partials — never a full per-source sort, state O(sources × cap) per
+    * task. Output (doc_id, source, n_chars, rk) with rk = 1-based quality
+    * rank inside the source; the SQL oracle is the row_number() window
+    * formulation. */
+  def domainCap(df: DataFrame, cap: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // "worst kept" ordering: fewer chars is worse; tie → larger doc_id worse
+    val worseFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (n, id) => (-n, id) }
+    type Heap = scala.collection.mutable.PriorityQueue[(Long, Long)]
+    def newHeap(): Heap =
+      new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worseFirst)
+    def offer(heap: Heap, n: Long, id: Long): Unit =
+      if (heap.size < cap) heap.enqueue((n, id))
+      else if (cap > 0 && worseFirst.lt((n, id), heap.head)) {
+        heap.dequeue(); heap.enqueue((n, id))
+      }
+    val partial = df
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap[String, Heap]()
+        it.foreach { case (id, src, n) =>
+          offer(heaps.getOrElseUpdate(src, newHeap()), n, id)
+        }
+        heaps.iterator.flatMap { case (src, heap) =>
+          heap.iterator.map { case (n, id) => (src, n, id) }
+        }
+      }
+    partial.groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        val heap = newHeap()
+        it.foreach { case (_, n, id) => offer(heap, n, id) }
+        heap.toArray.sorted(worseFirst).iterator.zipWithIndex // best first
+          .map { case ((n, id), i) => (id, src, n, (i + 1).toLong) }.toSeq
+      }
+      .toDF("doc_id", "source", "n_chars", "rk")
+  }
+
+  /** HLL sketch VALIDATION — the estimator earns its 10^12-row claim by
+    * being checked against the exact cardinality it approximates, on a
+    * stream big enough (distinct (doc, token) pairs, n ≫ m) that the raw
+    * estimator branch — the operative one at web scale — is exercised.
+    * The estimate is computed in INTEGER arithmetic (denominator
+    * Σⱼ 2^(30−min(ρⱼ,30)), α scaled to 709/1000) so engine and DuckDB
+    * oracle agree bit-for-bit — no float summation-order hazard. Register
+    * build is the same one-pass pre-aggregated kernel as `hllRegisters`;
+    * only m register rows and one count cross the wire. Output one row:
+    * (m, n_exact, est_int, err_permille). */
+  def hllValidate(df: DataFrame, p: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val w = 63 - p
+    val regRows = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val regs = new Array[Int](m)
+        wsPat.split(text.trim).foreach { t =>
+          val h = TextOps.md5Low63(id.toString + "|" + t)
+          val b = (h & (m - 1)).toInt
+          val v = h >>> p
+          val rho =
+            if (v == 0L) w + 1
+            else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+          if (rho > regs(b)) regs(b) = rho
+        }
+        Iterator.range(0, m).filter(regs(_) > 0).map(b => (b, regs(b)))
+      }
+      .toDF("bucket", "rho")
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+      .as[(Int, Int)].collect() // m rows — the sketch, not the data
+    val rho = new Array[Int](m)
+    regRows.foreach { case (b, r) => rho(b) = r }
+    var denom = 0L
+    var j = 0
+    while (j < m) { denom += 1L << (30 - math.min(rho(j), 30)); j += 1 }
+    val est = 709L * m * m * (1L << 30) / denom / 1000L
+    val nExact = df.select(col("text")).as[String]
+      .map(t => wsPat.split(t.trim).toSet.size.toLong)
+      .reduce(_ + _) // per-doc distinct tokens; key carries doc_id, so
+                     // the global distinct count is their plain sum
+    val errPm = math.abs(est - nExact) * 1000L / nExact
+    Seq((m.toLong, nExact, est, errPm))
+      .toDF("m", "n_exact", "est_int", "err_permille")
+  }
+
+  /** Cross-document REPEATED-PASSAGE coverage (RefinedWeb-style signal):
+    * for each doc, how many of its distinct word w-grams also occur in at
+    * least `minDf − 1` other documents. High coverage = boilerplate /
+    * template page → downweight or drop before training. Raw text never
+    * shuffles: docs reduce to 8-byte masked-md5 gram hashes
+    * (`DedupOps.gramHashes`, the p27 kernel), the repeated-gram set is one
+    * hash-keyed agg, and the coverage count is a keys-only join back.
+    * Output (doc_id, n_grams, n_repeated_grams). */
+  def repeatedGramStats(df: DataFrame, w: Int = 4, minDf: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        DedupOps.gramHashes(text, w).iterator.map(h => (id, h))
+      }
+      .toDF("doc_id", "h")
+    val totals = g.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val repeated = g.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("h"))
+    val hits = g.join(repeated, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rep"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_rep"), lit(0L)).as("n_repeated_grams"))
+  }
+
+  /** Count-Min sketch VALIDATION — the heavy-hitter companion to
+    * `hllValidate`: the point estimates (min over the sketch's depth rows)
+    * for the top-`topK` tokens are checked against their exact occurrence
+    * counts. CMS guarantees est ≥ exact with bounded overshoot — both
+    * quantities here are plain integers, so the oracle replicates the
+    * check bit-for-bit. The sketch (depth×width cells) and the top-K list
+    * collect to the driver — that bounded size is the sketch's whole
+    * contract; the corpus-side work is the same one-pass pre-aggregated
+    * cell build as `countMinSketch` plus one token-keyed agg. Output per
+    * top token: (token, exact_count, est_count, overshoot ≥ 0). */
+  def cmsValidate(df: DataFrame, depth: Int = 4, width: Int = 256,
+                  topK: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = countMinSketch(df, depth, width)
+      .as[(Int, Int, Long)].collect()
+      .map { case (r, b, n) => ((r, b), n) }.toMap
+    val top = tokenTf(df).groupBy(col("token"))
+      .agg(sum(col("tf")).cast("long").as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+      .limit(topK)
+      .as[(String, Long)].collect()
+    val rows = top.map { case (t, exact) =>
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val b = (TextOps.md5Low63(t + "#" + r) % width).toInt
+        est = math.min(est, cells.getOrElse((r, b), 0L))
+        r += 1
+      }
+      (t, exact, est, est - exact)
+    }
+    rows.toSeq.toDF("token", "exact_count", "est_count", "overshoot")
+  }
+
+  /** Unigram SURPRISAL quality score — the integer-arithmetic stand-in for
+    * perplexity filtering (CCNet-style): each token occurrence contributes
+    * bitlen(N) − bitlen(tf(token)) ≈ log₂(N / tf), summed per doc. All in
+    * integer bit-length math (`bin()` exists in both Spark and DuckDB with
+    * identical no-leading-zeros semantics), so the score is engine-exact —
+    * no float log. Tokens outside the induced top-`vocabSize` vocab score
+    * as tf = 1 (maximum surprisal), the same deterministic
+    * (freq DESC, token ASC) vocab boundary as `oovStats`. Scale shape:
+    * tokenize once into (doc, token, tf); global tf is one token-keyed
+    * agg; the vocab broadcasts; the per-doc score is one keyed agg with
+    * the bit-length arithmetic inside codegen. */
+  def surprisalScores(df: DataFrame, vocabSize: Int = 50000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = tokenTf(df)
+    val global = tf.groupBy(col("token")).agg(sum(col("tf")).as("gtf"))
+    val n = global.agg(sum(col("gtf"))).as[Long].head()
+    val nBits = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val vocab = global.orderBy(col("gtf").desc, col("token")).limit(vocabSize)
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") *
+            (lit(nBits) - length(bin(coalesce(col("gtf"), lit(1L))))))
+          .cast("long").as("surprisal"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step that turns a curated corpus
+  * into fixed-capacity context windows: documents are concatenated in a
+  * deterministic global order (doc_id) and the token stream is chunked every
+  * `capacity` tokens (the GPT-style concat-then-chunk regime; a document may
+  * straddle a pack boundary). Per doc we emit its global token offset and
+  * the [start_pack, end_pack] range it lands in.
+  *
+  * The naive formulation is `sum(n_tokens) OVER (ORDER BY doc_id)` — an
+  * un-partitioned window, i.e. a SinglePartition exchange that serializes
+  * the whole corpus through one task. At 10^12 docs that plan is dead on
+  * arrival, so the operator computes the running offset as a DISTRIBUTED
+  * PREFIX SUM instead:
+  *
+  *   1. bucket every doc by a VALUE-derived range key
+  *      (`doc_id / ceil((max_id+1)/numBuckets)` — no sampling, so the
+  *      bucketing is deterministic across runs/retries, unlike
+  *      `repartitionByRange`),
+  *   2. one tiny agg computes per-bucket token totals (≤ numBuckets rows to
+  *      the driver — at 10^12 docs numBuckets is O(cluster cores), still
+  *      trivially collectable),
+  *   3. exclusive-prefix-sum those totals on the driver and broadcast the
+  *      per-bucket base offsets in the task closure,
+  *   4. one hash exchange on the bucket key + in-partition sort
+  *      (bucket, doc_id), then a single sequential sweep per bucket adds
+  *      base + local running sum.
+  *
+  * Two narrow passes + one small agg + one keyed exchange of 16-byte rows;
+  * nothing global ever sits in one task. PackingSpec pins the output to the
+  * window formulation and asserts the plan carries no SinglePartition
+  * exchange.
+  */
+object PackingOps {
+
+  /** Per-doc packing assignment. Output: (doc_id, n_tokens, global_offset,
+    * start_pack, end_pack), exact under concat-then-chunk at `capacity`
+    * tokens per pack.
+    */
+  def packChunks(df: DataFrame, capacity: Int = 256,
+                 numBuckets: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col("doc_id").cast("long").as("doc_id"),
+      size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
+
+    val maxId = base.agg(max(col("doc_id"))).as[Long].head()
+    val bucketWidth = math.max((maxId + numBuckets) / numBuckets, 1L)
+    def bucketOf(id: Column): Column = (id / bucketWidth).cast("long")
+
+    // per-bucket totals: ≤ numBuckets rows — the only driver-side state
+    val totals = base.groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(sum(col("n_tokens")).as("total"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val baseOffsets: Map[Long, Long] = {
+      var acc = 0L
+      totals.map { case (b, t) => val o = (b, acc); acc += t; o }.toMap
+    }
+
+    val cap = capacity.toLong
+    base.withColumn("bucket", bucketOf(col("doc_id")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .as[(Long, Long, Long)] // (doc_id, n_tokens, bucket)
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var running = 0L
+        it.map { case (id, n, b) =>
+          if (b != curBucket) { curBucket = b; running = baseOffsets(b) }
+          val off = running
+          running += n
+          (id, n, off, off / cap, (off + math.max(n, 1L) - 1L) / cap)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "global_offset", "start_pack", "end_pack")
+  }
+
+  /** Reference formulation (exactness contract for the spec): the
+    * un-partitioned running-sum window. Correct, but plans a
+    * SinglePartition exchange — test-only. */
+  def packChunksWindow(df: DataFrame, capacity: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = capacity.toLong
+    val base = df.select(col("doc_id").cast("long").as("doc_id"),
+      size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("global_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        (col("global_offset") / cap).cast("long").as("start_pack"),
+        ((col("global_offset") + greatest(col("n_tokens"), lit(1L)) - 1L) / cap)
+          .cast("long").as("end_pack"))
+  }
+}

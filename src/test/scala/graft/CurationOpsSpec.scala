@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import graft.ops.{CorpusOps, PackingOps}
+
+/** Round-3 curation additions: sequence packing (distributed prefix sum),
+  * per-source caps, HLL validation, repeated-gram coverage. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val words = 1 + rng.nextInt(40)
+      val text = (0 until words).map(j => s"w${(i * 31 + j * 7) % 50}").mkString(" ")
+      (i.toLong, text, s"src${i % 5}", text.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("packChunks (distributed prefix sum) is row-identical to the " +
+    "running-sum window formulation, partition-layout invariant") {
+    val docs = docsDf(300)
+    val expected = PackingOps.packChunksWindow(docs, capacity = 64)
+      .orderBy("doc_id").collect().toSeq
+    Seq(docs, docs.repartition(7), docs.repartition(1),
+        docs.orderBy(col("doc_id").desc)).foreach { in =>
+      val got = PackingOps.packChunks(in, capacity = 64, numBuckets = 5)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("packChunks straddles pack boundaries exactly (concat-then-chunk)") {
+    import spark.implicits._
+    // token counts 3, 4, 5 with capacity 4: offsets 0,3,7 → packs [0,0],[0,1],[1,2]
+    val docs = Seq((0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = PackingOps.packChunks(docs, capacity = 4, numBuckets = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "global_offset", "start_pack", "end_pack")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 0L, 0L), (1L, 3L, 0L, 1L), (2L, 7L, 1L, 2L)))
+  }
+
+  test("packChunks plans NO SinglePartition exchange (the window " +
+    "formulation's scale-killer)") {
+    val docs = docsDf(100)
+    def singlePartExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }.size
+      finally spark.conf.set(key, prev)
+    }
+    assert(singlePartExchanges(PackingOps.packChunksWindow(docs)) >= 1,
+      "reference window formulation should serialize through one partition")
+    assert(singlePartExchanges(PackingOps.packChunks(docs)) === 0)
+  }
+
+  test("domainCap matches the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsDf(200)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val expected = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 7)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+      .orderBy("doc_id").collect().toSeq
+    val got = CorpusOps.domainCap(docs, cap = 7)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === expected)
+    // and partition-layout invariant (map-side heaps must not change output)
+    val got1 = CorpusOps.domainCap(docs.repartition(13), cap = 7)
+      .orderBy("doc_id").collect().toSeq
+    assert(got1 === expected)
+  }
+
+  test("hllValidate: raw-branch estimate lands within the m=64 error " +
+    "envelope of the exact cardinality, deterministically") {
+    import spark.implicits._
+    val docs = docsDf(400).select(col("doc_id"), col("text"))
+    val r = CorpusOps.hllValidate(docs).as[(Long, Long, Long, Long)].head()
+    val (m, nExact, est, errPm) = r
+    assert(m === 64L)
+    assert(nExact > 1000L, s"stream too small for the raw branch: $nExact")
+    // 3σ for m=64 is ~3·1.04/√64 ≈ 39%; anything inside is a sane sketch
+    assert(errPm <= 400L, s"estimate $est vs exact $nExact (err ${errPm}‰)")
+    val r2 = CorpusOps.hllValidate(docs.repartition(9))
+      .as[(Long, Long, Long, Long)].head()
+    assert(r2 === r)
+  }
+
+  test("cmsValidate: every point estimate dominates its exact count " +
+    "(CMS one-sided error), layout-invariant") {
+    import spark.implicits._
+    val docs = docsDf(300).select(col("doc_id"), col("text"))
+    val rows = CorpusOps.cmsValidate(docs, topK = 15)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.size === 15)
+    rows.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"$t: est $est < exact $exact")
+      assert(over === est - exact)
+    }
+    val rows2 = CorpusOps.cmsValidate(docs.repartition(11), topK = 15)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows2 === rows)
+  }
+
+  test("surprisalScores matches the brute-force per-doc computation") {
+    import spark.implicits._
+    val docs = docsDf(150).select(col("doc_id"), col("text"))
+    val collected = docs.as[(Long, String)].collect()
+    val occ = collected.flatMap { case (_, t) => t.trim.split("\\s+") }
+    val gtf = occ.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val n = occ.length.toLong
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val vocab = gtf.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).toMap
+    val expected = collected.map { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      val s = toks.map(t => bitlen(n) - bitlen(vocab.getOrElse(t, 1L))).sum
+      (id, toks.length.toLong, s.toLong)
+    }.sortBy(_._1).toSeq
+    val got = CorpusOps.surprisalScores(docs, vocabSize = 20)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("repeatedGramStats counts cross-doc repeated 4-grams only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta unique0 tail0"),
+      (1L, "alpha beta gamma delta unique1 tail1"), // shares one 4-gram with 0
+      (2L, "totally different words here indeed")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.repeatedGramStats(docs, w = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 0/1: 3 distinct 4-grams each, exactly one shared
+    assert(got === Seq((0L, 3L, 1L), (1L, 3L, 1L), (2L, 2L, 0L)))
+  }
+}
