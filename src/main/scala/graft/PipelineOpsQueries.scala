@@ -199,7 +199,12 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.cmsValidate(docs(s, dir))),
     // integer unigram-surprisal quality score (perplexity-filter stand-in)
     "p38_surprisal" -> ((s, dir) =>
-      graft.ops.CorpusOps.surprisalScores(docs(s, dir), vocabSize = 20))
+      graft.ops.CorpusOps.surprisalScores(docs(s, dir), vocabSize = 20)),
+    // SimHash near-dup PAIRS (p06 emits signatures; this is the banded
+    // candidate join + exact hamming verify) — oracle recomputes both the
+    // signatures and the band/hamming rule from scratch in SQL
+    "p39_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(docs(s, dir), maxHamming = 3))
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -824,6 +829,34 @@ object PipelineOpsQueries {
                          - length(bin(COALESCE(v.gtf, 1)))) AS BIGINT)
                   AS surprisal
          FROM occ o LEFT JOIN vocab v ON o.t = v.t
-         GROUP BY o.doc_id ORDER BY o.doc_id"""
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
+    // simhash pair replica: p06's band table, candidate = any shared band,
+    // hamming = per-band popcount sum (composing the 64-bit sig would
+    // overflow DuckDB's signed BIGINT on band3 << 48)
+    "p39_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents),
+         votes AS (SELECT doc_id, b,
+                sum(CASE WHEN ((md5_number_lower(tok) >> b) & 1) = 1
+                    THEN 1 ELSE -1 END) AS v
+              FROM toks, range(64) t(b) GROUP BY doc_id, b),
+         bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+              FROM votes),
+         bands AS (SELECT doc_id,
+           CAST(sum(CASE WHEN b BETWEEN  0 AND 15 THEN bit << b        ELSE 0 END) AS BIGINT) AS band0,
+           CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit << (b - 16) ELSE 0 END) AS BIGINT) AS band1,
+           CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS band2,
+           CAST(sum(CASE WHEN b BETWEEN 48 AND 63 THEN bit << (b - 48) ELSE 0 END) AS BIGINT) AS band3
+         FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+           + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+               AS hamming
+           FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+               OR a.band2 = b.band2 OR a.band3 = b.band3))
+         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
   )
 }

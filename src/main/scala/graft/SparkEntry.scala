@@ -67,6 +67,12 @@ object SparkEntry {
   def extractDumpPath(dir: String): String =
     s"/tmp/graft_extract_dump_${docCountFor(dir)}"
 
+  def spansDumpPath(dir: String): String =
+    s"/tmp/graft_spans_dump_${docCountFor(dir)}"
+
+  def mmCostDumpPath(dir: String): String =
+    s"/tmp/graft_mm_cost_dump_${docCountFor(dir)}"
+
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
     * extraction itself stays parity-gated (ReferenceParitySpec), the
@@ -119,7 +125,25 @@ object SparkEntry {
     // payloads exercise number reformat, dob normalization + YoB fallback,
     // and gender precedence through the REAL extractors.
     "x07_extract_fields" -> ((s, dir) =>
-      graft.classify.ClassifyQuery.runFields(s, dir))
+      graft.classify.ClassifyQuery.runFields(s, dir)),
+    // interleave/run structure of the span payload, computed row-locally in
+    // one typed pass; the oracle recomputes it with window functions over
+    // the exploded (doc_id, ord, kind) dump — independent formulation
+    "x08_span_runs" -> ((s, dir) => {
+      val docs = docTable(s, dir)
+      graft.ops.InterleaveOps.spanKindDump(docs)
+        .write.mode("overwrite").parquet(spansDumpPath(dir))
+      graft.ops.InterleaveOps.spanRunStats(docs)
+    }),
+    // multimodal sequence packing: text tokens + 64 tokens per media span
+    // (vision-encoder patch budget), packed by the same distributed prefix
+    // sum as p33; the oracle windows over the dumped per-doc cost table
+    "x09_mm_packing" -> ((s, dir) => {
+      graft.ops.InterleaveOps.mmCosts(docTable(s, dir))
+        .write.mode("overwrite").parquet(mmCostDumpPath(dir))
+      graft.ops.PackingOps.packChunksCost(
+        s.read.parquet(mmCostDumpPath(dir)), col("cost"), capacity = 1024)
+    })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -150,7 +174,50 @@ object SparkEntry {
         s"""SELECT document_type, count(*) AS doc_count,
            CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_count
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
-           GROUP BY document_type ORDER BY document_type""") ++
+           GROUP BY document_type ORDER BY document_type""",
+      "x08_span_runs" ->
+        s"""WITH s AS (SELECT doc_id, ord, kind
+               FROM read_parquet('${spansDumpPath(dir)}/*.parquet')),
+           brk AS (SELECT doc_id, ord, kind,
+               CASE WHEN lag(kind) OVER w IS NULL
+                    OR lag(kind) OVER w <> kind THEN 1 ELSE 0 END AS b,
+               CASE WHEN lag(kind) OVER w = 'text' AND kind = 'media'
+                    THEN 1 ELSE 0 END AS adj
+             FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+           rid AS (SELECT doc_id, ord, kind, adj,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY ord) AS run_id
+             FROM brk),
+           runlen AS (SELECT doc_id, kind, run_id, count(*) AS rl
+             FROM rid GROUP BY 1, 2, 3),
+           perdoc AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN kind <> 'media' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_text_spans,
+               CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_media_spans,
+               CAST(max(run_id) AS BIGINT) AS n_runs,
+               CAST(sum(adj) AS BIGINT) AS n_text_media_adj
+             FROM rid GROUP BY doc_id),
+           mx AS (SELECT doc_id,
+               CAST(COALESCE(max(CASE WHEN kind <> 'media' THEN rl END), 0)
+                    AS BIGINT) AS max_text_run,
+               CAST(COALESCE(max(CASE WHEN kind = 'media' THEN rl END), 0)
+                    AS BIGINT) AS max_media_run
+             FROM runlen GROUP BY doc_id)
+           SELECT p.doc_id, n_spans, n_text_spans, n_media_spans, n_runs,
+                  max_text_run, max_media_run, n_text_media_adj
+           FROM perdoc p JOIN mx USING (doc_id) ORDER BY p.doc_id""",
+      "x09_mm_packing" ->
+        s"""WITH c AS (SELECT doc_id, CAST(cost AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sum(cost) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS global_offset
+             FROM read_parquet('${mmCostDumpPath(dir)}/*.parquet'))
+           SELECT doc_id, n_tokens, global_offset,
+                  CAST(global_offset // 1024 AS BIGINT) AS start_pack,
+                  CAST((global_offset + greatest(n_tokens, 1) - 1) // 1024
+                       AS BIGINT) AS end_pack
+           FROM c ORDER BY doc_id""") ++
       goldenOracles(dir)
 
   /** x01/x04/x05 oracles: the committed golden parquets ARE the reference

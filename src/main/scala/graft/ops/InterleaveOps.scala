@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.Doc
+
+/** Operators over the INTERLEAVED span payload itself — the text+media
+  * alternation structure of a doc, not just its flattened text. Span order
+  * is row-local (the array inside the row), so every stat here is one
+  * narrow typed pass: the interleave structure never explodes into a
+  * shuffle. The driver oracle gets an exploded (doc_id, ord, kind) dump and
+  * recomputes the run structure with window functions — engine aggregation
+  * checked by an independent formulation, extraction itself stays
+  * parity-gated. */
+object InterleaveOps {
+
+  /** Per-doc interleave/run statistics: span counts by kind, number of
+    * kind-alternation runs, longest media and text runs, and the count of
+    * text→media adjacencies (caption candidates — the alignment signal
+    * multimodal curation filters on). */
+  def spanRunStats(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      var nText = 0L; var nMedia = 0L
+      var runs = 0L; var maxMediaRun = 0L; var maxTextRun = 0L
+      var textThenMedia = 0L
+      var prev: String = null
+      var cur = 0L
+      d.spans.foreach { s =>
+        if (s.kind == "media") nMedia += 1 else nText += 1
+        if (prev == null || s.kind != prev) {
+          if (prev != null) {
+            if (prev == "media") maxMediaRun = math.max(maxMediaRun, cur)
+            else maxTextRun = math.max(maxTextRun, cur)
+          }
+          if (prev != null && prev != "media" && s.kind == "media")
+            textThenMedia += 1
+          runs += 1
+          cur = 1L
+          prev = s.kind
+        } else cur += 1
+      }
+      if (prev != null) {
+        if (prev == "media") maxMediaRun = math.max(maxMediaRun, cur)
+        else maxTextRun = math.max(maxTextRun, cur)
+      }
+      (d.doc_id, (nText + nMedia), nText, nMedia, runs, maxTextRun,
+        maxMediaRun, textThenMedia)
+    }.toDF("doc_id", "n_spans", "n_text_spans", "n_media_spans", "n_runs",
+      "max_text_run", "max_media_run", "n_text_media_adj")
+  }
+
+  /** Exploded (doc_id, ord, kind) span table — the oracle's independent
+    * view of the interleave structure. */
+  def spanKindDump(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      d.spans.iterator.zipWithIndex.map { case (s, i) =>
+        (d.doc_id, i.toLong, s.kind)
+      }
+    }.toDF("doc_id", "ord", "kind")
+  }
+
+  /** Per-doc MULTIMODAL packing cost: whitespace tokens of the text spans
+    * plus `mediaTokens` per media span (a vision encoder emits a fixed
+    * patch-token budget per image — 64 here). One typed pass; feeds
+    * `PackingOps.packChunksCost`. */
+  def mmCosts(docs: Dataset[Doc], mediaTokens: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wsPat = "\\s+"
+    docs.map { d =>
+      var cost = 0L
+      d.spans.foreach { s =>
+        if (s.kind == "media") cost += mediaTokens
+        else {
+          val t = s.text.trim
+          cost += (if (t.isEmpty) 1 else t.split(wsPat).length)
+        }
+      }
+      // numeric id (doc_id is "doc-%012d") — packing needs an ordered key
+      (d.doc_id.stripPrefix("doc-").toLong, cost)
+    }.toDF("doc_id", "cost")
+  }
+}

@@ -41,13 +41,22 @@ object PackingOps {
     * tokens per pack.
     */
   def packChunks(df: DataFrame, capacity: Int = 256,
-                 numBuckets: Int = 32): DataFrame = {
+                 numBuckets: Int = 32): DataFrame =
+    packChunksCost(df, size(TextOps.wsTokens(col("text"))), capacity,
+      numBuckets)
+
+  /** `packChunks` over an arbitrary per-doc cost expression — the
+    * multimodal form: interleaved docs cost text tokens PLUS a per-media
+    * token budget (vision-encoder patch count), but the packing math is
+    * cost-agnostic. */
+  def packChunksCost(df: DataFrame, cost: Column, capacity: Int = 256,
+                     numBuckets: Int = 32): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     import spark.implicits._
 
     val base = df.select(col("doc_id").cast("long").as("doc_id"),
-      size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      cost.cast("long").as("n_tokens"))
 
     val maxId = base.agg(max(col("doc_id"))).as[Long].head()
     val bucketWidth = math.max((maxId + numBuckets) / numBuckets, 1L)

@@ -132,6 +132,71 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("spanRunStats matches a brute-force run computation over the " +
+    "interleaved span payload") {
+    import spark.implicits._
+    val docs = graft.io.Synthesizer.docs(spark, 300, seed = 42L)
+    val got = graft.ops.InterleaveOps.spanRunStats(docs)
+      .orderBy("doc_id")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val expected = docs.collect().sortBy(_.doc_id).toSeq.map { d =>
+      val kinds = d.spans.map(_.kind)
+      val runs = kinds.foldLeft(List.empty[(String, Int)]) {
+        case ((k, n) :: rest, kk) if k == kk => (k, n + 1) :: rest
+        case (acc, kk) => (kk, 1) :: acc
+      }.reverse
+      def maxRun(k: String) =
+        runs.collect { case (`k`, n) => n }.foldLeft(0)(math.max).toLong
+      val adj = kinds.sliding(2).count(w =>
+        w.length == 2 && w(0) == "text" && w(1) == "media").toLong
+      (d.doc_id, kinds.size.toLong,
+        kinds.count(_ != "media").toLong, kinds.count(_ == "media").toLong,
+        runs.size.toLong, maxRun("text"), maxRun("media"), adj)
+    }
+    assert(got === expected)
+  }
+
+  test("mmCosts: text tokens + 64 per media span, numeric doc key") {
+    import spark.implicits._
+    val docs = graft.io.Synthesizer.docs(spark, 100, seed = 42L)
+    val got = graft.ops.InterleaveOps.mmCosts(docs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val expected = docs.collect().sortBy(_.doc_id).toSeq.map { d =>
+      val cost = d.spans.map { s =>
+        if (s.kind == "media") 64L
+        else {
+          val t = s.text.trim
+          if (t.isEmpty) 1L else t.split("\\s+").length.toLong
+        }
+      }.sum
+      (d.doc_id.stripPrefix("doc-").toLong, cost)
+    }
+    assert(got === expected)
+    assert(got.map(_._1) === got.map(_._1).sorted) // packing order key
+  }
+
+  test("packChunksCost over mm costs equals the window formulation") {
+    import spark.implicits._
+    val costs = graft.ops.InterleaveOps.mmCosts(
+      graft.io.Synthesizer.docs(spark, 200, seed = 42L))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = costs
+      .withColumn("global_offset",
+        coalesce(sum(col("cost")).over(w), lit(0L)))
+      .select(col("doc_id"), col("cost").as("n_tokens"), col("global_offset"),
+        (col("global_offset") / 1024).cast("long").as("start_pack"),
+        ((col("global_offset") + greatest(col("cost"), lit(1L)) - 1L) / 1024)
+          .cast("long").as("end_pack"))
+      .orderBy("doc_id").collect().toSeq
+    val got = graft.ops.PackingOps
+      .packChunksCost(costs, col("cost"), capacity = 1024)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === expected)
+  }
+
   test("repeatedGramStats counts cross-doc repeated 4-grams only") {
     import spark.implicits._
     val docs = Seq(
