@@ -30,6 +30,9 @@ object PipelineOpsQueries {
   def ivfProbePath(dir: String): String =
     s"/tmp/graft_ivf_probe_${SparkEntry.docCountFor(dir)}"
 
+  def multiBucketDumpPath(dir: String): String =
+    s"/tmp/graft_lsh_multi_${SparkEntry.docCountFor(dir)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -204,7 +207,24 @@ object PipelineOpsQueries {
     // candidate join + exact hamming verify) — oracle recomputes both the
     // signatures and the band/hamming rule from scratch in SQL
     "p39_simhash_pairs" -> ((s, dir) =>
-      DedupOps.simhashPairs(docs(s, dir), maxHamming = 3))
+      DedupOps.simhashPairs(docs(s, dir), maxHamming = 3)),
+
+    // the 10^12 path of the p12/p28 exact-pairs family, driver-verified:
+    // multi-table sign-LSH candidates (bucket-keys-only shuffle), exact
+    // cosine verify >= 0.45 (the synthesized corpus' near-dup band — max
+    // pairwise cosine is ~0.51/0.60 at sf0.01/0.1). Buckets are dumped so
+    // the oracle rebuilds the IDENTICAL candidate set by SQL self-join and
+    // re-verifies every pair with DuckDB's own cosine.
+    "p40_embed_near_dups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, dir)
+      SimilarityOps.lshBucketsMulti(e, bits = 4, tables = 8)
+        .write.mode("overwrite").parquet(multiBucketDumpPath(dir))
+      SimilarityOps.embeddingNearDupsFrom(e,
+          s.read.parquet(multiBucketDumpPath(dir)), minCosine = 0.45)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -857,6 +877,20 @@ object PipelineOpsQueries {
              AND (a.band0 = b.band0 OR a.band1 = b.band1
                OR a.band2 = b.band2 OR a.band3 = b.band3))
          SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-         FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+         FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    // candidate set rebuilt from the dumped multi-table buckets (the
+    // hyperplane hash is engine code; the dump pins it), then every
+    // candidate pair re-verified against DuckDB's own cosine
+    "p40_embed_near_dups" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('${multiBucketDumpPath(dir)}/*.parquet')),
+         cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+                  FROM b l JOIN b r ON l.table_id = r.table_id
+                    AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         SELECT c.vec_a, c.vec_b FROM cand c
+         JOIN embeddings ea ON ea.vec_id = c.vec_a
+         JOIN embeddings eb ON eb.vec_id = c.vec_b
+         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY c.vec_a, c.vec_b"""
   )
 }

@@ -319,6 +319,28 @@ object RelationalQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
+    }),
+
+    // small-file compaction (Iceberg rewrite_data_files analogue): a
+    // 64-way fragmented write is rewritten by TableIO.compact (narrow
+    // coalesce, no exchange) and the oracle verifies the rewrite is
+    // content-lossless; the file-count/no-shuffle contract is pinned by
+    // TableIOSpec
+    "q33_compaction" -> ((s, dir) => {
+      val base = s"/tmp/graft_compact_${SparkEntry.docCountFor(dir)}"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.io.TableIO.compact(s, s"$base/small", s"$base/out",
+        targetFileBytes = 4L * 1024 * 1024)
+      s.read.parquet(s"$base/out")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -477,6 +499,13 @@ object RelationalQueries {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM merged WHERE lang IN ('en', 'fr')
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    // compaction is content-lossless: the rewritten table must aggregate
+    // exactly like the source table it was fragmented from
+    "q33_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

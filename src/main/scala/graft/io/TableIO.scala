@@ -80,4 +80,29 @@ object TableIO {
   def readJsonl(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Small-file COMPACTION — the Iceberg `rewrite_data_files` analogue and
+    * the table-maintenance step every long-running ingest needs: streaming
+    * micro-batches and per-task writers leave thousands of KB-sized files,
+    * and at 10^12 docs the scan's task-scheduling and footer-read overhead
+    * becomes O(files), not O(bytes). Rewrites `inPath` into
+    * ceil(totalBytes / targetFileBytes) files via `coalesce` — a NARROW
+    * rewrite (no exchange: compaction must not pay a shuffle; it only
+    * merges splits). Returns the output file count. Row-group clustering
+    * is `writePartitionedClustered`'s job — compose the two when both
+    * layout and file count need fixing. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 512L * 1024 * 1024): Int = {
+    // Hadoop FS, not java.io: inPath is an HDFS/S3 prefix on a real cluster.
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(in)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
 }

@@ -233,8 +233,16 @@ object SimilarityOps {
     * (fixed-width) are fetched for candidates via vec_id-keyed joins —
     * bucketed-by-vec_id storage makes those co-located at scale. */
   def embeddingNearDups(emb: DataFrame, bits: Int = 8, tables: Int = 4,
-                        minCosine: Double = 0.9): DataFrame = {
-    val buckets = lshBucketsMulti(emb, bits, tables)
+                        minCosine: Double = 0.9): DataFrame =
+    embeddingNearDupsFrom(emb, lshBucketsMulti(emb, bits, tables), minCosine)
+
+  /** Same, from an already-materialized bucket table — the driver query
+    * dumps `lshBucketsMulti` so the DuckDB oracle can rebuild the identical
+    * candidate set (the hyperplane hash is engine code) and re-verify every
+    * pair with its own cosine; also the natural shape when buckets are a
+    * persisted index (see `StreamingExtraction.nearDupStream`). */
+  def embeddingNearDupsFrom(emb: DataFrame, buckets: DataFrame,
+                            minCosine: Double = 0.9): DataFrame = {
     val candidates = buckets.as("l").join(buckets.as("r"),
         col("l.table_id") === col("r.table_id") &&
         col("l.bucket") === col("r.bucket") &&

@@ -139,6 +139,29 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("embedding near-dups from a dumped bucket index match the direct " +
+    "path (p40's oracle contract)") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.tabulate(64)(j => math.sin(i / 4 * 64 + j).toFloat)
+      base(rng.nextInt(64)) += 0.02f // 4-member near-dup families
+      (i, base, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshmulti").toString
+    SimilarityOps.lshBucketsMulti(vecs, bits = 4, tables = 8)
+      .write.mode("overwrite").parquet(dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairSet(
+      SimilarityOps.embeddingNearDups(vecs, bits = 4, tables = 8,
+        minCosine = 0.99).select("vec_a", "vec_b"))
+    val fromDump = pairSet(
+      SimilarityOps.embeddingNearDupsFrom(vecs, spark.read.parquet(dir),
+        minCosine = 0.99).select("vec_a", "vec_b"))
+    assert(direct.nonEmpty)
+    assert(fromDump === direct)
+  }
+
   test("ann top-k plan: partial aggregation map-side, no window exchange") {
     val vecs = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat), 0))

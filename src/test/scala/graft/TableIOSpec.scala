@@ -135,6 +135,33 @@ class TableIOSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("compaction: narrow rewrite (no exchange) cuts file count, " +
+    "content lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val docs = Synthesizer.docs(spark, 500, 7L)
+      .select(col("doc_id"), to_json(col("spans")).as("spans_json"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/small")
+    def nFiles(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles(s"$dir/small") === 32)
+    val n = TableIO.compact(spark, s"$dir/small", s"$dir/out",
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(n === 1) // 500 tiny docs fit one 64 MB target file
+    assert(nFiles(s"$dir/out") === n)
+    // compaction must not pay a shuffle: the rewrite plan is exchange-free
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = spark.read.parquet(s"$dir/small").coalesce(n)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"compaction shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // lossless: every row survives the rewrite byte-identically
+    val a = spark.read.parquet(s"$dir/out").orderBy("doc_id").collect().toSeq
+    val b = docs.orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
 
 /** The driver's smoke check: SparkEntry.entry must return rows. */
