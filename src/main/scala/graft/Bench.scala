@@ -202,11 +202,19 @@ object Bench {
     // values > 1 mean the round's low phase was externally loaded, so
     // prefer the max among ≤1 rounds and fall back to the value closest
     // to 1 from above when every round's low phase was hit.
-    def headline(es: Seq[Double]): Double = {
-      val ok = es.filter(credible)
-      if (ok.nonEmpty) ok.max else es.min
-    }
     val cleanIdx = rounds.indices.filter(i => isClean(rounds(i)))
+    // Prefer values measured in probe-CLEAN rounds (both phases ran calm);
+    // only when no clean round produced a credible value fall back to the
+    // best credible value from any round, then to the overall minimum. A
+    // credible-but->1 value from a dirty round must not outrank a clean
+    // round's honest ≤1 measurement.
+    def headline(es: Seq[Double]): Double = {
+      val clean = cleanIdx.map(es).filter(credible)
+      val ok = es.filter(credible)
+      if (clean.nonEmpty) clean.max
+      else if (ok.nonEmpty) ok.max
+      else es.min
+    }
     val effHeadline = headline(roundEffRaw)
     val effHeadlineNorm = headline(roundEffNorm)
     val effHeadlineMid = headline(roundEffMid)

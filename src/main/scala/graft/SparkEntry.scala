@@ -143,6 +143,34 @@ object SparkEntry {
         .write.mode("overwrite").parquet(mmCostDumpPath(dir))
       graft.ops.PackingOps.packChunksCost(
         s.read.parquet(mmCostDumpPath(dir)), col("cost"), capacity = 1024)
+    }),
+    // checkpoint/resume driver-verified end to end (north_rule: "resumable
+    // from checkpoint with per-partition lineage + metrics"): run 1 CRASHES
+    // (injected) after 2 of 4 bucket groups; run 2 resumes from the
+    // manifest and executes ONLY the remaining groups. The rollup over the
+    // resumed sink must equal the straight single-job pipeline's — the
+    // oracle aggregates the x02 extraction dump, so any doc lost, doubled
+    // or altered across the crash/resume boundary fails the driver hash.
+    "x10_checkpoint_resume" -> ((s, dir) => {
+      val out = s"/tmp/graft_ckpt_driver_${docCountFor(dir)}"
+      new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+      dumpedResults(s, dir) // (re)write the dump the oracle reads
+      val docs = docTable(s, dir)
+      try new graft.pipe.CheckpointRunner(out, buckets = 32, groups = 4)
+        .run(docs, failAfterGroups = 2)
+      catch { case _: RuntimeException => } // the injected crash
+      val resumed = new graft.pipe.CheckpointRunner(out, buckets = 32,
+        groups = 4)
+      require(resumed.run(docs) == 2, "resume must execute only groups 2,3")
+      resumed.results(s).toDF()
+        .groupBy(col("document_type"), col("is_valid"))
+        .agg(count(lit(1)).as("doc_count"),
+             sum(round(col("ocr_accuracy_score") * 100)).cast("long")
+               .as("sum_ocr_cents"),
+             sum(size(col("spans"))).cast("long").as("sum_spans"),
+             sum(when(col("validation_error") =!= "", 1L).otherwise(0L))
+               .as("validation_failures"))
+        .orderBy(col("document_type"), col("is_valid"))
     })
   )
 
@@ -175,6 +203,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_count
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY document_type ORDER BY document_type""",
+      // the crash/resume path must reproduce the straight pipeline exactly:
+      // same oracle table as x02 (the single-job extraction dump)
+      "x10_checkpoint_resume" ->
+        s"""SELECT document_type, is_valid, count(*) AS doc_count,
+           CAST(sum(round(ocr_accuracy_score * 100)) AS BIGINT) AS sum_ocr_cents,
+           CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+           CAST(sum(CASE WHEN validation_error <> '' THEN 1 ELSE 0 END) AS BIGINT) AS validation_failures
+           FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
+           GROUP BY document_type, is_valid ORDER BY document_type, is_valid""",
       "x08_span_runs" ->
         s"""WITH s AS (SELECT doc_id, ord, kind
                FROM read_parquet('${spansDumpPath(dir)}/*.parquet')),
