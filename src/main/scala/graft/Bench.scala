@@ -15,6 +15,37 @@ import graft.pipe.ExtractionPipeline
   *
   * Prints ONE JSON line: metric/value/unit/queries/sf plus scaling extras.
   */
+/** Headline-efficiency selection, extracted for unit testing — the one
+  * piece of bench logic that decides the driver-visible scaling number
+  * (BenchSelectSpec pins the observed run-15/16 windows).
+  */
+object BenchSelect {
+  /** An N→4N efficiency > ~1 is not "great scaling" — it means the low
+    * phase was externally loaded; honest values live in (0, ~1]. */
+  def credible(e: Double): Boolean = e > 0 && e <= 1.05
+
+  /** Best per-round value, preferring probe-CLEAN rounds (both phases ran
+    * calm), then any credible round, then the overall minimum. A
+    * credible-but->1 value from a dirty round must not outrank a clean
+    * round's honest ≤1 measurement. */
+  def headline(es: Seq[Double], cleanIdx: Seq[Int]): Double = {
+    val clean = cleanIdx.map(es).filter(credible)
+    val ok = es.filter(credible)
+    if (clean.nonEmpty) clean.max
+    else if (ok.nonEmpty) ok.max
+    else es.min
+  }
+
+  /** Winning (basis, value) across the candidate N→4N pairs; falls back
+    * to the primary pair when no candidate is credible. */
+  def pick(cands: Seq[(String, Double)],
+           fallback: (String, Double)): (String, Double) = {
+    val ok = cands.filter(c => credible(c._2))
+    val w = if (ok.nonEmpty) ok.maxBy(_._2) else fallback
+    (s"best_credible_round(${w._1})", w._2)
+  }
+}
+
 object Bench {
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -166,9 +197,7 @@ object Bench {
       val env = math.min(r(lowCpus)._2 / r(cpus)._2, 1.0)
       effOf(lowCpus, cpus, r) / env
     }
-    // an efficiency > 1 is not "great scaling", it is a loaded low phase —
-    // credible values live in (0, ~1]
-    def credible(e: Double): Boolean = e > 0 && e <= 1.05
+    def credible(e: Double): Boolean = BenchSelect.credible(e)
     var retries = 0
     def contractMet: Boolean =
       (rounds.map(normOf) ++ rounds.map(effOf(midLow, lowCpus, _)))
@@ -203,18 +232,7 @@ object Bench {
     // prefer the max among ≤1 rounds and fall back to the value closest
     // to 1 from above when every round's low phase was hit.
     val cleanIdx = rounds.indices.filter(i => isClean(rounds(i)))
-    // Prefer values measured in probe-CLEAN rounds (both phases ran calm);
-    // only when no clean round produced a credible value fall back to the
-    // best credible value from any round, then to the overall minimum. A
-    // credible-but->1 value from a dirty round must not outrank a clean
-    // round's honest ≤1 measurement.
-    def headline(es: Seq[Double]): Double = {
-      val clean = cleanIdx.map(es).filter(credible)
-      val ok = es.filter(credible)
-      if (clean.nonEmpty) clean.max
-      else if (ok.nonEmpty) ok.max
-      else es.min
-    }
+    def headline(es: Seq[Double]): Double = BenchSelect.headline(es, cleanIdx)
     val effHeadline = headline(roundEffRaw)
     val effHeadlineNorm = headline(roundEffNorm)
     val effHeadlineMid = headline(roundEffMid)
@@ -224,15 +242,10 @@ object Bench {
     // quiet box they agree; under noisy-neighbor load the pair whose two
     // phases both ran calm is the meaningful one. The basis string names
     // the winning pair; every per-pair / per-round value stays in the JSON.
-    val (effBasis, effBest) = {
-      val cands = Seq(s"${lowCpus}->${cpus}" -> effHeadline,
-                      s"${midLow}->${lowCpus}" -> effHeadlineMid)
-      val ok = cands.filter(c => credible(c._2))
-      if (ok.nonEmpty) {
-        val w = ok.maxBy(_._2)
-        (s"best_credible_round(${w._1})", w._2)
-      } else (s"best_credible_round(${lowCpus}->${cpus})", effHeadline)
-    }
+    val (effBasis, effBest) = BenchSelect.pick(
+      Seq(s"${lowCpus}->${cpus}" -> effHeadline,
+          s"${midLow}->${lowCpus}" -> effHeadlineMid),
+      fallback = s"${lowCpus}->${cpus}" -> effHeadline)
 
     // --- final session: headline + per-query timings ----------------------
     val spark = newSession(cpus)

@@ -90,7 +90,13 @@ object TableIO {
     * rewrite (no exchange: compaction must not pay a shuffle; it only
     * merges splits). Returns the output file count. Row-group clustering
     * is `writePartitionedClustered`'s job — compose the two when both
-    * layout and file count need fixing. */
+    * layout and file count need fixing.
+    *
+    * Contract: `inPath` is ONE flat parquet directory (the census is
+    * non-recursive, matching how Spark writes an unpartitioned table).
+    * For a hive-partitioned layout, compact each `part=...` dir
+    * separately — per-partition compaction is also what keeps the rewrite
+    * incremental at 10^12 rows (only dirs with new small files pay). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 512L * 1024 * 1024): Int = {
     // Hadoop FS, not java.io: inPath is an HDFS/S3 prefix on a real cluster.

@@ -287,3 +287,42 @@ class PipelineFlagsSpec extends AnyFunSuite {
       Vector("blocks", "kind"))
   }
 }
+
+/** The headline-efficiency selector decides the driver-visible scaling
+  * number; these pin the two windows actually observed on this VM
+  * (BASELINE.md runs 15/16). */
+class BenchSelectSpec extends AnyFunSuite {
+  import graft.BenchSelect._
+
+  test("credible band is (0, 1.05]") {
+    assert(credible(0.8) && credible(1.0) && credible(1.05))
+    assert(!credible(1.06) && !credible(0.0) && !credible(-0.1))
+  }
+
+  test("run-16 window: clean round's honest value beats dirty >1 whipsaws") {
+    // eff_envelope_pair [0.584, 0.753, 0.821], clean=[true,false,false]
+    assert(headline(Seq(0.584, 0.753, 0.821), Seq(0)) === 0.584)
+    // eff_raw [0.757, 0.415, 0.165] → clean round wins
+    assert(headline(Seq(0.757, 0.415, 0.165), Seq(0)) === 0.757)
+    // normalized [1.204, 1.021, 0.362]: clean round's 1.204 NOT credible →
+    // falls back to best credible anywhere (1.021)
+    assert(headline(Seq(1.204, 1.021, 0.362), Seq(0)) === 1.021)
+  }
+
+  test("no clean round: best credible anywhere; none credible: minimum") {
+    assert(headline(Seq(1.523, 0.945, 1.133), Seq.empty) === 0.945)
+    assert(headline(Seq(1.2, 1.4), Seq.empty) === 1.2)
+  }
+
+  test("pick takes the best credible pair and names it") {
+    // run-15 shape after the clean-preference fix: 8->32 clean 0.724,
+    // 2->8 clean 0.874 → 2->8 wins
+    assert(pick(Seq("8->32" -> 0.724, "2->8" -> 0.874),
+      fallback = "8->32" -> 0.724) ===
+      ("best_credible_round(2->8)", 0.874))
+    // neither credible → fallback pair, value kept honest
+    assert(pick(Seq("8->32" -> 1.2, "2->8" -> 1.4),
+      fallback = "8->32" -> 1.2) ===
+      ("best_credible_round(8->32)", 1.2))
+  }
+}
