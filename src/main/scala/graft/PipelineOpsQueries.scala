@@ -224,6 +224,26 @@ object PipelineOpsQueries {
           s.read.parquet(multiBucketDumpPath(dir)), minCosine = 0.45)
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // CCNet-style line-level dedup stats: fixed 8-token blocks, a block is
+    // duplicated when its hash occurs >= 2 times corpus-wide; only 32-char
+    // hashes ever shuffle
+    "p41_line_dedup" -> ((s, dir) => DedupOps.lineDedupStats(docs(s, dir))),
+
+    // whitespace/control normalization over a deterministically-dirtied
+    // corpus (the clean corpus would make the op vacuous): junk planted by
+    // doc_id % 3, the oracle plants the identical junk and re-runs the
+    // identical RE2 chain
+    "p42_normalize_text" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("\t  "), col("text"), lit(" \t")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            regexp_replace(col("text"), " ", "  "))
+          .otherwise(concat(col("text"), lit("\u0007\u000b end"))).as("text"))
+      graft.ops.CorpusOps.normalizeText(aug)
     })
   )
 
@@ -891,6 +911,41 @@ object PipelineOpsQueries {
          JOIN embeddings eb ON eb.vec_id = c.vec_b
          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                       CAST(eb.embedding AS DOUBLE[])) >= 0.45
-         ORDER BY c.vec_a, c.vec_b"""
+         ORDER BY c.vec_a, c.vec_b""",
+    // fixed 8-token blocks; a block is duplicated when its md5 occurs >= 2
+    // times corpus-wide (slice clamping at the last partial block matches
+    // Spark's slice semantics)
+    "p41_line_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' ') AS toks
+                    FROM documents),
+         b AS (SELECT doc_id,
+                 unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS blk,
+                 toks FROM t),
+         blocks AS (SELECT doc_id,
+                 md5(array_to_string(toks[(blk*8 + 1):(blk*8 + 8)], ' ')) AS bh
+               FROM b),
+         occ AS (SELECT bh, count(*) AS occ FROM blocks GROUP BY bh)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_blocks
+         FROM blocks JOIN occ USING (bh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // identical junk plants (chr(9)=\t, chr(7)/chr(11) = the stripped
+    // controls) + the identical two-regexp normalize chain; 'g' because
+    // DuckDB's regexp_replace is first-match-only by default
+    "p42_normalize_text" ->
+      """WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN chr(9) || '  ' || text || ' ' || chr(9)
+                WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+                ELSE text || chr(7) || chr(11) || ' end' END AS raw
+           FROM documents),
+         n AS (SELECT doc_id, raw,
+           trim(regexp_replace(regexp_replace(raw,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm FROM aug)
+         SELECT doc_id, md5(norm) AS norm_hash,
+                CAST(length(norm) AS BIGINT) AS norm_len,
+                CAST(length(raw) - length(norm) AS BIGINT) AS n_removed
+         FROM n ORDER BY doc_id"""
   )
 }

@@ -341,6 +341,39 @@ object RelationalQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
+    }),
+
+    // grouping sets (CUBE): completes the family (ROLLUP=q21) — adds the
+    // per-priority slice a ROLLUP cannot express; one Expand + one keyed agg
+    "q34_cube_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_price_cents"))),
+
+    // correlated subqueries through Catalyst's decorrelation: EXISTS →
+    // left-semi, NOT EXISTS → left-anti, correlated scalar count(*) →
+    // aggregate + left-outer with the zero-on-no-match (COUNT-bug) fixup —
+    // all three become keyed joins, nothing per-row, which is the entire
+    // reason correlated SQL survives 10^12 rows
+    "q35_correlated_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST((SELECT count(*) FROM g_orders o2
+                     WHERE o2.o_custkey = c.c_custkey
+                       AND o2.o_orderpriority = '1-URGENT') AS BIGINT)
+                 AS n_urgent
+        FROM g_customer c
+        WHERE EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM g_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice < 5000)
+      """)
     })
   )
 
@@ -506,6 +539,24 @@ object RelationalQueries {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q34_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS sum_price_cents
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q35_correlated_exists" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+           CAST((SELECT count(*) FROM orders o2
+                 WHERE o2.o_custkey = c.c_custkey
+                   AND o2.o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice < 5000)
+         ORDER BY c.c_custkey"""
   )
 }

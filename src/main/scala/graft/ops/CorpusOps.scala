@@ -576,4 +576,24 @@ object CorpusOps {
             (lit(nBits) - length(bin(coalesce(col("gtf"), lit(1L))))))
           .cast("long").as("surprisal"))
   }
+
+  /** Text normalization (the ftfy/whitespace-cleanup stage every crawl
+    * pipeline runs before dedup): strip non-whitespace control characters,
+    * collapse whitespace runs to single spaces, trim. A pure
+    * regexp_replace chain — RE2-compatible patterns with identical
+    * semantics in DuckDB (`\x0B` is removed by the control-strip in both
+    * engines BEFORE the `\s` collapse, sidestepping the Java-vs-RE2
+    * disagreement on whether vertical tab is `\s`). Zero shuffles: the
+    * whole op runs inside the scan's WholeStageCodegen, so at 10^12 rows
+    * it is scan-bandwidth-bound. Output is hash+length per doc so the
+    * driver compare stays compact while pinning the exact normalized
+    * bytes. */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "\\s+", " "))
+    df.select(col("doc_id"),
+      md5(norm.cast("binary")).as("norm_hash"),
+      length(norm).cast("long").as("norm_len"),
+      (length(col(textCol)) - length(norm)).cast("long").as("n_removed"))
+  }
 }

@@ -365,6 +365,43 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** CCNet-style line-level exact-dedup stats: each doc is cut into
+    * fixed-`blockLen`-token blocks (the corpus has no newlines, so the
+    * block boundary stands in for the line boundary), every block is
+    * md5-hashed, and a block is "duplicated" when its hash occurs ≥
+    * `minOcc` times corpus-wide. Output: per doc, total blocks and
+    * duplicated blocks — the signal CCNet thresholds to drop boilerplate.
+    *
+    * Scale shape: one typed flatMap tokenizes each doc exactly once (the
+    * Column formulation would re-inline the tokenizer per array element —
+    * see shingleCounts), md5 is applied in the SAME narrow stage, so only
+    * (doc_id, 32-char hash) rows ever shuffle: once to count occurrences,
+    * once to join the counts back, once for the per-doc rollup. Raw text
+    * never crosses an exchange. Heavy boilerplate hashes skew the join
+    * key — AQE skew-join splits those partitions at scale. */
+  def lineDedupStats(df: DataFrame, blockLen: Int = 8,
+                     minOcc: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blocks = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        val n = (toks.length + blockLen - 1) / blockLen
+        Iterator.tabulate(n) { b =>
+          val hi = math.min(toks.length, (b + 1) * blockLen)
+          (id, toks.slice(b * blockLen, hi).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "block")
+      .select(col("doc_id"), md5(col("block").cast("binary")).as("bh"))
+    val occ = blocks.groupBy(col("bh")).agg(count(lit(1)).as("occ"))
+    blocks.join(occ, "bh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+           sum(when(col("occ") >= minOcc, 1L).otherwise(0L)).as("n_dup_blocks"))
+  }
 }
 
 /** Stable 64-bit string hashes (String.hashCode is 32-bit and JVM-pinned).

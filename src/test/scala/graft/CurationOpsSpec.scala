@@ -210,4 +210,42 @@ class CurationOpsSpec extends AnyFunSuite {
     // docs 0/1: 3 distinct 4-grams each, exactly one shared
     assert(got === Seq((0L, 3L, 1L), (1L, 3L, 1L), (2L, 2L, 0L)))
   }
+
+  test("lineDedupStats: fixed 8-token blocks, duplicated = hash occurs " +
+    ">= 2 times corpus-wide, last partial block clamps") {
+    import spark.implicits._
+    val eight = "a b c d e f g h"
+    val docs = Seq(
+      (0L, s"$eight i j k"),         // blocks: [eight], [i j k]
+      (1L, s"$eight z"),             // blocks: [eight], [z]
+      (2L, "i j k"),                 // block:  [i j k]  (full doc = block)
+      (3L, "p q r s t u v w")        // block:  unique
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.lineDedupStats(docs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // "a..h" occurs twice (docs 0,1); "i j k" occurs twice (docs 0,2)
+    assert(got === Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 1L),
+                       (3L, 1L, 0L)))
+  }
+
+  test("normalizeText strips controls, collapses whitespace, trims — " +
+    "and is byte-pinned via the md5") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "\t  hello   world \t"),        // junk whitespace everywhere
+      (1L, "clean text"),                   // already normal → n_removed 0
+      (2L, "mid\u0007dle\u000b  join\u007f ok") // controls + runs
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.normalizeText(docs)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0) === ((0L, md5hex("hello world"), 11L,
+      "\t  hello   world \t".length - 11L)))
+    assert(got(1) === ((1L, md5hex("clean text"), 10L, 0L)))
+    // controls removed in-place (no space inserted), runs collapsed
+    assert(got(2) === ((2L, md5hex("middle join ok"), 14L,
+      "mid\u0007dle\u000b  join\u007f ok".length - 14L)))
+  }
 }
