@@ -376,8 +376,10 @@ object DedupOps {
     * Scale shape: one typed flatMap tokenizes each doc exactly once (the
     * Column formulation would re-inline the tokenizer per array element —
     * see shingleCounts), md5 is applied in the SAME narrow stage, so only
-    * (doc_id, 32-char hash) rows ever shuffle: once to count occurrences,
-    * once to join the counts back, once for the per-doc rollup. Raw text
+    * (doc_id, 32-char hash) rows ever shuffle. The (doc_id, bh) partial
+    * count is the SHARED subtree of both downstream consumers (corpus-wide
+    * occurrence count, and the count-back join) — Catalyst's ReuseExchange
+    * makes the scan+flatMap run once, not once per consumer. Raw text
     * never crosses an exchange. Heavy boilerplate hashes skew the join
     * key — AQE skew-join splits those partitions at scale. */
   def lineDedupStats(df: DataFrame, blockLen: Int = 8,
@@ -396,11 +398,14 @@ object DedupOps {
       }
       .toDF("doc_id", "block")
       .select(col("doc_id"), md5(col("block").cast("binary")).as("bh"))
-    val occ = blocks.groupBy(col("bh")).agg(count(lit(1)).as("occ"))
-    blocks.join(occ, "bh")
+    val perDoc = blocks.groupBy(col("doc_id"), col("bh"))
+      .agg(count(lit(1)).as("cnt"))
+    val occ = perDoc.groupBy(col("bh")).agg(sum(col("cnt")).as("occ"))
+    perDoc.join(occ, "bh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_blocks"),
-           sum(when(col("occ") >= minOcc, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .agg(sum(col("cnt")).cast("long").as("n_blocks"),
+           sum(when(col("occ") >= minOcc, col("cnt")).otherwise(0L))
+             .cast("long").as("n_dup_blocks"))
   }
 }
 
