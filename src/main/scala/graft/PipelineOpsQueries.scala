@@ -244,7 +244,12 @@ object PipelineOpsQueries {
             regexp_replace(col("text"), " ", "  "))
           .otherwise(concat(col("text"), lit("\u0007\u000b end"))).as("text"))
       graft.ops.CorpusOps.normalizeText(aug)
-    })
+    }),
+
+    // BPE trainer iteration 0: corpus-wide adjacent character-pair counts
+    // within tokens, top-50 (n DESC, pair) — the argmax is the first merge
+    "p43_bpe_pairs" -> ((s, dir) =>
+      graft.ops.CorpusOps.bpePairCounts(docs(s, dir)))
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -946,6 +951,15 @@ object PipelineOpsQueries {
          SELECT doc_id, md5(norm) AS norm_hash,
                 CAST(length(norm) AS BIGINT) AS norm_len,
                 CAST(length(raw) - length(norm) AS BIGINT) AS n_removed
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+    // within-token adjacent char pairs, corpus-weighted; ties broken by
+    // pair so the top-50 cut is deterministic in both engines
+    "p43_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), ' '))
+                         AS tok FROM documents),
+         pairs AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair
+                   FROM toks, unnest(range(1, length(tok))) t(i))
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""
   )
 }

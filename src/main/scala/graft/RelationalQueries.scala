@@ -374,6 +374,40 @@ object RelationalQueries {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice < 5000)
       """)
+    }),
+
+    // UNPIVOT (melt): the inverse of q26's pivot — wide per-flag metrics
+    // back to (flag, metric, value) rows via Expand, no shuffle beyond the
+    // aggregation's own
+    "q36_unpivot_metrics" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_qty_c"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_price_c"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("n_items"), col("sum_qty_c"), col("sum_price_c")),
+        "metric", "value")
+    }),
+
+    // FULL OUTER join as a verified output (MergeOps uses one internally;
+    // this pins the null-on-either-side semantics directly): urgent-order
+    // counts vs high-value counts per customer — 22 left-only and ~195
+    // right-only rows at sf0.01, so both null sides are exercised
+    "q37_full_outer_counts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val u = o.where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+      val h = o.where(col("o_totalprice") > 300000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_high"))
+      u.as("u").join(h.as("h"),
+          col("u.o_custkey") === col("h.o_custkey"), "full_outer")
+        .select(
+          coalesce(col("u.o_custkey"), col("h.o_custkey")).as("custkey"),
+          coalesce(col("n_urgent"), lit(0L)).cast("long").as("n_urgent"),
+          coalesce(col("n_high"), lit(0L)).cast("long").as("n_high"))
     })
   )
 
@@ -557,6 +591,27 @@ object RelationalQueries {
            AND NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_totalprice < 5000)
-         ORDER BY c.c_custkey"""
+         ORDER BY c.c_custkey""",
+    "q36_unpivot_metrics" ->
+      """WITH wide AS (SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sum_qty_c,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sum_price_c
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, metric, value FROM wide
+         UNPIVOT (value FOR metric IN (n_items, sum_qty_c, sum_price_c))
+         ORDER BY l_returnflag, metric""",
+    "q37_full_outer_counts" ->
+      """WITH u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                    WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+         h AS (SELECT o_custkey, count(*) AS n_high FROM orders
+               WHERE o_totalprice > 300000 GROUP BY o_custkey)
+         SELECT COALESCE(u.o_custkey, h.o_custkey) AS custkey,
+                CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent,
+                CAST(COALESCE(h.n_high, 0) AS BIGINT) AS n_high
+         FROM u FULL OUTER JOIN h ON u.o_custkey = h.o_custkey
+         ORDER BY custkey"""
   )
 }

@@ -577,6 +577,39 @@ object CorpusOps {
           .cast("long").as("surprisal"))
   }
 
+  /** Adjacent-symbol-pair frequencies within whitespace tokens — the
+    * statistic a BPE tokenizer trainer computes each merge iteration (this
+    * is iteration 0 over the raw character alphabet; the argmax pair is
+    * the first merge). One typed pass per doc with a local pair→count hash
+    * map, so the shuffle carries (2-char pair, partial count) rows — the
+    * pair vocabulary is bounded by the alphabet², never by the corpus.
+    * Top-k via TakeOrderedAndProject (no global sort materialization). */
+  def bpePairCounts(df: DataFrame, topK: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("text")).as[String]
+      .flatMap { text =>
+        val m = new java.util.HashMap[String, Long]()
+        val toks = wsPat.split(text.trim)
+        var t = 0
+        while (t < toks.length) {
+          val tok = toks(t)
+          var i = 0
+          while (i < tok.length - 1) {
+            m.merge(tok.substring(i, i + 2), 1L, Long.box(_) + _)
+            i += 1
+          }
+          t += 1
+        }
+        import scala.jdk.CollectionConverters._
+        m.asScala.iterator.map { case (p, c) => (p, c) }
+      }
+      .toDF("pair", "cnt")
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Text normalization (the ftfy/whitespace-cleanup stage every crawl
     * pipeline runs before dedup): strip non-whitespace control characters,
     * collapse whitespace runs to single spaces, trim. A pure

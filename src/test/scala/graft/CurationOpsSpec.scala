@@ -228,6 +228,24 @@ class CurationOpsSpec extends AnyFunSuite {
                        (3L, 1L, 0L)))
   }
 
+  test("bpePairCounts matches the brute-force pair tally, " +
+    "layout-invariant") {
+    import spark.implicits._
+    val docs = docsDf(120).select(col("doc_id"), col("text"))
+    val expected = docs.as[(Long, String)].collect()
+      .flatMap { case (_, t) =>
+        t.trim.split("\\s+").flatMap(tok => tok.sliding(2).filter(_.length == 2))
+      }
+      .groupBy(identity).map { case (p, a) => (p, a.length.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = CorpusOps.bpePairCounts(docs, topK = 50)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expected)
+    val got2 = CorpusOps.bpePairCounts(docs.repartition(9), topK = 50)
+      .as[(String, Long)].collect().toSeq
+    assert(got2 === expected)
+  }
+
   test("normalizeText strips controls, collapses whitespace, trims — " +
     "and is byte-pinned via the md5") {
     import spark.implicits._
