@@ -249,7 +249,15 @@ object PipelineOpsQueries {
     // BPE trainer iteration 0: corpus-wide adjacent character-pair counts
     // within tokens, top-50 (n DESC, pair) — the argmax is the first merge
     "p43_bpe_pairs" -> ((s, dir) =>
-      graft.ops.CorpusOps.bpePairCounts(docs(s, dir)))
+      graft.ops.CorpusOps.bpePairCounts(docs(s, dir))),
+
+    // cross-source 4-gram overlap matrix (mixing-time contamination census)
+    "p44_source_overlap" -> ((s, dir) =>
+      graft.ops.CorpusOps.sourceOverlap(docs(s, dir))),
+
+    // deterministic epoch shuffle-sharding census (2 epochs × 16 shards)
+    "p45_epoch_shards" -> ((s, dir) =>
+      graft.ops.CorpusOps.epochShards(docs(s, dir)))
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -960,6 +968,36 @@ object PipelineOpsQueries {
          pairs AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair
                    FROM toks, unnest(range(1, length(tok))) t(i))
          SELECT pair, CAST(count(*) AS BIGINT) AS n
-         FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""
+         FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
+    // same masked-md5 gram hashes + per-doc distinct as the p27 oracle,
+    // distinct per source, df-cap <= 64 sources, self-join pair rollup
+    "p44_source_overlap" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT source, unnest(list_distinct(
+                  CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+3], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT source,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         d AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 64),
+         k AS (SELECT hs.source, hs.h FROM hs JOIN d USING (h))
+         SELECT l.source AS src_a, r.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM k l JOIN k r ON l.h = r.h AND l.source < r.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // shard = md5-low63("id:epoch") % 16 — identical arithmetic in DuckDB
+    "p45_epoch_shards" ->
+      """WITH sh AS (SELECT doc_id, e.epoch,
+             CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+                                   CAST(e.epoch AS VARCHAR))
+                  & 9223372036854775807 AS BIGINT) % 16 AS shard
+           FROM documents, (VALUES (0), (1)) e(epoch))
+         SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM sh GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

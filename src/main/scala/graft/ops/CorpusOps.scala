@@ -577,6 +577,57 @@ object CorpusOps {
           .cast("long").as("surprisal"))
   }
 
+  /** Inter-source w-gram overlap matrix — the cross-source duplication /
+    * contamination census run before mixing corpora: distinct (source,
+    * gram-hash) postings, a df cap dropping stop-grams present in more
+    * than `maxDf` sources (bounds the self-join fan-out at maxDf² per
+    * gram — p25's rule applied at source granularity; at web scale with
+    * millions of domains this cap is what keeps the pair count finite),
+    * then a hash-keyed self-join + pair rollup. Gram hashes are the same
+    * masked md5-low63 the decontamination oracle replicates; the shuffle
+    * carries only (source, 8-byte hash) — raw text never moves. The
+    * distinct-postings aggregate is the shared subtree of the df count
+    * and both self-join sides (ReuseExchange). */
+  def sourceOverlap(df: DataFrame, w: Int = 4, maxDf: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df.select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, text) =>
+        graft.ops.DedupOps.gramHashes(text, w).iterator.map(h => (src, h))
+      }
+      .toDF("source", "h").distinct()
+    val kept = grams.join(
+      grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select(col("h")), "h")
+    kept.as("l").join(kept.as("r"),
+        col("l.h") === col("r.h") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("src_a"), col("r.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic epoch shuffle-sharding — the data-ordering primitive
+    * for multi-epoch training: shard(doc, epoch) = md5-low63("id:epoch")
+    * mod nShards, a re-runnable engine-independent permutation per epoch
+    * with no global sort and no materialized order (each epoch's reader
+    * just filters its shard — a pure row-local predicate at 10^12 rows).
+    * Output is the per-(epoch, shard) census proving balance +
+    * membership. */
+  def epochShards(df: DataFrame, epochs: Int = 2,
+                  nShards: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        Iterator.tabulate(epochs) { e =>
+          (e.toLong, TextOps.md5Low63(id.toString + ":" + e) % nShards, id)
+        }
+      }
+      .toDF("epoch", "shard", "doc_id")
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).cast("long").as("sum_doc_id"))
+  }
+
   /** Adjacent-symbol-pair frequencies within whitespace tokens — the
     * statistic a BPE tokenizer trainer computes each merge iteration (this
     * is iteration 0 over the raw character alphabet; the argmax pair is
