@@ -408,6 +408,34 @@ object RelationalQueries {
           coalesce(col("u.o_custkey"), col("h.o_custkey")).as("custkey"),
           coalesce(col("n_urgent"), lit(0L)).cast("long").as("n_urgent"),
           coalesce(col("n_high"), lit(0L)).cast("long").as("n_high"))
+    }),
+
+    // semi-structured JSON extraction (events.props is a JSON string):
+    // get_json_object runs inside the scan's codegen — no UDF, no
+    // intermediate struct materialization; pushdown still prunes columns
+    "q38_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy(col("event_type"))),
+
+    // RANGE-frame sliding window (the frame family q24's running sum does
+    // not cover): per event, count/sum over the trailing hour by VALUE
+    // range — Spark's WindowExec slides two pointers per partition, O(n)
+    // per user after the single user-keyed exchange
+    "q39_rolling_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).cast("long").as("sum_cents_1h"))
     })
   )
 
@@ -612,6 +640,24 @@ object RelationalQueries {
                 CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent,
                 CAST(COALESCE(h.n_high, 0) AS BIGINT) AS n_high
          FROM u FULL OUTER JOIN h ON u.o_custkey = h.o_custkey
-         ORDER BY custkey"""
+         ORDER BY custkey""",
+    "q38_json_extract" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+         CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          > 50 THEN 1 END) AS BIGINT) AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q39_rolling_window" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events)
+         SELECT user_id, event_id,
+                CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id"""
   )
 }

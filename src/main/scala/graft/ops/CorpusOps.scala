@@ -586,16 +586,23 @@ object CorpusOps {
     * then a hash-keyed self-join + pair rollup. Gram hashes are the same
     * masked md5-low63 the decontamination oracle replicates; the shuffle
     * carries only (source, 8-byte hash) — raw text never moves. The
-    * distinct-postings aggregate is the shared subtree of the df count
-    * and both self-join sides (ReuseExchange). */
-  def sourceOverlap(df: DataFrame, w: Int = 4, maxDf: Int = 64): DataFrame = {
+    * distinct postings table feeds the df count AND both self-join sides;
+    * exchange reuse does not fire across object-operator subtrees
+    * (measured: four scans without `materialize`). Recompute is the small-
+    * SF default; at 10^12 rows pass `materialize = true` — one lazy
+    * localCheckpoint of the postings (the table a production pipeline
+    * would persist to the lake anyway) replaces the extra corpus scans.
+    * Output is identical either way (spec-pinned). */
+  def sourceOverlap(df: DataFrame, w: Int = 4, maxDf: Int = 64,
+                    materialize: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val grams = df.select(col("source"), col("text")).as[(String, String)]
+    val gramsRaw = df.select(col("source"), col("text")).as[(String, String)]
       .flatMap { case (src, text) =>
         graft.ops.DedupOps.gramHashes(text, w).iterator.map(h => (src, h))
       }
       .toDF("source", "h").distinct()
+    val grams = if (materialize) gramsRaw.localCheckpoint(false) else gramsRaw
     val kept = grams.join(
       grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf).select(col("h")), "h")

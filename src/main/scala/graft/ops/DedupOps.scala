@@ -376,14 +376,20 @@ object DedupOps {
     * Scale shape: one typed flatMap tokenizes each doc exactly once (the
     * Column formulation would re-inline the tokenizer per array element —
     * see shingleCounts), md5 is applied in the SAME narrow stage, so only
-    * (doc_id, 32-char hash) rows ever shuffle. The (doc_id, bh) partial
-    * count is the SHARED subtree of both downstream consumers (corpus-wide
-    * occurrence count, and the count-back join) — Catalyst's ReuseExchange
-    * makes the scan+flatMap run once, not once per consumer. Raw text
+    * (doc_id, 32-char hash) rows ever shuffle. The distinct (doc_id, bh)
+    * count table feeds BOTH downstream consumers (corpus-wide occurrence
+    * count, and the count-back join); exchange reuse does NOT fire across
+    * object-operator subtrees (measured: two scans without
+    * `materialize`). At small SF the narrow re-tokenize is cheaper than
+    * materializing, so recompute is the default; at 10^12 rows pass
+    * `materialize = true` — one lazy localCheckpoint of the (doc_id, bh,
+    * cnt) table (the postings table a production pipeline would write to
+    * the lake anyway, p08/p13/p40's dump pattern) replaces the second
+    * corpus scan. Output is identical either way (spec-pinned). Raw text
     * never crosses an exchange. Heavy boilerplate hashes skew the join
     * key — AQE skew-join splits those partitions at scale. */
   def lineDedupStats(df: DataFrame, blockLen: Int = 8,
-                     minOcc: Int = 2): DataFrame = {
+                     minOcc: Int = 2, materialize: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val blocks = df.select(col("doc_id").cast("long"), col("text"))
@@ -398,8 +404,9 @@ object DedupOps {
       }
       .toDF("doc_id", "block")
       .select(col("doc_id"), md5(col("block").cast("binary")).as("bh"))
-    val perDoc = blocks.groupBy(col("doc_id"), col("bh"))
+    val perDocRaw = blocks.groupBy(col("doc_id"), col("bh"))
       .agg(count(lit(1)).as("cnt"))
+    val perDoc = if (materialize) perDocRaw.localCheckpoint(false) else perDocRaw
     val occ = perDoc.groupBy(col("bh")).agg(sum(col("cnt")).as("occ"))
     perDoc.join(occ, "bh")
       .groupBy(col("doc_id"))

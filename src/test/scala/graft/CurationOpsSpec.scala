@@ -228,6 +228,39 @@ class CurationOpsSpec extends AnyFunSuite {
                        (3L, 1L, 0L)))
   }
 
+  test("sourceOverlap df cap drops stop-grams present in > maxDf sources") {
+    import spark.implicits._
+    // gram "a b c" in 3 sources; "x y z" in 2; "p q r" unique
+    val docs = Seq(
+      ("s1", "a b c"), ("s2", "a b c"), ("s3", "a b c"),
+      ("s1", "x y z"), ("s2", "x y z"), ("s3", "p q r")
+    ).toDF("source", "text")
+    // cap 2: only "x y z" survives → exactly the (s1, s2) pair
+    val capped = CorpusOps.sourceOverlap(docs, w = 3, maxDf = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(capped === Seq(("s1", "s2", 1L)))
+    // cap 3: the stop-gram contributes all three pairs too
+    val open = CorpusOps.sourceOverlap(docs, w = 3, maxDf = 3)
+      .orderBy("src_a", "src_b").as[(String, String, Long)].collect().toSeq
+    assert(open === Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
+  test("lineDedupStats / sourceOverlap: materialize=true (the 10^12 " +
+    "single-scan path) is output-identical to the recompute default") {
+    val docs = docsDf(200)
+    val a = graft.ops.DedupOps.lineDedupStats(docs)
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.ops.DedupOps.lineDedupStats(docs, materialize = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val c = CorpusOps.sourceOverlap(docs, w = 3)
+      .orderBy("src_a", "src_b").collect().toSeq
+    val d = CorpusOps.sourceOverlap(docs, w = 3, materialize = true)
+      .orderBy("src_a", "src_b").collect().toSeq
+    assert(c === d)
+    assert(c.nonEmpty)
+  }
+
   test("bpePairCounts matches the brute-force pair tally, " +
     "layout-invariant") {
     import spark.implicits._
