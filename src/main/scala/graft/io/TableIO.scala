@@ -81,6 +81,24 @@ object TableIO {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL ingest with corrupt-record ROUTING — at 10^12 rows malformed
+    * lines are a certainty, FAILFAST kills the job and DROPMALFORMED
+    * silently loses data, so the production mode is PERMISSIVE with the
+    * raw line preserved in `_corrupt_record`: good rows parse, bad rows
+    * carry their original bytes for a quarantine sink + replay. Callers
+    * split on `_corrupt_record IS NULL`. Spark caveat (spec-pinned): a
+    * query referencing ONLY the corrupt column is disallowed over the raw
+    * relation — always keep at least one data column in the projection
+    * (or route via a partitioned sink). */
+  def readJsonlFlagged(spark: SparkSession, path: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Small-file COMPACTION — the Iceberg `rewrite_data_files` analogue and
     * the table-maintenance step every long-running ingest needs: streaming
     * micro-batches and per-task writers leave thousands of KB-sized files,

@@ -552,6 +552,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jsonl corrupt-record routing: bad lines flagged with their raw " +
+    "bytes, good lines parse; corrupt-only projection is the pinned trap") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_io_bad").toString
+    val lines = Seq(
+      """{"id": 1, "name": "ok1"}""",
+      """{"id": 2, "name": "ok2"}""",
+      """{"id": 3, "name": """, // truncated mid-object
+      """not json at all""",
+      """{"id": 4, "name": "ok3"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val flagged = graft.io.TableIO.readJsonlFlagged(spark, base, schema)
+    val good = flagged.where(col("_corrupt_record").isNull)
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(good === Seq((1L, "ok1"), (2L, "ok2"), (4L, "ok3")))
+    // quarantine rows carry the ORIGINAL line for replay (keep a data
+    // column in the projection — corrupt-only queries are disallowed)
+    val bad = flagged.where(col("_corrupt_record").isNotNull)
+      .select(col("id"), col("_corrupt_record"))
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(bad === lines.slice(2, 4).sorted)
+  }
+
   test("salted skew join: row-identical to the plain join, heavy key spread") {
     // key 7 carries 60% of probe rows (the skew); dim is small
     val probe = ((1L to 600L).map(i => (7L, i)) ++
