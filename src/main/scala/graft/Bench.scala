@@ -37,12 +37,16 @@ object BenchSelect {
   }
 
   /** Winning (basis, value) across the candidate N→4N pairs; falls back
-    * to the primary pair when no candidate is credible. */
+    * to the primary pair when no candidate is credible — labelled
+    * `fallback(...)` so a JSON reader can tell an honest selection from a
+    * whipsaw round where nothing passed the credibility band. */
   def pick(cands: Seq[(String, Double)],
            fallback: (String, Double)): (String, Double) = {
     val ok = cands.filter(c => credible(c._2))
-    val w = if (ok.nonEmpty) ok.maxBy(_._2) else fallback
-    (s"best_credible_round(${w._1})", w._2)
+    if (ok.nonEmpty) {
+      val w = ok.maxBy(_._2)
+      (s"best_credible_round(${w._1})", w._2)
+    } else (s"fallback(${fallback._1})", fallback._2)
   }
 }
 

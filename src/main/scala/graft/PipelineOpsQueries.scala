@@ -929,7 +929,7 @@ object PipelineOpsQueries {
     // times corpus-wide (slice clamping at the last partial block matches
     // Spark's slice semantics)
     "p41_line_dedup" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                     FROM documents),
          b AS (SELECT doc_id,
                  unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS blk,
@@ -963,7 +963,7 @@ object PipelineOpsQueries {
     // within-token adjacent char pairs, corpus-weighted; ties broken by
     // pair so the top-50 cut is deterministic in both engines
     "p43_bpe_pairs" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), ' '))
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
                          AS tok FROM documents),
          pairs AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair
                    FROM toks, unnest(range(1, length(tok))) t(i))

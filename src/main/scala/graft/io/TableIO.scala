@@ -93,8 +93,9 @@ object TableIO {
   def readJsonlFlagged(spark: SparkSession, path: String,
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read
-      .schema(schema.add("_corrupt_record",
-        org.apache.spark.sql.types.StringType))
+      .schema(if (schema.fieldNames.contains("_corrupt_record")) schema
+              else schema.add("_corrupt_record",
+                org.apache.spark.sql.types.StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)

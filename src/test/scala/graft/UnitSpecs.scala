@@ -320,9 +320,9 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(pick(Seq("8->32" -> 0.724, "2->8" -> 0.874),
       fallback = "8->32" -> 0.724) ===
       ("best_credible_round(2->8)", 0.874))
-    // neither credible → fallback pair, value kept honest
+    // neither credible → fallback pair, value kept honest, label says so
     assert(pick(Seq("8->32" -> 1.2, "2->8" -> 1.4),
       fallback = "8->32" -> 1.2) ===
-      ("best_credible_round(8->32)", 1.2))
+      ("fallback(8->32)", 1.2))
   }
 }
