@@ -33,6 +33,9 @@ object PipelineOpsQueries {
   def multiBucketDumpPath(dir: String): String =
     s"/tmp/graft_lsh_multi_${SparkEntry.docCountFor(dir)}"
 
+  def lshRecallDumpPath(dir: String): String =
+    s"/tmp/graft_lsh_recall_${SparkEntry.docCountFor(dir)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -257,7 +260,31 @@ object PipelineOpsQueries {
 
     // deterministic epoch shuffle-sharding census (2 epochs × 16 shards)
     "p45_epoch_shards" -> ((s, dir) =>
-      graft.ops.CorpusOps.epochShards(docs(s, dir)))
+      graft.ops.CorpusOps.epochShards(docs(s, dir))),
+
+    // LSH candidate-RECALL measurement (completes the sketch-validation
+    // family p35/p37 started): deliberately weak parameters — ONE band of
+    // 16 rows gives per-pair recall j^16 ≈ 0.61–0.85 on this corpus's
+    // j=0.90–0.99 planted near-dups, so the number is non-trivial;
+    // candidates are dumped and the oracle recounts hits against its own
+    // exact-Jaccard pair set
+    "p46_lsh_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      DedupOps.minhashCandidates(d, w = 3, bands = 1, rowsPerBand = 16)
+        .write.mode("overwrite").parquet(lshRecallDumpPath(dir))
+      val cands = s.read.parquet(lshRecallDumpPath(dir))
+        .withColumn("is_cand", lit(1L))
+      val exact = DedupOps.exactJaccardPairs(d, w = 3, minJaccardPct = 60)
+        .select(col("doc_a"), col("doc_b")).withColumn("is_exact", lit(1L))
+      exact.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("is_exact"), lit(0L))).cast("long").as("n_exact"),
+             sum(coalesce(col("is_cand"), lit(0L))).cast("long").as("n_candidates"),
+             sum(when(col("is_exact") === 1L && col("is_cand") === 1L, 1L)
+               .otherwise(0L)).cast("long").as("n_hits"))
+        .select(col("n_exact"), col("n_candidates"), col("n_hits"),
+          expr("(n_hits * 100) div n_exact").as("recall_pct"))
+    })
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -998,6 +1025,35 @@ object PipelineOpsQueries {
          SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-         FROM sh GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM sh GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact pairs recomputed at threshold 60 (p22's machinery); candidates
+    // read from the engine dump; recall counted by the oracle itself
+    "p46_lsh_recall" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                        FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         exact AS (SELECT doc_a, doc_b FROM pairs
+                   WHERE n_inter * 100 >= (na + nb - n_inter) * 60),
+         cand AS (SELECT doc_a, doc_b
+                  FROM read_parquet('${lshRecallDumpPath(dir)}/*.parquet')),
+         hit AS (SELECT * FROM exact JOIN cand USING (doc_a, doc_b))
+         SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+                CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+                CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hits,
+                CAST(((SELECT count(*) FROM hit) * 100)
+                     // (SELECT count(*) FROM exact) AS BIGINT) AS recall_pct"""
   )
 }

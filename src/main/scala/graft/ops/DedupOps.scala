@@ -124,6 +124,23 @@ object DedupOps {
     }
   }
 
+  /** LSH candidate pairs only (no verification) — the banded self-join
+    * shared by `minhashLsh` and the recall-measurement query (p46).
+    * Shuffle payload is the 24-byte (doc_id, band_id, band_key) row. */
+  def minhashCandidates(df: DataFrame, w: Int = 3, bands: Int = 32,
+                        rowsPerBand: Int = 3): DataFrame = {
+    val banded = minhashBands(df, w, bands, rowsPerBand)
+      .select(col("doc_id"),
+        posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
+    // bucket join → unordered candidate pairs (a < b), deduped across bands
+    banded.as("l").join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Scale topology (the part that survives 100×): the banded self-join
@@ -147,18 +164,7 @@ object DedupOps {
   def minhashLsh(df: DataFrame, w: Int = 3, bands: Int = 32,
                  rowsPerBand: Int = 3, minJaccardPct: Int = 60,
                  broadcastVerify: Boolean = true): DataFrame = {
-    val banded = minhashBands(df, w, bands, rowsPerBand)
-      .select(col("doc_id"),
-        posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
-
-    // bucket join → unordered candidate pairs (a < b), deduped across bands;
-    // shuffle payload is the 24-byte band row, nothing else
-    val candidates = banded.as("l").join(banded.as("r"),
-        col("l.band_id") === col("r.band_id") &&
-        col("l.band_key") === col("r.band_key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val candidates = minhashCandidates(df, w, bands, rowsPerBand)
 
     // exact verify: fetch shingle sets for candidates only, Jaccard as
     // integer intersection/union sizes. The candidate side is broadcast so
