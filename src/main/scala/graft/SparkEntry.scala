@@ -73,6 +73,9 @@ object SparkEntry {
   def mmCostDumpPath(dir: String): String =
     s"/tmp/graft_mm_cost_dump_${docCountFor(dir)}"
 
+  def spanAuditDumpPath(dir: String): String =
+    s"/tmp/graft_span_audit_${docCountFor(dir)}"
+
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
     * extraction itself stays parity-gated (ReferenceParitySpec), the
@@ -171,6 +174,26 @@ object SparkEntry {
              sum(when(col("validation_error") =!= "", 1L).otherwise(0L))
                .as("validation_failures"))
         .orderBy(col("document_type"), col("is_valid"))
+    }),
+    // span-contract audit (the write-time validation an Iceberg committer
+    // enforces on the interleaved payload): corruption planted
+    // deterministically — doc%7==3 gets its span array REVERSED, doc%7==5
+    // gets its media-span offsets negated — then the audit counts order/
+    // negative-offset violations per doc. The corrupted offsets are dumped
+    // so the oracle recomputes the audit itself with window functions.
+    "x11_span_audit" -> ((s, dir) => {
+      import s.implicits._
+      val corrupted = docTable(s, dir).map { d =>
+        val n = d.doc_id.stripPrefix("doc-").toLong
+        if (n % 7 == 3) d.copy(spans = d.spans.reverse)
+        else if (n % 7 == 5)
+          d.copy(spans = d.spans.map(sp =>
+            if (sp.kind == "media") sp.copy(offset = -sp.offset - 1) else sp))
+        else d
+      }
+      graft.ops.InterleaveOps.spanOffsetDump(corrupted)
+        .write.mode("overwrite").parquet(spanAuditDumpPath(dir))
+      graft.ops.InterleaveOps.spanAudit(corrupted)
     })
   )
 
@@ -212,6 +235,23 @@ object SparkEntry {
            CAST(sum(CASE WHEN validation_error <> '' THEN 1 ELSE 0 END) AS BIGINT) AS validation_failures
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY document_type, is_valid ORDER BY document_type, is_valid""",
+      // the audit recomputed from the dumped (doc_id, ord, offset) rows —
+      // any disagreement between the engine's row-local pass and the
+      // window-function formulation fails the driver hash
+      "x11_span_audit" ->
+        s"""WITH s AS (SELECT doc_id, ord, "offset"
+               FROM read_parquet('${spanAuditDumpPath(dir)}/*.parquet')),
+           v AS (SELECT doc_id,
+               CASE WHEN lag("offset") OVER w IS NOT NULL
+                    AND "offset" <= lag("offset") OVER w THEN 1 ELSE 0 END AS viol,
+               CASE WHEN "offset" < 0 THEN 1 ELSE 0 END AS neg
+             FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(viol) AS BIGINT) AS n_order_violations,
+                  CAST(sum(neg) AS BIGINT) AS n_negative_offsets,
+                  CAST(CASE WHEN sum(viol) = 0 AND sum(neg) = 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_wellformed
+           FROM v GROUP BY doc_id ORDER BY doc_id""",
       "x08_span_runs" ->
         s"""WITH s AS (SELECT doc_id, ord, kind
                FROM read_parquet('${spansDumpPath(dir)}/*.parquet')),

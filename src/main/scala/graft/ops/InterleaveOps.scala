@@ -63,6 +63,42 @@ object InterleaveOps {
     }.toDF("doc_id", "ord", "kind")
   }
 
+  /** Exploded (doc_id, ord, offset) rows — x11's oracle recomputes the
+    * audit below from this dump with window functions. */
+  def spanOffsetDump(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val id = d.doc_id.stripPrefix("doc-").toLong
+      d.spans.iterator.zipWithIndex.map { case (s, i) =>
+        (id, i.toLong, s.offset.toLong)
+      }
+    }.toDF("doc_id", "ord", "offset")
+  }
+
+  /** Span-CONTRACT audit over the interleaved payload — the ingestion-time
+    * validation an Iceberg writer enforces before committing a snapshot:
+    * per doc, offset-monotonicity violations (offset[i] ≤ offset[i-1] in
+    * span order) and negative offsets, plus a well-formed verdict. One
+    * row-local pass; like every op in this file the structure never
+    * explodes into a shuffle. */
+  def spanAudit(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      var viol = 0L; var neg = 0L
+      var prev = Long.MinValue
+      d.spans.foreach { s =>
+        if (s.offset <= prev) viol += 1
+        prev = s.offset
+        if (s.offset < 0) neg += 1
+      }
+      (d.doc_id.stripPrefix("doc-").toLong, d.spans.size.toLong, viol, neg,
+        if (viol == 0 && neg == 0) 1L else 0L)
+    }.toDF("doc_id", "n_spans", "n_order_violations", "n_negative_offsets",
+      "is_wellformed")
+  }
+
   /** Per-doc MULTIMODAL packing cost: whitespace tokens of the text spans
     * plus `mediaTokens` per media span (a vision encoder emits a fixed
     * patch-token budget per image — 64 here). One typed pass; feeds
