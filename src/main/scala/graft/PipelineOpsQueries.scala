@@ -284,7 +284,16 @@ object PipelineOpsQueries {
                .otherwise(0L)).cast("long").as("n_hits"))
         .select(col("n_exact"), col("n_candidates"), col("n_hits"),
           expr("(n_hits * 100) div n_exact").as("recall_pct"))
-    })
+    }),
+
+    // quantile-sketch validation: deterministic bottom-k-by-hash sample
+    // (TakeOrderedAndProject = map-side bounded heap) estimates rank
+    // quantiles of n_chars; exact side runs over the DISTINCT-value domain,
+    // never a global row sort. Integer arithmetic end-to-end so the oracle
+    // replicates bit-for-bit. Completes the sketch family (p35 HLL
+    // cardinality, p37 CMS frequency, p47 rank/quantile).
+    "p47_quantile_validate" -> ((s, dir) =>
+      graft.ops.CorpusOps.quantileValidate(docs(s, dir)))
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -1054,6 +1063,32 @@ object PipelineOpsQueries {
                 CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
                 CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hits,
                 CAST(((SELECT count(*) FROM hit) * 100)
-                     // (SELECT count(*) FROM exact) AS BIGINT) AS recall_pct"""
+                     // (SELECT count(*) FROM exact) AS BIGINT) AS recall_pct""",
+    // quantile validation replica: same bottom-256-by-md5 sample, same
+    // integer rank rule ceil(q·n/100) = (q·n + 99) // 100 on both sides
+    "p47_quantile_validate" ->
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(n_chars AS BIGINT) AS value,
+                md5_number_lower(CAST(doc_id AS VARCHAR) || '|qtl')
+                  & 9223372036854775807 AS h
+              FROM documents),
+         fullr AS (SELECT value,
+             CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS rn FROM v),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM v),
+         samp AS (SELECT value FROM v ORDER BY h, id LIMIT 256),
+         sr AS (SELECT value,
+             CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS rn FROM samp),
+         ks AS (SELECT CAST(count(*) AS BIGINT) AS k_sample FROM samp),
+         qs AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS q),
+         ex AS (SELECT q, n_total, value AS exact_val
+                FROM qs CROSS JOIN nt CROSS JOIN fullr
+                WHERE fullr.rn = (q * n_total + 99) // 100),
+         es AS (SELECT q, k_sample, value AS est_val
+                FROM qs CROSS JOIN ks CROSS JOIN sr
+                WHERE sr.rn = (q * k_sample + 99) // 100)
+         SELECT ex.q, n_total, k_sample, exact_val, est_val,
+                CAST(abs(est_val - exact_val) * 1000
+                     // greatest(exact_val, 1) AS BIGINT) AS err_permille
+         FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q"""
   )
 }

@@ -687,4 +687,55 @@ object CorpusOps {
       length(norm).cast("long").as("norm_len"),
       (length(col(textCol)) - length(norm)).cast("long").as("n_removed"))
   }
+
+  /** Quantile-sketch validation (p47) — completes the sketch-validation
+    * family (cardinality = p35 HLL, frequency = p37 CMS, rank/quantile =
+    * this). A deterministic bottom-k-by-hash sample IS a mergeable quantile
+    * sketch: Spark plans `orderBy(h, id).limit(k)` as TakeOrderedAndProject
+    * (bounded k-row heap per partition + one k-row driver merge — the same
+    * shape a 1000-executor run keeps), and the sample's value at rank
+    * ceil(q·k/100) estimates the population's rank-ceil(q·n/100) quantile.
+    * The exact side never globally sorts the corpus: `groupBy(value)`
+    * (map-side combine) collapses to one row per DISTINCT value and the
+    * running-count window walks that bounded domain (≤ max doc length),
+    * not the 10^12 rows — "value at rank r" = smallest value whose
+    * cumulative count reaches r, identical to SQL's row_number pick under
+    * ties. All arithmetic is integer (rank = (q·n + 99) div 100,
+    * err_permille = |est − exact|·1000 div exact) so DuckDB replicates the
+    * output bit-for-bit. */
+  def quantileValidate(df: DataFrame, k: Int = 256,
+                       qs: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col("doc_id").cast("long").as("id"),
+      col("n_chars").cast("long").as("value"))
+    val sample = v.as[(Long, Long)]
+      .map { case (id, n) => (TextOps.md5Low63(id.toString + "|qtl"), id, n) }
+      .toDF("h", "id", "value")
+      .orderBy(col("h"), col("id")).limit(k)
+      .select(col("value"))
+    // value at rank ceil(q·n/100) over a (distinct value → count) table
+    def valueAtQuantiles(vals: DataFrame, valName: String,
+                         totName: String): DataFrame = {
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vals.groupBy(col("value")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+      val tot = cum.agg(max(col("cum")).as("n"))
+      val qdf = qs.map(_.toLong).toDF("q")
+      cum.crossJoin(tot).crossJoin(qdf)
+        .withColumn("rk", expr("(q * n + 99) div 100"))
+        .filter(col("cum") >= col("rk") && col("cum") - col("c") < col("rk"))
+        .select(col("q"), col("n").as(totName), col("value").as(valName))
+    }
+    val exact = valueAtQuantiles(v.select(col("value")), "exact_val", "n_total")
+    val est = valueAtQuantiles(sample, "est_val", "k_sample")
+    exact.join(est, "q")
+      .withColumn("err_permille",
+        expr("(abs(est_val - exact_val) * 1000) div greatest(exact_val, 1)"))
+      .select(col("q"), col("n_total"), col("k_sample"), col("exact_val"),
+        col("est_val"), col("err_permille"))
+      .orderBy(col("q"))
+  }
 }

@@ -113,6 +113,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows2 === rows)
   }
 
+  test("quantileValidate: sample estimate and exact side match the " +
+    "brute-force rank rule; bottom-k plans as TakeOrderedAndProject; " +
+    "layout-invariant") {
+    import spark.implicits._
+    val docs = docsDf(400)
+    val q = CorpusOps.quantileValidate(docs, k = 64)
+    assert(q.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      "bottom-k-by-hash must plan as a bounded per-partition heap")
+    val rows = q.as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val vals = docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect()
+    val sortedAll = vals.map(_._2).sorted
+    val samp = vals
+      .sortBy { case (id, _) => (graft.ops.TextOps.md5Low63(id.toString + "|qtl"), id) }
+      .take(64).map(_._2).sorted
+    def rk(q: Long, n: Int): Int = ((q * n + 99) / 100).toInt
+    assert(rows.map(_._1).toSeq === Seq(25L, 50L, 75L, 90L))
+    rows.foreach { case (qq, nTot, kS, exact, est, err) =>
+      assert(nTot === vals.length.toLong)
+      assert(kS === 64L)
+      assert(exact === sortedAll(rk(qq, vals.length) - 1))
+      assert(est === samp(rk(qq, 64) - 1))
+      assert(err === math.abs(est - exact) * 1000 / math.max(exact, 1L))
+    }
+    val rows2 = CorpusOps.quantileValidate(docs.repartition(9), k = 64)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows2 === rows)
+  }
+
   test("surprisalScores matches the brute-force per-doc computation") {
     import spark.implicits._
     val docs = docsDf(150).select(col("doc_id"), col("text"))
