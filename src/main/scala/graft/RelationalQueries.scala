@@ -436,6 +436,23 @@ object RelationalQueries {
       ev.select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_1h"),
         sum(col("cents")).over(w).cast("long").as("sum_cents_1h"))
+    }),
+
+    // LATERAL explode with ordinality (posexplode) — the row-generator
+    // surface the relational checklist was missing: token positions fan
+    // out row-locally inside Generate, then the hash aggregate's partial
+    // (map-side combine) runs in the SAME stage, so only (token, partial)
+    // rows ever shuffle — never the exploded positions themselves
+    "q40_lateral_positions" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("pos").cast("long") + 1L).as("min_pos"))
+        .filter(col("n_occ") >= 5)
+        .orderBy(col("token"))
     })
   )
 
@@ -658,6 +675,17 @@ object RelationalQueries {
          FROM ev
          WINDOW w AS (PARTITION BY user_id ORDER BY us
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-         ORDER BY user_id, event_id"""
+         ORDER BY user_id, event_id""",
+    // LATERAL-with-ordinality replica: DuckDB zips equal-length unnests in
+    // one SELECT (token ↔ 1-based position), same '\s+' tokenize convention
+    "q40_lateral_positions" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         flat AS (SELECT doc_id, unnest(tk) AS token,
+                    unnest(range(1, len(tk) + 1)) AS pos FROM toks)
+         SELECT token, CAST(count(*) AS BIGINT) AS n_occ,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(min(pos) AS BIGINT) AS min_pos
+         FROM flat GROUP BY token HAVING count(*) >= 5 ORDER BY token"""
   )
 }

@@ -76,6 +76,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["), s"global sort crept in:\n$plan")
   }
 
+  test("q40 lateral positions: exploded rows never shuffle — the partial " +
+    "aggregate combines inside the Generate stage") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val df = RelationalQueries.queries("q40_lateral_positions")(spark, dir)
+    val plan = staticPlan(df)
+    val genStages = plan.collect { case e: ShuffleExchangeExec
+      if e.child.collect { case g: GenerateExec => g }.nonEmpty &&
+         e.child.collect { case s: ShuffleExchangeExec => s }.isEmpty => e }
+    assert(genStages.size === 1, s"plan:\n$plan")
+    assert(genStages.head.child.collect { case h: HashAggregateExec => h }.nonEmpty,
+      s"raw exploded rows reach the shuffle:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("p23 tfidf top-k: idf and query sides broadcast; no cartesian") {
     val df = graft.ops.CorpusOps.tfidfTopK(
       spark.read.parquet(s"$dir/documents.parquet"), numQueries = 3, k = 5)
