@@ -76,6 +76,9 @@ object SparkEntry {
   def spanAuditDumpPath(dir: String): String =
     s"/tmp/graft_span_audit_${docCountFor(dir)}"
 
+  def renderDumpPath(dir: String): String =
+    s"/tmp/graft_render_dump_${docCountFor(dir)}"
+
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
     * extraction itself stays parity-gated (ReferenceParitySpec), the
@@ -194,6 +197,17 @@ object SparkEntry {
       graft.ops.InterleaveOps.spanOffsetDump(corrupted)
         .write.mode("overwrite").parquet(spanAuditDumpPath(dir))
       graft.ops.InterleaveOps.spanAudit(corrupted)
+    }),
+    // interleaved→training-text rendering (the tokenizer-ready flattening
+    // of the span payload): text verbatim, media → <|kind:ref|> sentinel,
+    // concatenated in (offset, ord) order — one row-local typed pass. The
+    // oracle re-renders from the full span dump with an ordered string_agg
+    // and must reproduce the md5 of every rendered doc exactly.
+    "x12_render_interleaved" -> ((s, dir) => {
+      val docs = docTable(s, dir)
+      graft.ops.InterleaveOps.spanFullDump(docs)
+        .write.mode("overwrite").parquet(renderDumpPath(dir))
+      graft.ops.InterleaveOps.renderInterleaved(docs).orderBy(col("doc_id"))
     })
   )
 
@@ -294,7 +308,25 @@ object SparkEntry {
                   CAST(global_offset // 1024 AS BIGINT) AS start_pack,
                   CAST((global_offset + greatest(n_tokens, 1) - 1) // 1024
                        AS BIGINT) AS end_pack
-           FROM c ORDER BY doc_id""") ++
+           FROM c ORDER BY doc_id""",
+      // independent re-rendering from the exploded span dump: ordered
+      // string_agg must reproduce the engine's row-local concatenation
+      // byte-for-byte (md5 equality per doc)
+      "x12_render_interleaved" ->
+        s"""WITH sp AS (SELECT doc_id, ord, kind, text, media_ref, "offset"
+               FROM read_parquet('${renderDumpPath(dir)}/*.parquet')),
+           r AS (SELECT doc_id,
+               string_agg(CASE WHEN kind = 'text' THEN text
+                          ELSE '<|' || kind || ':' || media_ref || '|>' END,
+                          '' ORDER BY "offset", ord) AS rendered,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_media
+             FROM sp GROUP BY doc_id)
+           SELECT doc_id, n_spans, n_media,
+                  CAST(length(rendered) AS BIGINT) AS rendered_len,
+                  md5(rendered) AS rendered_hash
+           FROM r ORDER BY doc_id""") ++
       goldenOracles(dir)
 
   /** x01/x04/x05 oracles: the committed golden parquets ARE the reference

@@ -99,6 +99,52 @@ object InterleaveOps {
       "is_wellformed")
   }
 
+  /** Exploded FULL span dump (doc_id, ord, kind, text, media_ref, offset) —
+    * x12's oracle re-renders the interleaved payload independently from
+    * this table with an ordered string_agg. */
+  def spanFullDump(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val id = d.doc_id.stripPrefix("doc-").toLong
+      d.spans.iterator.zipWithIndex.map { case (s, i) =>
+        (id, i.toLong, s.kind, s.text, s.media_ref, s.offset.toLong)
+      }
+    }.toDF("doc_id", "ord", "kind", "text", "media_ref", "offset")
+  }
+
+  /** Interleaved→training-text rendering — the flattening a multimodal
+    * training pipeline feeds the tokenizer: text spans verbatim, every
+    * non-text span replaced by a deterministic `<|kind:media_ref|>`
+    * sentinel the model's special-token vocabulary carries, concatenated
+    * in (offset, array-position) order. One row-local typed pass (the
+    * interleave never shuffles); the output pins length + md5 of the
+    * rendered bytes so the driver compare stays compact while fixing the
+    * exact rendering. */
+  def renderInterleaved(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      val sorted = d.spans.zipWithIndex
+        .sortBy { case (s, i) => (s.offset, i) }
+      val sb = new StringBuilder
+      var nMedia = 0L
+      sorted.foreach { case (s, _) =>
+        if (s.kind == "text") sb.append(s.text)
+        else {
+          nMedia += 1
+          sb.append("<|").append(s.kind).append(':')
+            .append(s.media_ref).append("|>")
+        }
+      }
+      (d.doc_id.stripPrefix("doc-").toLong, d.spans.size.toLong, nMedia,
+        sb.toString)
+    }.toDF("doc_id", "n_spans", "n_media", "rendered")
+      .select(col("doc_id"), col("n_spans"), col("n_media"),
+        length(col("rendered")).cast("long").as("rendered_len"),
+        md5(col("rendered").cast("binary")).as("rendered_hash"))
+  }
+
   /** Per-doc MULTIMODAL packing cost: whitespace tokens of the text spans
     * plus `mediaTokens` per media span (a vision encoder emits a fixed
     * patch-token budget per image — 64 here). One typed pass; feeds

@@ -186,6 +186,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("renderInterleaved matches a brute-force (offset, ord)-ordered " +
+    "concatenation with media sentinels, md5-exact") {
+    import spark.implicits._
+    val docs = graft.io.Synthesizer.docs(spark, 200, seed = 42L)
+    val got = graft.ops.InterleaveOps.renderInterleaved(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    val expected = docs.collect()
+      .sortBy(_.doc_id.stripPrefix("doc-").toLong).toSeq.map { d =>
+        val rendered = d.spans.zipWithIndex
+          .sortBy { case (s, i) => (s.offset, i) }
+          .map { case (s, _) =>
+            if (s.kind == "text") s.text else s"<|${s.kind}:${s.media_ref}|>"
+          }.mkString
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(rendered.getBytes("UTF-8"))
+        (d.doc_id.stripPrefix("doc-").toLong, d.spans.size.toLong,
+          d.spans.count(_.kind != "text").toLong, rendered.length.toLong,
+          md.map("%02x".format(_)).mkString)
+      }
+    assert(got === expected)
+    assert(got.exists(_._3 > 0), "corpus must exercise media sentinels")
+  }
+
   test("mmCosts: text tokens + 64 per media span, numeric doc key") {
     import spark.implicits._
     val docs = graft.io.Synthesizer.docs(spark, 100, seed = 42L)
