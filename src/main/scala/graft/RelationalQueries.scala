@@ -453,6 +453,24 @@ object RelationalQueries {
           min(col("pos").cast("long") + 1L).as("min_pos"))
         .filter(col("n_occ") >= 5)
         .orderBy(col("token"))
+    }),
+
+    // explicit GROUPING SETS (completes the grouping family: ROLLUP=q21,
+    // CUBE=q34): mixed granularities in ONE Expand+aggregate pair — each
+    // input row fans out once per set inside the map stage, so the shuffle
+    // carries |sets|× partial rows, never |sets|× raw rows; grouping()
+    // flags disambiguate real NULLs from subtotal rows
+    "q41_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("g_documents")
+      s.sql("""
+        SELECT source, lang,
+               CAST(grouping(source) AS BIGINT) AS g_source,
+               CAST(grouping(lang) AS BIGINT) AS g_lang,
+               count(1) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM g_documents
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+      """)
     })
   )
 
@@ -686,6 +704,15 @@ object RelationalQueries {
          SELECT token, CAST(count(*) AS BIGINT) AS n_occ,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                 CAST(min(pos) AS BIGINT) AS min_pos
-         FROM flat GROUP BY token HAVING count(*) >= 5 ORDER BY token"""
+         FROM flat GROUP BY token HAVING count(*) >= 5 ORDER BY token""",
+    // identical GROUPING SETS + grouping() flags (driver compare sorts
+    // rows, so no ORDER BY needed on the subtotal NULLs)
+    "q41_grouping_sets" ->
+      """SELECT source, lang,
+         CAST(grouping(source) AS BIGINT) AS g_source,
+         CAST(grouping(lang) AS BIGINT) AS g_lang,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
   )
 }
