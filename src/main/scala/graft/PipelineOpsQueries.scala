@@ -293,7 +293,30 @@ object PipelineOpsQueries {
     // replicates bit-for-bit. Completes the sketch family (p35 HLL
     // cardinality, p37 CMS frequency, p47 rank/quantile).
     "p47_quantile_validate" -> ((s, dir) =>
-      graft.ops.CorpusOps.quantileValidate(docs(s, dir)))
+      graft.ops.CorpusOps.quantileValidate(docs(s, dir))),
+
+    // incremental-crawl snapshot diff: v2 is planted deterministically from
+    // v1 (doc%10==7 deleted, doc%10==3 text-changed, doc%10==1 re-added
+    // under a new id), the diff classifies by content hash through a
+    // full-outer join of (id, md5) projections — text never shuffles. The
+    // oracle plants the identical v2 in SQL and recomputes the census.
+    "p48_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2delta")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      graft.ops.CorpusOps.snapshotDiff(v1, v2)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("status"))
+    })
   )
 
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
@@ -1089,6 +1112,28 @@ object PipelineOpsQueries {
          SELECT ex.q, n_total, k_sample, exact_val, est_val,
                 CAST(abs(est_val - exact_val) * 1000
                      // greatest(exact_val, 1) AS BIGINT) AS err_permille
-         FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q"""
+         FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""",
+    // snapshot-diff replica: identical planted v2 (delete %10==7, change
+    // %10==3, re-add %10==1 under id+10M), identical hash-diff census
+    "p48_snapshot_diff" ->
+      """WITH v1 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS h
+              FROM documents),
+         v2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2delta'
+                      ELSE text END) AS h
+                FROM documents WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT CAST(doc_id + 10000000 AS BIGINT), md5(text || ' new')
+                FROM documents WHERE doc_id % 10 = 1),
+         j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                 CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'deleted'
+                      WHEN a.h <> b.h THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                CAST(max(doc_id) AS BIGINT) AS max_doc_id
+         FROM j GROUP BY status ORDER BY status"""
   )
 }

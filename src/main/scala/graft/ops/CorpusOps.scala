@@ -688,6 +688,27 @@ object CorpusOps {
       (length(col(textCol)) - length(norm)).cast("long").as("n_removed"))
   }
 
+  /** Snapshot diff between two corpus versions (p48) — the incremental-
+    * crawl delta census an ingestion pipeline runs before reprocessing:
+    * classify every doc_id as added / deleted / changed / unchanged by
+    * content hash. Both sides project to (id, md5) BEFORE the full-outer
+    * join, so only 8-byte ids + 16-byte hashes ever shuffle — never text.
+    * At 10^12 docs both snapshots read from the same doc_id-bucketed
+    * layout (`TableIO.writeBucketed`) and the join plans shuffle-free;
+    * the status rollup is a partial+final aggregate over 4 keys. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id").cast("long").as("id_a"),
+      md5(col("text").cast("binary")).as("h_a"))
+    val b = v2.select(col("doc_id").cast("long").as("id_b"),
+      md5(col("text").cast("binary")).as("h_b"))
+    a.join(b, a("id_a") === b("id_b"), "full_outer")
+      .select(coalesce(col("id_a"), col("id_b")).as("doc_id"),
+        when(col("id_a").isNull, "added")
+          .when(col("id_b").isNull, "deleted")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Quantile-sketch validation (p47) — completes the sketch-validation
     * family (cardinality = p35 HLL, frequency = p37 CMS, rank/quantile =
     * this). A deterministic bottom-k-by-hash sample IS a mergeable quantile

@@ -609,6 +609,17 @@ class OpsSpec extends AnyFunSuite {
       uniformPlain.exceptAll(degenerate).isEmpty)
   }
 
+  test("snapshotDiff classifies added/deleted/changed/unchanged by content hash") {
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.snapshotDiff(v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "unchanged"), (2L, "changed"),
+      (3L, "deleted"), (4L, "added")))
+  }
+
   test("merge upsert: update replaces whole row, insert adds, delete removes") {
     val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("doc_id", "name", "v")
