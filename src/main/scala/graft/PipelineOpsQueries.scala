@@ -295,6 +295,13 @@ object PipelineOpsQueries {
     "p47_quantile_validate" -> ((s, dir) =>
       graft.ops.CorpusOps.quantileValidate(docs(s, dir))),
 
+    // minhash estimator-ERROR validation (p46 measured candidate recall;
+    // this measures signature accuracy): per exact near-dup pair, the
+    // 16-lane md5-salted signature agreement vs exact Jaccard, integer pct
+    "p49_minhash_estimate" -> ((s, dir) =>
+      DedupOps.minhashEstimates(docs(s, dir), w = 3, k = 16,
+        minJaccardPct = 60)),
+
     // incremental-crawl snapshot diff: v2 is planted deterministically from
     // v1 (doc%10==7 deleted, doc%10==3 text-changed, doc%10==1 re-added
     // under a new id), the diff classifies by content hash through a
@@ -1113,6 +1120,47 @@ object PipelineOpsQueries {
                 CAST(abs(est_val - exact_val) * 1000
                      // greatest(exact_val, 1) AS BIGINT) AS err_permille
          FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""",
+    // minhash-estimator replica: identical md5-salted 16-lane signatures
+    // rebuilt from scratch in SQL, same exact-pair set as p46's rule at 60%
+    "p49_minhash_estimate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         exact AS (SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+                     CAST(na + nb - n_inter AS BIGINT) AS n_union
+                   FROM pairs
+                   WHERE n_inter * 100 >= (na + nb - n_inter) * 60),
+         sigs AS (SELECT doc_id, r.range AS i,
+                    min(CAST(md5_number_lower(s || '#' || CAST(r.range AS VARCHAR))
+                        & 9223372036854775807 AS BIGINT)) AS sig
+                  FROM sh CROSS JOIN range(16) r GROUP BY doc_id, r.range),
+         m AS (SELECT e.doc_a, e.doc_b, e.n_inter, e.n_union,
+                 CAST(count(CASE WHEN sa.sig = sb.sig THEN 1 END) AS BIGINT)
+                   AS n_match
+               FROM exact e JOIN sigs sa ON sa.doc_id = e.doc_a
+                    JOIN sigs sb ON sb.doc_id = e.doc_b AND sb.i = sa.i
+               GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, n_inter, n_union,
+                CAST(n_inter * 100 // n_union AS BIGINT) AS exact_pct,
+                n_match,
+                CAST(n_match * 100 // 16 AS BIGINT) AS est_pct,
+                CAST(abs(n_match * 100 // 16 - n_inter * 100 // n_union)
+                     AS BIGINT) AS err_pp
+         FROM m ORDER BY doc_a, doc_b""",
+
     // snapshot-diff replica: identical planted v2 (delete %10==7, change
     // %10==3, re-add %10==1 under id+10M), identical hash-diff census
     "p48_snapshot_diff" ->

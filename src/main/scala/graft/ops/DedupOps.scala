@@ -272,6 +272,47 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** MinHash signature-ACCURACY validation (p49) — the estimator-error
+    * counterpart of p46's candidate-recall measurement: for every exact
+    * near-dup pair, compare the k-component signature-agreement estimate
+    * (matching minhash lanes / k) against the exact Jaccard. Components
+    * are md5-salted per lane (`md5low63(shingle + "#" + i)` — the CMS
+    * oracle's salt pattern) so DuckDB rebuilds the identical signatures
+    * from scratch. Signatures are one typed pass per doc (k·8 bytes/doc);
+    * the estimator join is keyed on doc ids over the (small) verified pair
+    * set; the lane comparison is a row-local zip_with fold. */
+  def minhashEstimates(df: DataFrame, w: Int = 3, k: Int = 16,
+                       minJaccardPct: Int = 60): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kk = k
+    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sig = Array.fill(kk)(Long.MaxValue)
+        shingleArr(text, w).foreach { s =>
+          var i = 0
+          while (i < kk) {
+            val h = TextOps.md5Low63(s + "#" + i)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        (id, sig.toSeq)
+      }.toDF("doc_id", "sig")
+    exactJaccardPairs(df, w, minJaccardPct)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_match", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> " +
+          "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        expr("(n_inter * 100) div n_union").as("exact_pct"),
+        col("n_match"),
+        expr(s"(n_match * 100) div $kk").as("est_pct"))
+      .withColumn("err_pp", expr("abs(est_pct - exact_pct)"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Duplicate-CLUSTER resolution: connected components over a near-dup
     * pair graph (the terminal step of every dedup family — pairs from
     * `minhashLsh` / `simhashPairs` / `exactJaccardPairs` → transitive

@@ -609,6 +609,32 @@ class OpsSpec extends AnyFunSuite {
       uniformPlain.exceptAll(degenerate).isEmpty)
   }
 
+  test("minhash estimates: identical docs match on every lane; near-dup " +
+    "estimator error stays inside the k=16 envelope; layout-invariant") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 27).map(i => s"tok$i").mkString(" ") + " alt1 alt2 alt3"
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, "unrelated words only"))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.DedupOps.minhashEstimates(docs, w = 3, k = 16,
+        minJaccardPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    val ident = rows.find(t => t._1 == 1L && t._2 == 2L).get
+    assert(ident._3 === 100L) // exact_pct
+    assert(ident._4 === 16L)  // every lane agrees
+    assert(ident._5 === 100L) // est_pct
+    assert(ident._6 === 0L)   // err_pp
+    val nearRows = rows.filter(t => t._2 == 3L)
+    assert(nearRows.nonEmpty, "planted near-dup pair must pass the exact gate")
+    nearRows.foreach(t => assert(t._6 <= 40L,
+      s"estimator error ${t._6}pp outside the k=16 envelope"))
+    val rows2 = graft.ops.DedupOps.minhashEstimates(docs.repartition(5),
+        w = 3, k = 16, minJaccardPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows2.toSeq === rows.toSeq)
+  }
+
   test("snapshotDiff classifies added/deleted/changed/unchanged by content hash") {
     val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
       .toDF("doc_id", "text")
