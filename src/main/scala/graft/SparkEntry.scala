@@ -79,6 +79,9 @@ object SparkEntry {
   def renderDumpPath(dir: String): String =
     s"/tmp/graft_render_dump_${docCountFor(dir)}"
 
+  def htmlStripDumpPath(dir: String): String =
+    s"/tmp/graft_html_strip_dump_${docCountFor(dir)}"
+
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
     * extraction itself stays parity-gated (ReferenceParitySpec), the
@@ -208,6 +211,46 @@ object SparkEntry {
       graft.ops.InterleaveOps.spanFullDump(docs)
         .write.mode("overwrite").parquet(renderDumpPath(dir))
       graft.ops.InterleaveOps.renderInterleaved(docs).orderBy(col("doc_id"))
+    }),
+    // HTML boilerplate-strip path driven distributed (north_rule: "HTML
+    // boilerplate strip, DOM heuristics"): deterministic chrome is planted
+    // around each driver doc's text by doc_id % 4 (script/nav/footer,
+    // aside, link-farm block, or bare text), the REAL BoilerplateStrip
+    // kernel strips it per-row, and the per-doc line stats are aggregated
+    // FROM the dumped (doc_id, ord, line) table — the oracle re-aggregates
+    // the same dump with an ordered string_agg, so any disagreement in the
+    // distributed aggregation fails the hash. Strip semantics themselves
+    // stay property-gated (BoilerplateStripSpec: fused-pass ≡ chained).
+    "x13_html_strip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      docs.flatMap { case (id, text) =>
+        val html = (id % 4) match {
+          case 0 => "<html><head><script>var x = 1;</script></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav>" +
+            s"<p>$text</p><footer>copyright 2024 all rights reserved" +
+            "</footer></body></html>"
+          case 1 => s"<div><p>$text</p><aside>subscribe to our newsletter" +
+            "</aside></div>"
+          case 2 => "<article><h1>heading kept</h1>" +
+            s"<p>$text</p><div><a href=\"1\">x</a> <a href=\"2\">y</a> ok" +
+            "</div></article>"
+          case _ => text
+        }
+        graft.html.BoilerplateStrip.lines(html).iterator.zipWithIndex.map {
+          case (line, i) => (id, i.toLong, line)
+        }
+      }.toDF("doc_id", "ord", "line")
+        .write.mode("overwrite").parquet(htmlStripDumpPath(dir))
+      s.read.parquet(htmlStripDumpPath(dir))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("line"))).cast("long").as("n_chars"),
+          expr("md5(cast(array_join(transform(array_sort(" +
+            "collect_list(struct(ord, line))), x -> x.line), chr(10)) " +
+            "as binary))").as("lines_hash"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -326,7 +369,15 @@ object SparkEntry {
            SELECT doc_id, n_spans, n_media,
                   CAST(length(rendered) AS BIGINT) AS rendered_len,
                   md5(rendered) AS rendered_hash
-           FROM r ORDER BY doc_id""") ++
+           FROM r ORDER BY doc_id""",
+      // re-aggregation of the stripped-line dump: ordered string_agg must
+      // reproduce the engine's sorted-collect_list concatenation exactly
+      "x13_html_strip" ->
+        s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(length(line)) AS BIGINT) AS n_chars,
+             md5(string_agg(line, chr(10) ORDER BY ord)) AS lines_hash
+           FROM read_parquet('${htmlStripDumpPath(dir)}/*.parquet')
+           GROUP BY doc_id ORDER BY doc_id""") ++
       goldenOracles(dir)
 
   /** x01/x04/x05 oracles: the committed golden parquets ARE the reference

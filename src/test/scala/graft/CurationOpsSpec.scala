@@ -209,6 +209,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "corpus must exercise media sentinels")
   }
 
+  test("x13 html strip: planted chrome is removed per variant, content " +
+    "text survives") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_html").toString
+    (0 until 8).map(i => (i.toLong, s"content line $i", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val stats = SparkEntry.queries("x13_html_strip")(spark, d).collect()
+    assert(stats.length === 8)
+    val lines = spark.read.parquet(SparkEntry.htmlStripDumpPath(d))
+      .as[(Long, Long, String)].collect().toSeq
+    (0 until 8).foreach { i =>
+      assert(lines.exists(l => l._1 == i && l._3.contains(s"content line $i")),
+        s"doc $i content lost: ${lines.filter(_._1 == i)}")
+    }
+    assert(lines.exists(l => l._1 % 4 == 2 && l._3 == "heading kept"))
+    val joined = lines.map(_._3.toLowerCase).mkString(" ")
+    assert(!joined.contains("subscribe"), "aside chrome survived")
+    assert(!joined.contains("copyright"), "footer boilerplate survived")
+    assert(!joined.contains("var x = 1"), "script chrome survived")
+    assert(!joined.contains("home"), "nav chrome survived")
+  }
+
   test("mmCosts: text tokens + 64 per media span, numeric doc key") {
     import spark.implicits._
     val docs = graft.io.Synthesizer.docs(spark, 100, seed = 42L)
