@@ -295,6 +295,12 @@ object PipelineOpsQueries {
     "p47_quantile_validate" -> ((s, dir) =>
       graft.ops.CorpusOps.quantileValidate(docs(s, dir))),
 
+    // source-mixture token-budget planner: md5-derived target weights, 60%
+    // global budget, integer rates/yields/deficits — one source-keyed
+    // aggregate, then arithmetic over the tiny rollup
+    "p50_mixture_plan" -> ((s, dir) =>
+      graft.ops.CorpusOps.mixturePlan(docs(s, dir))),
+
     // minhash estimator-ERROR validation (p46 measured candidate recall;
     // this measures signature accuracy): per exact near-dup pair, the
     // 16-lane md5-salted signature agreement vs exact Jaccard, integer pct
@@ -1120,6 +1126,32 @@ object PipelineOpsQueries {
                 CAST(abs(est_val - exact_val) * 1000
                      // greatest(exact_val, 1) AS BIGINT) AS err_permille
          FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""",
+    // mixture-plan replica: identical md5 weights and floor-div chain
+    "p50_mixture_plan" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens,
+             CAST((md5_number_lower(source || '|mix')
+                   & 9223372036854775807) % 5 + 1 AS BIGINT) AS weight
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+                        CAST(sum(weight) AS BIGINT) AS t_weight FROM per),
+         x AS (SELECT p.*,
+                 (((t_tokens * 60) // 100) * weight) // t_weight
+                   AS target_tokens
+               FROM per p CROSS JOIN tot),
+         y AS (SELECT *, least(1000, (target_tokens * 1000) // n_tokens)
+                   AS rate_permille FROM x),
+         z AS (SELECT *, (n_tokens * rate_permille) // 1000
+                   AS planned_tokens FROM y)
+         SELECT source, n_docs, n_tokens, weight,
+                CAST(target_tokens AS BIGINT) AS target_tokens,
+                CAST(rate_permille AS BIGINT) AS rate_permille,
+                CAST(planned_tokens AS BIGINT) AS planned_tokens,
+                CAST(greatest(target_tokens - planned_tokens, 0) AS BIGINT)
+                  AS deficit
+         FROM z ORDER BY source""",
+
     // minhash-estimator replica: identical md5-salted 16-lane signatures
     // rebuilt from scratch in SQL, same exact-pair set as p46's rule at 60%
     "p49_minhash_estimate" ->

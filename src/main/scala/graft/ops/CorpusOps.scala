@@ -688,6 +688,46 @@ object CorpusOps {
       (length(col(textCol)) - length(norm)).cast("long").as("n_removed"))
   }
 
+  /** Source-mixture token-budget planner (p50) — the data-MIXING step a
+    * pretraining corpus build runs after per-source accounting (the
+    * SlimPajama/Dolma-style weighting pass): given md5-derived per-source
+    * target weights and a global token budget (`budgetPct` of supply),
+    * compute each source's target allocation, sampling rate (permille),
+    * planned yield and deficit in pure integer arithmetic. The corpus-wide
+    * work is ONE partial+final aggregate keyed by source; everything after
+    * runs on the tiny per-source rollup (a 1-row totals cross join that
+    * Catalyst broadcasts). The oracle rebuilds weights and every division
+    * from the same md5 + floor-div rules bit-for-bit. */
+  def mixturePlan(df: DataFrame, budgetPct: Int = 60,
+                  weightBuckets: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wb = weightBuckets
+    val per = df.select(col("source"),
+        size(TextOps.wsTokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      .as[(String, Long, Long)]
+      .map { case (src, nd, nt) =>
+        (src, nd, nt, TextOps.md5Low63(src + "|mix") % wb + 1)
+      }.toDF("source", "n_docs", "n_tokens", "weight")
+    val tot = per.agg(sum(col("n_tokens")).as("t_tokens"),
+      sum(col("weight")).as("t_weight"))
+    per.crossJoin(tot)
+      .withColumn("target_tokens",
+        expr(s"(((t_tokens * $budgetPct) div 100) * weight) div t_weight"))
+      .withColumn("rate_permille",
+        expr("least(1000L, (target_tokens * 1000) div n_tokens)"))
+      .withColumn("planned_tokens",
+        expr("(n_tokens * rate_permille) div 1000"))
+      .withColumn("deficit",
+        expr("greatest(target_tokens - planned_tokens, 0L)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate_permille"), col("planned_tokens"),
+        col("deficit"))
+      .orderBy(col("source"))
+  }
+
   /** Snapshot diff between two corpus versions (p48) — the incremental-
     * crawl delta census an ingestion pipeline runs before reprocessing:
     * classify every doc_id as added / deleted / changed / unchanged by

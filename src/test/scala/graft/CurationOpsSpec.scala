@@ -113,6 +113,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows2 === rows)
   }
 
+  test("mixturePlan: budget respected, rates capped, deficit only at cap, " +
+    "layout-invariant") {
+    import spark.implicits._
+    val docs = docsDf(300)
+    val rows = CorpusOps.mixturePlan(docs, budgetPct = 60)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.map(_._1).distinct.size === rows.size)
+    val totalTokens = rows.map(_._3).sum
+    val budget = totalTokens * 60 / 100
+    assert(rows.map(_._7).sum <= budget, "planned yield exceeds the budget")
+    rows.foreach { case (src, nDocs, nTok, w, target, rate, planned, deficit) =>
+      assert(nDocs > 0 && nTok > 0)
+      assert(w >= 1 && w <= 5)
+      assert(rate <= 1000L, s"$src rate $rate")
+      assert(planned === nTok * rate / 1000)
+      // below the cap only floor-rounding loss remains: rate quantization
+      // loses at most n_tokens/1000 + 1 tokens
+      if (deficit > 0 && rate < 1000L) assert(deficit <= nTok / 1000 + 1,
+        s"$src deficit $deficit exceeds the rounding bound below the cap")
+      assert(deficit === math.max(target - planned, 0L))
+    }
+    val rows2 = CorpusOps.mixturePlan(docs.repartition(7), budgetPct = 60)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows2 === rows)
+  }
+
   test("quantileValidate: sample estimate and exact side match the " +
     "brute-force rank rule; bottom-k plans as TakeOrderedAndProject; " +
     "layout-invariant") {
