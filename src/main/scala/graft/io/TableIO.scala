@@ -73,6 +73,23 @@ object TableIO {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** ORC — the other columnar interchange format warehouse drops arrive
+    * in; same predicate-pushdown/column-pruning behavior as parquet. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Schema-EVOLUTION read across heterogeneous parquet drops: merge the
+    * footers of every input so columns added by later writers surface as
+    * nulls on older rows. mergeSchema costs a footer read per file — on a
+    * 10^12-row table pin the evolved schema explicitly with
+    * `.schema(...)` instead; this is the ingest-time form for bounded
+    * heterogeneous batches. */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** JSON-lines (one object per line — splittable, unlike a JSON array). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

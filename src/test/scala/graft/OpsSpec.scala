@@ -552,6 +552,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("orc round-trip preserves rows and types") {
+    val df = Seq((1L, "alpha", 2.5), (2L, "beta", -1.0)).toDF("id", "name", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    graft.io.TableIO.writeOrc(df, s"$base/orc")
+    val back = graft.io.TableIO.readOrc(spark, s"$base/orc")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("parquet schema evolution: mergeSchema surfaces late columns as " +
+    "nulls on older batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/batch1")
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/batch2")
+    val merged = graft.io.TableIO.readParquetMerged(spark,
+      s"$base/batch1", s"$base/batch2")
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang"))
+    val rows = merged.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some("en"))))
+  }
+
   test("jsonl corrupt-record routing: bad lines flagged with their raw " +
     "bytes, good lines parse; corrupt-only projection is the pinned trap") {
     import org.apache.spark.sql.types._
