@@ -82,6 +82,12 @@ object SparkEntry {
   def htmlStripDumpPath(dir: String): String =
     s"/tmp/graft_html_strip_dump_${docCountFor(dir)}"
 
+  def mediaRefsDumpPath(dir: String): String =
+    s"/tmp/graft_media_refs_dump_${docCountFor(dir)}"
+
+  def mediaCatalogDumpPath(dir: String): String =
+    s"/tmp/graft_media_catalog_dump_${docCountFor(dir)}"
+
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
     * extraction itself stays parity-gated (ReferenceParitySpec), the
@@ -251,6 +257,39 @@ object SparkEntry {
             "collect_list(struct(ord, line))), x -> x.line), chr(10)) " +
             "as binary))").as("lines_hash"))
         .orderBy(col("doc_id"))
+    }),
+    // media-ref referential-integrity audit over the interleaved payload
+    // (the FK check an Iceberg committer runs between the span table and
+    // the media-object catalog): corruption planted deterministically —
+    // doc%11==4 gets its media refs rewritten (→ dangling), and catalog
+    // rows retired by an md5 rule (→ more dangling; the rewritten docs'
+    // ORIGINAL refs become orphans). Both sides dump so the oracle
+    // recomputes the audit with NOT EXISTS anti-joins; the engine's
+    // anti-joins shuffle ~20-byte ref keys only, never payloads.
+    "x14_media_integrity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = docTable(s, dir)
+      docs.flatMap { d =>
+        val n = d.doc_id.stripPrefix("doc-").toLong
+        d.spans.iterator.filter(_.kind == "media").map { sp =>
+          (n, if (n % 11 == 4) sp.media_ref + "#dangling" else sp.media_ref)
+        }
+      }.toDF("doc_id", "media_ref")
+        .write.mode("overwrite").parquet(mediaRefsDumpPath(dir))
+      graft.ops.MultimodalOps.mediaTable(docs)
+        .map(_.media_ref).distinct()
+        .filter(r => graft.ops.TextOps.md5Low63(r + "|retire") % 13 != 2)
+        .toDF("media_ref")
+        .write.mode("overwrite").parquet(mediaCatalogDumpPath(dir))
+      val r = s.read.parquet(mediaRefsDumpPath(dir))
+      val m = s.read.parquet(mediaCatalogDumpPath(dir))
+      val dangling = r.join(m, Seq("media_ref"), "left_anti")
+      val orphaned = m.join(r, Seq("media_ref"), "left_anti")
+      r.agg(count(lit(1)).as("n_refs"))
+        .crossJoin(m.agg(count(lit(1)).as("n_media")))
+        .crossJoin(dangling.agg(count(lit(1)).as("n_dangling_refs"),
+          countDistinct(col("doc_id")).as("n_dangling_docs")))
+        .crossJoin(orphaned.agg(count(lit(1)).as("n_orphaned")))
     })
   )
 
@@ -377,7 +416,25 @@ object SparkEntry {
              CAST(sum(length(line)) AS BIGINT) AS n_chars,
              md5(string_agg(line, chr(10) ORDER BY ord)) AS lines_hash
            FROM read_parquet('${htmlStripDumpPath(dir)}/*.parquet')
-           GROUP BY doc_id ORDER BY doc_id""") ++
+           GROUP BY doc_id ORDER BY doc_id""",
+      // FK audit recomputed with NOT EXISTS anti-joins over the two dumps
+      "x14_media_integrity" ->
+        s"""WITH r AS (SELECT doc_id, media_ref
+               FROM read_parquet('${mediaRefsDumpPath(dir)}/*.parquet')),
+           m AS (SELECT media_ref
+               FROM read_parquet('${mediaCatalogDumpPath(dir)}/*.parquet')),
+           dang AS (SELECT doc_id, media_ref FROM r WHERE NOT EXISTS
+                      (SELECT 1 FROM m WHERE m.media_ref = r.media_ref)),
+           orph AS (SELECT media_ref FROM m WHERE NOT EXISTS
+                      (SELECT 1 FROM r WHERE r.media_ref = m.media_ref))
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_refs,
+                  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_media,
+                  (SELECT CAST(count(*) AS BIGINT) FROM dang)
+                    AS n_dangling_refs,
+                  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM dang)
+                    AS n_dangling_docs,
+                  (SELECT CAST(count(*) AS BIGINT) FROM orph)
+                    AS n_orphaned""") ++
       goldenOracles(dir)
 
   /** x01/x04/x05 oracles: the committed golden parquets ARE the reference

@@ -260,6 +260,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!joined.contains("home"), "nav chrome survived")
   }
 
+  test("x14 media integrity: planted dangling refs and orphans fire, " +
+    "bounds hold") {
+    val row = SparkEntry.queries("x14_media_integrity")(spark,
+      "/root/testdata/sf0.001").collect().head
+    val (nRefs, nMedia, nDang, nDangDocs, nOrph) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    assert(nRefs > 0 && nMedia > 0)
+    assert(nDang > 0, "planted dangling refs must fire")
+    assert(nOrph > 0, "planted orphans must fire")
+    assert(nDangDocs <= nDang && nDang <= nRefs && nOrph <= nMedia)
+  }
+
   test("mmCosts: text tokens + 64 per media span, numeric doc key") {
     import spark.implicits._
     val docs = graft.io.Synthesizer.docs(spark, 100, seed = 42L)
