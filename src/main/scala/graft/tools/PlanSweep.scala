@@ -10,7 +10,15 @@ object PlanSweep {
     // broadcast query set with no equi-key — its BroadcastNestedLoopJoin is
     // the intended plan (SimilarityOps.bruteTopK scaladoc), not an
     // accidental cartesian.
-    val allowed = Map("p07_ann_brute_topk" -> Set("BroadcastNestedLoop"))
+    // p47/p50/x14 cross-join TINY aggregate relations (a 1-row totals row,
+    // a 4-row quantile list) into per-row arithmetic — a keyless broadcast
+    // of ≤4 rows plans as BroadcastNestedLoopJoin and that IS the right
+    // plan: O(n) stream against a constant-size build side.
+    val allowed = Map(
+      "p07_ann_brute_topk" -> Set("BroadcastNestedLoop"),
+      "p47_quantile_validate" -> Set("BroadcastNestedLoop"),
+      "p50_mixture_plan" -> Set("BroadcastNestedLoop"),
+      "x14_media_integrity" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
