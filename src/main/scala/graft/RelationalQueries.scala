@@ -471,6 +471,26 @@ object RelationalQueries {
         FROM g_documents
         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
       """)
+    }),
+
+    // keep-LATEST consolidation (multi-version table → newest row per key)
+    // via max_by AGGREGATION — the scalable replacement for the
+    // row_number()=1 window idiom: partial max_by combines map-side and
+    // only (key, best-so-far) rows shuffle, never a per-key sort. Versions
+    // are planted per doc (0..doc_id%3) so every arity occurs.
+    "q42_latest_wins" -> ((s, dir) => {
+      val versions = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L))))
+            .as("version"))
+        .select(col("doc_id"), col("version"),
+          concat(col("text"), lit(" v"), col("version").cast("string"))
+            .as("text_v"))
+      versions.groupBy(col("doc_id"))
+        .agg(max(col("version")).as("latest_version"),
+          max_by(col("text_v"), col("version")).as("latest_text"))
+        .select(col("doc_id"), col("latest_version"),
+          md5(col("latest_text").cast("binary")).as("latest_hash"))
     })
   )
 
@@ -713,6 +733,17 @@ object RelationalQueries {
          CAST(grouping(lang) AS BIGINT) AS g_lang,
          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents
-         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
+         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""",
+    // latest-wins replica: identical planted versions (range end exclusive
+    // → +1 matches Spark's inclusive sequence), arg_max = max_by
+    "q42_latest_wins" ->
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             unnest(range(0, doc_id % 3 + 1)) AS version
+           FROM documents),
+         t2 AS (SELECT doc_id, CAST(version AS BIGINT) AS version,
+                  text || ' v' || CAST(version AS VARCHAR) AS text_v FROM v)
+         SELECT doc_id, max(version) AS latest_version,
+                md5(arg_max(text_v, version)) AS latest_hash
+         FROM t2 GROUP BY doc_id"""
   )
 }

@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q42 latest-wins: max_by aggregation — one shuffle, never a " +
+    "per-key window sort") {
+    val df = RelationalQueries.queries("q42_latest_wins")(spark, dir)
+    val plan = staticPlan(df)
+    assert(shuffles(plan) === 1, s"plan:\n$plan")
+    assert(!plan.toString.contains("Window"), s"window crept in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("p23 tfidf top-k: idf and query sides broadcast; no cartesian") {
     val df = graft.ops.CorpusOps.tfidfTopK(
       spark.read.parquet(s"$dir/documents.parquet"), numQueries = 3, k = 5)
