@@ -151,4 +151,40 @@ object StreamingExtraction {
           }
       }
   }
+
+  /** CDC-style streaming snapshot maintenance — the streaming form of
+    * MERGE INTO: each micro-batch of (doc_id, text, seq, is_delete) change
+    * rows is collapsed last-write-wins per key (max `seq`; MERGE requires
+    * unique delta keys) and applied to the parquet snapshot at
+    * `snapshotPath` via `foreachBatch` + `MergeOps.upsert`. The merged
+    * result is materialized (eager localCheckpoint) before the overwrite
+    * because raw parquet cannot be rewritten while the plan still reads
+    * it; on the 10^12-row deployment both concerns disappear into an
+    * Iceberg `MERGE INTO` commit per batch (atomic snapshot swap, partial
+    * file rewrite instead of full overwrite — the operator shape is
+    * identical). */
+  def upsertStream(changes: Dataset[(Long, String, Long, Boolean)],
+                   snapshotPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.toDF("doc_id", "text", "seq", "is_delete")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.groupBy(col("doc_id"))
+          .agg(max_by(struct(col("text"), col("is_delete")), col("seq"))
+            .as("b"))
+          .select(col("doc_id"), col("b.text").as("text"),
+            col("b.is_delete").as("is_delete"))
+        val snap =
+          if (new java.io.File(snapshotPath).exists)
+            spark.read.parquet(snapshotPath)
+          else delta.select(col("doc_id"), col("text")).limit(0)
+        val merged = graft.ops.MergeOps
+          .upsert(snap, delta, "doc_id", deleteCol = Some("is_delete"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(snapshotPath)
+        ()
+      }
+      .start()
+  }
 }

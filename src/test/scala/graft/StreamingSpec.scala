@@ -93,6 +93,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(1L -> "alpha beta", 2L -> "unique one", 4L -> "brand new"))
   }
 
+  test("streaming upsert maintains a parquet snapshot across micro-batches " +
+    "(last-write-wins in batch, delete wins, insert/update across batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString + "/snap"
+    val stream = MemoryStream[(Long, String, Long, Boolean)]
+    // batch 1: inserts, incl. an in-batch duplicate key (seq 2 wins)
+    stream.addData(Seq((1L, "one-a", 1L, false), (1L, "one-b", 2L, false),
+      (2L, "two", 1L, false), (3L, "three", 1L, false)))
+    val q = StreamingExtraction.upsertStream(stream.toDS(), path)
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 === Map(1L -> "one-b", 2L -> "two", 3L -> "three"))
+    // batch 2: update key 2, delete key 3, insert key 4
+    stream.addData(Seq((2L, "two-v2", 5L, false), (3L, "", 5L, true),
+      (4L, "four", 5L, false)))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 === Map(1L -> "one-b", 2L -> "two-v2", 4L -> "four"))
+  }
+
   test("streaming decontamination flags docs against the static benchmark, " +
        "matching the batch operator") {
     import spark.implicits._
