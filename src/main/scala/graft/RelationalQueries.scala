@@ -491,6 +491,26 @@ object RelationalQueries {
           max_by(col("text_v"), col("version")).as("latest_text"))
         .select(col("doc_id"), col("latest_version"),
           md5(col("latest_text").cast("binary")).as("latest_hash"))
+    }),
+
+    // BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL — the multiplicity-
+    // preserving forms q22/q28's set versions don't exercise): planted
+    // duplicate rows (docs%5==0 appear twice in A) survive into the result
+    // with their counts. Catalyst plans both as keyed aggregates of counts
+    // (no row-by-row anti semantics), so the shuffle carries (hash, count)
+    // partials — the compact rollup makes that visible and hashable.
+    "q43_bag_set_ops" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = md5(col("text").cast("binary")).as("h")
+      val a = d.select(h)
+        .unionAll(d.filter(col("doc_id") % 5 === 0).select(h))
+      val b = d.filter(col("doc_id") % 3 === 0).select(h)
+      val exceptCounts = a.exceptAll(b).groupBy(col("h"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val intersectCounts = a.intersectAll(b).groupBy(col("h"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      exceptCounts.unionByName(intersectCounts)
+        .select(col("op"), col("h"), col("n"))
     })
   )
 
@@ -744,6 +764,21 @@ object RelationalQueries {
                   text || ' v' || CAST(version AS VARCHAR) AS text_v FROM v)
          SELECT doc_id, max(version) AS latest_version,
                 md5(arg_max(text_v, version)) AS latest_hash
-         FROM t2 GROUP BY doc_id"""
+         FROM t2 GROUP BY doc_id""",
+    // identical planted bags, DuckDB's native ALL variants
+    "q43_bag_set_ops" ->
+      """WITH a AS (SELECT md5(text) AS h FROM documents
+                    UNION ALL
+                    SELECT md5(text) FROM documents WHERE doc_id % 5 = 0),
+         b AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+         e AS (SELECT 'except_all' AS op, h,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT h FROM a EXCEPT ALL SELECT h FROM b)
+               GROUP BY h),
+         i AS (SELECT 'intersect_all' AS op, h,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT h FROM a INTERSECT ALL SELECT h FROM b)
+               GROUP BY h)
+         SELECT op, h, n FROM e UNION ALL SELECT op, h, n FROM i"""
   )
 }
