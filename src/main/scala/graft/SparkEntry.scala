@@ -85,6 +85,12 @@ object SparkEntry {
   def mediaRefsDumpPath(dir: String): String =
     s"/tmp/graft_media_refs_dump_${docCountFor(dir)}"
 
+  def mmCurationStatsPath(dir: String): String =
+    s"/tmp/graft_mm_curation_stats_${docCountFor(dir)}"
+
+  def mmCurationCostPath(dir: String): String =
+    s"/tmp/graft_mm_curation_cost_${docCountFor(dir)}"
+
   def mediaCatalogDumpPath(dir: String): String =
     s"/tmp/graft_media_catalog_dump_${docCountFor(dir)}"
 
@@ -290,6 +296,31 @@ object SparkEntry {
         .crossJoin(dangling.agg(count(lit(1)).as("n_dangling_refs"),
           countDistinct(col("doc_id")).as("n_dangling_docs")))
         .crossJoin(orphaned.agg(count(lit(1)).as("n_orphaned")))
+    }),
+    // composite INTERLEAVED curation chain (the x-side analogue of p30):
+    // render stats → keep docs with ≥1 media span and rendered_len ≥ 64 →
+    // pack survivors by multimodal token cost (text tokens + 64/media,
+    // distributed prefix sum) → per-pack rollup. Both intermediate tables
+    // dump so the oracle replays the filter, the running-sum packing and
+    // the rollup with window functions over identical bytes.
+    "x15_mm_curation" -> ((s, dir) => {
+      val docs = docTable(s, dir)
+      graft.ops.InterleaveOps.renderInterleaved(docs)
+        .write.mode("overwrite").parquet(mmCurationStatsPath(dir))
+      graft.ops.InterleaveOps.mmCosts(docs)
+        .write.mode("overwrite").parquet(mmCurationCostPath(dir))
+      val surv = s.read.parquet(mmCurationStatsPath(dir))
+        .filter(col("n_media") >= 1 && col("rendered_len") >= 64)
+        .select(col("doc_id"))
+      val costs = s.read.parquet(mmCurationCostPath(dir))
+        .join(surv, "doc_id")
+      graft.ops.PackingOps.packChunksCost(costs, col("cost"),
+          capacity = 1024)
+        .groupBy(col("start_pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .select(col("start_pack").as("pack"), col("n_docs"), col("n_tokens"))
+        .orderBy(col("pack"))
     })
   )
 
@@ -434,7 +465,25 @@ object SparkEntry {
                   (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM dang)
                     AS n_dangling_docs,
                   (SELECT CAST(count(*) AS BIGINT) FROM orph)
-                    AS n_orphaned""") ++
+                    AS n_orphaned""",
+      // curation-chain replay: same filter over the stats dump, running-sum
+      // packing over the surviving costs, per-pack rollup
+      "x15_mm_curation" ->
+        s"""WITH surv AS (SELECT doc_id
+               FROM read_parquet('${mmCurationStatsPath(dir)}/*.parquet')
+               WHERE n_media >= 1 AND rendered_len >= 64),
+           sc AS (SELECT c.doc_id, CAST(c.cost AS BIGINT) AS cost
+               FROM read_parquet('${mmCurationCostPath(dir)}/*.parquet') c
+               JOIN surv USING (doc_id)),
+           o AS (SELECT doc_id, cost,
+               CAST(COALESCE(sum(cost) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS off
+             FROM sc)
+           SELECT CAST(off // 1024 AS BIGINT) AS pack,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(cost) AS BIGINT) AS n_tokens
+           FROM o GROUP BY off // 1024 ORDER BY pack""") ++
       goldenOracles(dir)
 
   /** x01/x04/x05 oracles: the committed golden parquets ARE the reference
