@@ -511,6 +511,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
       exceptCounts.unionByName(intersectCounts)
         .select(col("op"), col("h"), col("n"))
+    }),
+
+    // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): planted NULL
+    // keys (docs%7==0 lose their source) must MATCH the dimension's NULL
+    // row — plain = would silently drop them, the classic missing-rows bug
+    // in rollups over nullable keys. Still a plain hash-equi join for
+    // Catalyst (EqualNullSafe is a valid equi-join key), so the plan is a
+    // broadcast hash join, not a nested loop.
+    "q44_nullsafe_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(when(col("doc_id") % 7 === 0, lit(null))
+          .otherwise(col("source")).as("src_key"), col("n_chars"))
+      val dim = d.select(col("src_key")).distinct()
+        .withColumn("bucket",
+          when(col("src_key").isNull, "missing").otherwise("present"))
+      d.join(broadcast(dim), d("src_key") <=> dim("src_key"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -779,6 +799,20 @@ object RelationalQueries {
                  CAST(count(*) AS BIGINT) AS n
                FROM (SELECT h FROM a INTERSECT ALL SELECT h FROM b)
                GROUP BY h)
-         SELECT op, h, n FROM e UNION ALL SELECT op, h, n FROM i"""
+         SELECT op, h, n FROM e UNION ALL SELECT op, h, n FROM i""",
+    // null-safe join replica: IS NOT DISTINCT FROM over identical planted
+    // NULL keys
+    "q44_nullsafe_join" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE source END AS src_key, n_chars
+               FROM documents),
+         dim AS (SELECT DISTINCT src_key,
+                   CASE WHEN src_key IS NULL THEN 'missing'
+                        ELSE 'present' END AS bucket
+                 FROM d)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM d JOIN dim ON d.src_key IS NOT DISTINCT FROM dim.src_key
+         GROUP BY bucket ORDER BY bucket"""
   )
 }

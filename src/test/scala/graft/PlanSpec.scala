@@ -100,6 +100,16 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q44 null-safe join: EqualNullSafe stays a broadcast HASH join — " +
+    "never a nested loop") {
+    val df = RelationalQueries.queries("q44_nullsafe_join")(spark, dir)
+    val plan = staticPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("p23 tfidf top-k: idf and query sides broadcast; no cartesian") {
     val df = graft.ops.CorpusOps.tfidfTopK(
       spark.read.parquet(s"$dir/documents.parquet"), numQueries = 3, k = 5)
