@@ -531,6 +531,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("bucket"))
+    }),
+
+    // Z-ORDER clustered layout: write the docs Morton-interleaved on two
+    // derived dimensions, read back through a 2-D box predicate. The
+    // round-trip proves the interleave math + layout is content-lossless;
+    // TableIOSpec proves the scan-pruning claim (a y-only predicate skips
+    // ~7/8 of row groups on the z layout and nothing on an x-clustered
+    // one). bits=6 covers the 64×64 derived key space exactly.
+    "q45_zorder_scan" -> ((s, dir) => {
+      val base = s"/tmp/graft_zorder_${SparkEntry.docCountFor(dir)}"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("n_chars") % 64).as("cx"), (col("doc_id") % 64).as("cy"))
+      graft.io.TableIO.writeZOrdered(d, base, "cx", "cy",
+        files = 8, bits = 6)
+      s.read.parquet(base)
+        .where(col("cx").between(16, 31) && col("cy").between(32, 47))
+        .select(col("doc_id"), col("cx"), col("cy"),
+          graft.io.TableIO.zValue(col("cx"), col("cy"), 6).as("zvalue"))
     })
   )
 
@@ -813,6 +831,18 @@ object RelationalQueries {
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM d JOIN dim ON d.src_key IS NOT DISTINCT FROM dim.src_key
-         GROUP BY bucket ORDER BY bucket"""
+         GROUP BY bucket ORDER BY bucket""",
+    // Morton interleave replica: bit i of cx lands at position 2i, bit i
+    // of cy at 2i+1; the layout round-trip must be content-lossless
+    "q45_zorder_scan" ->
+      """WITH d AS (SELECT doc_id, n_chars % 64 AS cx, doc_id % 64 AS cy
+                    FROM documents)
+         SELECT doc_id, cx, cy,
+           CAST(list_sum(list_transform(range(0, 6),
+             i -> (((cx >> i) & 1) << (2*i)) +
+                  (((cy >> i) & 1) << (2*i+1)))) AS BIGINT) AS zvalue
+         FROM d
+         WHERE cx BETWEEN 16 AND 31 AND cy BETWEEN 32 AND 47
+         ORDER BY doc_id"""
   )
 }

@@ -61,6 +61,42 @@ object TableIO {
       .parquet(path)
   }
 
+  /** Morton/Z-order value: interleave the low `bits` bits of two
+    * non-negative integer columns (x even positions, y odd). Pure integer
+    * Column math — constant-folds to a chain of shift/and/or inside
+    * whole-stage codegen, no UDF and no custom Expression needed. Inputs
+    * are masked to `bits` bits so out-of-range values wrap rather than
+    * corrupt the interleave. */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val xi = x.cast("long")
+    val yi = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered layout: range-partition + sort the rows by the
+    * Morton value of (`cx`, `cy`) so every output file / parquet row group
+    * covers a compact 2-D tile of the key space. Unlike single-column
+    * range clustering (tight min/max on ONE column only), BOTH columns get
+    * narrow per-row-group stats, so a pushed box predicate on either — or
+    * both — dimensions skips most row groups at read time. The Iceberg
+    * analogue is `rewrite_data_files(strategy => 'sort', sort_order =>
+    * 'zorder(cx, cy)')`; at 100 TB size `files` to total bytes / target
+    * file size as in [[writePartitionedClustered]]. */
+  def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
+                    files: Int = 16, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zValue(col(cx), col(cy), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   // ------------------------------------------------------------------
   // Interchange formats (ingest/egress edges of the pipeline; columnar
   // parquet stays the internal format). Schemas are ALWAYS explicit:

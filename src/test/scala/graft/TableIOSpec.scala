@@ -95,6 +95,57 @@ class TableIOSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/random").where(pred).count())
   }
 
+  test("z-order layout: predicates on EITHER interleaved dimension skip " +
+    "row groups; the x-clustered control skips only on x") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // full 256×256 grid so tile geometry is exact, n = 65536
+    val n = 256 * 256
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 256).toLong, (i / 256).toLong)
+    }.toDF("id", "x", "y")
+    // 64 range buckets over the 16-bit Morton code ≈ 32×32 tiles per file
+    TableIO.writeZOrdered(df, s"$dir/zorder", "x", "y", files = 64, bits = 8)
+    // control: classic single-column clustering — perfect stats on x,
+    // every file spans the FULL y range
+    df.repartitionByRange(64, col("x")).sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    def rowsRead(path: String, filter: org.apache.spark.sql.Column): Long = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path).where(filter)
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head.metrics("numOutputRows").value
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
+    // y-only band (1/8 of the range): the second clustering dimension —
+    // the case single-column layouts cannot skip on at all
+    val yOnly = col("y").between(96L, 127L)
+    val zY = rowsRead(s"$dir/zorder", yOnly)
+    val linY = rowsRead(s"$dir/linear", yOnly)
+    assert(zY <= n / 4, s"z layout surfaced $zY rows on a y-only band")
+    assert(linY >= n * 9L / 10, s"x-clustered control unexpectedly pruned: $linY")
+    // 2-D box deliberately crossing tile boundaries — ideally ≤4 tiles of
+    // 1024 rows; repartitionByRange samples its bucket boundaries, so tiles
+    // straddle files and the realized read is a few buckets more (n/4 bound)
+    val box = col("x").between(56L, 71L) && col("y").between(120L, 135L)
+    val zBox = rowsRead(s"$dir/zorder", box)
+    assert(zBox <= n / 4, s"z layout surfaced $zBox rows on a 16×16 box")
+    // content-lossless: both layouts answer identically
+    assert(spark.read.parquet(s"$dir/zorder").where(box).count() ===
+      spark.read.parquet(s"$dir/linear").where(box).count())
+    assert(spark.read.parquet(s"$dir/zorder").where(yOnly).count() === n / 8)
+    // interleave math pinned: x=3 (011), y=5 (101) → 100111b = 39
+    val z35 = spark.range(1).select(
+      TableIO.zValue(lit(3), lit(5), bits = 3).as("z")).head.getLong(0)
+    assert(z35 === 39L)
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact dirs at " +
     "runtime (join on the partition column)") {
     import spark.implicits._
