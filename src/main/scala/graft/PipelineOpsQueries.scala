@@ -301,6 +301,23 @@ object PipelineOpsQueries {
     "p50_mixture_plan" -> ((s, dir) =>
       graft.ops.CorpusOps.mixturePlan(docs(s, dir))),
 
+    // character-level near-dup (Levenshtein ≤ 1) over a 40-char title
+    // field with planted typo twins: docs with doc_id % 17 == 3 get a copy
+    // (id + 5_000_000) whose title drops one char at a doc_id-derived
+    // position. SymmetricDelete blocking has recall 1 for distance ≤ 1, so
+    // the pair set must equal the oracle's exact all-pairs levenshtein
+    "p51_editdist_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 40).as("title"))
+      val p = (col("doc_id") % 10 + 1).cast("int")
+      val typos = base.where(col("doc_id") % 17 === 3).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("title").substr(lit(1), p - 1),
+          col("title").substr(p + 1, length(col("title")) - p)).as("title"))
+      DedupOps.editDistanceNearDups(base.unionByName(typos))
+    }),
+
     // minhash estimator-ERROR validation (p46 measured candidate recall;
     // this measures signature accuracy): per exact near-dup pair, the
     // 16-lane md5-salted signature agreement vs exact Jaccard, integer pct
@@ -1126,6 +1143,23 @@ object PipelineOpsQueries {
                 CAST(abs(est_val - exact_val) * 1000
                      // greatest(exact_val, 1) AS BIGINT) AS err_permille
          FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""",
+    // edit-distance replica: identical planted typo twins, exact all-pairs
+    // levenshtein — the blocking path must reproduce this set exactly
+    "p51_editdist_neardup" ->
+      """WITH base AS (SELECT doc_id, substring(text, 1, 40) AS title
+                       FROM documents),
+         typ AS (SELECT od + 5000000 AS doc_id,
+                   substring(title, 1, CAST(od % 10 AS INT)) ||
+                   substring(title, CAST(od % 10 + 2 AS INT)) AS title
+                 FROM (SELECT doc_id AS od, title FROM base
+                       WHERE doc_id % 17 = 3)),
+         al AS (SELECT doc_id, title FROM base
+                UNION ALL SELECT doc_id, title FROM typ)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.title, b.title) AS INT) AS edit_dist
+         FROM al a JOIN al b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.title, b.title) <= 1
+         ORDER BY doc_a, doc_b""",
     // mixture-plan replica: identical md5 weights and floor-div chain
     "p50_mixture_plan" ->
       """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -461,6 +461,39 @@ object DedupOps {
            sum(when(col("occ") >= minOcc, col("cnt")).otherwise(0L))
              .cast("long").as("n_dup_blocks"))
   }
+
+  /** Character-level near-duplicate pairs (Levenshtein distance ≤ 1) over
+    * a short key column, via SymmetricDelete deletion-neighborhood
+    * blocking: every key generates itself plus its L single-character
+    * deletions, and any two strings within edit distance 1 necessarily
+    * share at least one neighborhood entry (equal → the string itself;
+    * substitution → the common deletion; insert/delete → the shorter
+    * string). So the self-join runs on O(L) short derived keys per row
+    * with guaranteed recall 1 — never all-pairs — and the verify step is
+    * Spark's codegen'd `levenshtein`. At web scale this shuffles
+    * rows × (L+1) keys of ~L bytes; hot neighborhoods (boilerplate
+    * prefixes) can be df-capped exactly like the shingle path (p25).
+    * Engine addition (no reference analogue): short-field entity
+    * resolution — titles, URLs, product names. */
+  def editDistanceNearDups(df: DataFrame, idCol: String = "doc_id",
+                           keyCol: String = "title"): DataFrame = {
+    val t0 = df.select(col(idCol).cast("long").as("id"), col(keyCol).as("t"))
+    val dels = transform(sequence(lit(1), length(col("t"))),
+      i => concat(col("t").substr(lit(1), i - 1),
+                  col("t").substr(i + 1, length(col("t")) - i)))
+    val nbrs = t0.select(col("id"), col("t"),
+      explode(array_distinct(
+        when(length(col("t")) < 1, array(col("t")))
+          .otherwise(concat(array(col("t")), dels)))).as("nb"))
+    val a = nbrs.select(col("id").as("doc_a"), col("t").as("t_a"), col("nb"))
+    val b = nbrs.select(col("id").as("doc_b"), col("t").as("t_b"), col("nb"))
+    a.join(b, Seq("nb"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "t_a", "t_b").distinct()
+      .where(levenshtein(col("t_a"), col("t_b")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+              levenshtein(col("t_a"), col("t_b")).as("edit_dist"))
+  }
 }
 
 /** Stable 64-bit string hashes (String.hashCode is 32-bit and JVM-pinned).

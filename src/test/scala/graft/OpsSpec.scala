@@ -35,6 +35,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance near-dups: deletion-neighborhood blocking finds " +
+    "exactly the pairs at levenshtein <= 1") {
+    import spark.implicits._
+    val df = Seq(1L -> "kitten", 2L -> "kitte", 3L -> "kittens",
+      4L -> "sitten", 5L -> "hello").toDF("doc_id", "title")
+    val out = DedupOps.editDistanceNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2) deletion, (1,3) insertion, (1,4) substitution; everything else
+    // is at distance >= 2 and must NOT pair
+    assert(out === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1)))
+  }
+
   test("simhash pairs: identical docs at hamming 0, unrelated docs unpaired") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val other = (200 to 260).map(i => s"zzz$i").mkString(" ")
