@@ -45,6 +45,42 @@ object StreamingExtraction {
       .agg(count(lit(1)).as("doc_count"),
         sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"))
 
+  /** Event-time SESSION windows over the metrics stream — the streaming
+    * analogue of the batch sessionize (q24): rows for the same key within
+    * `gap` of each other merge into one dynamic-length session;
+    * `session_window` keeps state only for OPEN sessions and the watermark
+    * finalizes + evicts them, so state is bounded by concurrently-active
+    * keys, not history. Append mode emits each session exactly once, when
+    * the watermark passes its close — the right contract for downstream
+    * sinks that must never see a session twice. */
+  def sessionMetrics(events: DataFrame, tsCol: String = "ts",
+                     keyCol: String = "user_id",
+                     watermark: String = "10 minutes",
+                     gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`) —
+    * the production counterpart of [[dedupStream]]: dedup state for a key
+    * is evicted once the watermark passes its event time + delay, so state
+    * is bounded by arrival rate × window instead of growing with every
+    * distinct key ever seen. The contract is correspondingly weaker — a
+    * duplicate arriving after its original's state expired is re-emitted
+    * (spec-pinned) — which is the right trade for re-crawl dedup, where
+    * duplicates cluster in time and exact history lives in the batch
+    * layer (p01/p26). */
+  def dedupWithinWatermark(docs: DataFrame, tsCol: String = "ts",
+                           keyCols: Seq[String] = Seq("content_hash"),
+                           delay: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming benchmark decontamination — the continuous-ingestion form
     * of `CorpusOps.decontaminate`: the static eval set's gram hashes (MBs
     * against an unbounded stream) are collected once at query build and

@@ -73,6 +73,66 @@ class StreamingSpec extends AnyFunSuite {
     }, "fresh 10:20 window missing")
   }
 
+  test("session windows merge events within the gap, close on watermark, " +
+    "emit once in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val q = StreamingExtraction
+      .sessionMetrics(stream.toDS().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // u1: two events 2 min apart (one session), then one 30 min later
+    // (a second session)
+    stream.addData(Seq((ts(10, 0), "u1"), (ts(10, 2), "u1"),
+      (ts(10, 30), "u1")))
+    q.processAllAvailable()
+    // the batch's own watermark (10:30 - 10m = 10:20) already closes the
+    // FIRST session (ends 10:07); the 10:30 session is still open
+    assert(spark.table("sess_out").count() === 1)
+    // sentinel event pushes the watermark to 10:50 — the second closes too
+    stream.addData(Seq((ts(11, 0), "u2")))
+    q.processAllAvailable()
+    q.processAllAvailable() // second no-data batch finalizes the emit
+    q.stop()
+    val got = spark.table("sess_out")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    // session end = last event + gap; u2's session is still open
+    assert(got === Set(
+      ("u1", ts(10, 0), ts(10, 7), 2L),
+      ("u1", ts(10, 30), ts(10, 35), 1L)))
+  }
+
+  test("watermark-bounded dedup drops duplicates inside the window and " +
+    "re-admits a key after its state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val q = StreamingExtraction
+      .dedupWithinWatermark(stream.toDS().toDF("ts", "content_hash", "doc_id"))
+      .writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    stream.addData(Seq((ts(10, 0), "h1", 1L), (ts(10, 1), "h1", 2L)))
+    q.processAllAvailable() // in-batch duplicate dropped
+    stream.addData(Seq((ts(10, 5), "h1", 3L)))
+    q.processAllAvailable() // cross-batch duplicate inside the window dropped
+    stream.addData(Seq((ts(10, 40), "h2", 4L)))
+    q.processAllAvailable() // advances the watermark to 10:30 > 10:00 + 10m
+    stream.addData(Seq((ts(10, 35), "h1", 5L)))
+    q.processAllAvailable() // h1 state expired — re-admitted
+    q.stop()
+    val ids = spark.table("wmdedup_out")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 5L))
+  }
+
   test("streaming dedup drops duplicates within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
