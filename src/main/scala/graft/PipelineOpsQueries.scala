@@ -318,6 +318,35 @@ object PipelineOpsQueries {
       DedupOps.editDistanceNearDups(base.unionByName(typos))
     }),
 
+    // URL canonicalization dedup: synthetic URLs derived from (source,
+    // doc_id) vary ONLY in host case, a utm_* tracking param and a trailing
+    // slash — canonicalization (lowercase scheme+host, strip trailing
+    // slash, drop utm_* params) must collapse them onto one key. Every
+    // step is a codegen'd string/array expression; the oracle rebuilds and
+    // canonicalizes the identical URLs in SQL.
+    "p52_url_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val url = concat(lit("HTTPS://"), upper(col("source")),
+        lit(".Example.com/p/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&x=1"))
+          .otherwise(lit("?x=1")))
+      val d = docs(s, dir).select(col("doc_id"), url.as("url"))
+      val hostPat = "^([A-Za-z]+)://([^/?]+)"
+      val scheme = lower(regexp_extract(col("url"), hostPat, 1))
+      val host = lower(regexp_extract(col("url"), hostPat, 2))
+      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?]+([^?]*)", 1)
+      val kept = filter(split(regexp_extract(col("url"), "\\?(.*)$", 1), "&"),
+        p => !p.startsWith("utm_"))
+      val canon = concat(scheme, lit("://"), host, rtrim(path, "/"),
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), canon.as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("doc_id")).as("keeper_doc_id"))
+    }),
+
     // minhash estimator-ERROR validation (p46 measured candidate recall;
     // this measures signature accuracy): per exact near-dup pair, the
     // 16-lane md5-salted signature agreement vs exact Jaccard, integer pct
@@ -1143,6 +1172,32 @@ object PipelineOpsQueries {
                 CAST(abs(est_val - exact_val) * 1000
                      // greatest(exact_val, 1) AS BIGINT) AS err_permille
          FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""",
+    // URL-canonicalization replica: identical synthetic URLs and the same
+    // lowercase/strip-slash/drop-utm rules in SQL
+    "p52_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.com/p/' ||
+             CAST(doc_id % 40 AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=1'
+                  ELSE '?x=1' END AS url
+           FROM documents),
+         k AS (SELECT doc_id, url,
+             list_filter(string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+               p -> NOT starts_with(p, 'utm_')) AS kept
+           FROM u),
+         c AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://([^/?]+)', 1)) ||
+             '://' ||
+             lower(regexp_extract(url, '^([A-Za-z]+)://([^/?]+)', 2)) ||
+             rtrim(regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1), '/')
+             || CASE WHEN len(kept) > 0
+                     THEN '?' || array_to_string(kept, '&') ELSE '' END
+               AS canonical_url
+           FROM k)
+         SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+                min(doc_id) AS keeper_doc_id
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     // edit-distance replica: identical planted typo twins, exact all-pairs
     // levenshtein — the blocking path must reproduce this set exactly
     "p51_editdist_neardup" ->

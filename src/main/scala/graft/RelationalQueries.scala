@@ -549,6 +549,28 @@ object RelationalQueries {
         .where(col("cx").between(16, 31) && col("cy").between(32, 47))
         .select(col("doc_id"), col("cx"), col("cy"),
           graft.io.TableIO.zValue(col("cx"), col("cy"), 6).as("zvalue"))
+    }),
+
+    // GROUPED top-k (top 3 longest docs per source) via the bounded-heap
+    // Aggregator, NOT the row_number window idiom: the heap runs partial
+    // map-side so each reducer absorbs ≤ partitions × k candidates — the
+    // window formulation funnels every row of a group through one task's
+    // sort, the classic top-N-per-key bottleneck at 10^12 rows. Ties break
+    // by doc_id asc in both engine and oracle.
+    "q46_grouped_topk" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").cast("long"),
+          col("n_chars").cast("double"))
+        .as[(String, Long, Double)]
+      d.groupByKey(_._1)
+        .mapValues(r => (0L, r._2, r._3))
+        .agg(new graft.ops.TopK.TopKIds(3).toColumn)
+        .toDF("source", "top_ids")
+        .select(col("source"),
+          posexplode(col("top_ids")).as(Seq("pos", "doc_id")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rnk"),
+          col("doc_id"))
     })
   )
 
@@ -843,6 +865,14 @@ object RelationalQueries {
                   (((cy >> i) & 1) << (2*i+1)))) AS BIGINT) AS zvalue
          FROM d
          WHERE cx BETWEEN 16 AND 31 AND cy BETWEEN 32 AND 47
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // grouped top-k replica: the window formulation the heap replaces must
+    // produce the identical ranking (n_chars desc, doc_id asc ties)
+    "q46_grouped_topk" ->
+      """WITH r AS (SELECT source, doc_id, row_number() OVER
+             (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+           FROM documents)
+         SELECT source, CAST(rnk AS INT) AS rnk, doc_id
+         FROM r WHERE rnk <= 3 ORDER BY source, rnk"""
   )
 }
