@@ -318,6 +318,22 @@ object PipelineOpsQueries {
       DedupOps.editDistanceNearDups(base.unionByName(typos))
     }),
 
+    // context-window chunking: 64-token windows every 48 tokens (16-token
+    // overlap), per-chunk token count + md5 — the training-sequence
+    // preparation step. Oracle re-chunks in SQL via zipped unnests.
+    "p53_chunking" -> ((s, dir) => TextOps.chunkDocs(docs(s, dir))),
+
+    // incremental-crawl near-dup: the delta (doc_id % 10 == 0) probes the
+    // rest of the corpus through the banded minhash index; oracle = exact
+    // Jaccard between the two sets at the same threshold (band kernel is
+    // recall-1 on this corpus — pinned by p05's exact oracle)
+    "p54_incremental_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      DedupOps.minhashIncremental(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0))
+    }),
+
     // URL canonicalization dedup: synthetic URLs derived from (source,
     // doc_id) vary ONLY in host case, a utm_* tracking param and a trailing
     // slash — canonicalization (lowercase scheme+host, strip trailing
@@ -1172,6 +1188,44 @@ object PipelineOpsQueries {
                 CAST(abs(est_val - exact_val) * 1000
                      // greatest(exact_val, 1) AS BIGINT) AS err_permille
          FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""",
+    // chunking replica: identical 64/48 windows rebuilt with zipped
+    // unnests (range is end-exclusive; list slices are 1-based inclusive
+    // and clamp at the end)
+    "p53_chunking" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents),
+         s AS (SELECT doc_id, tk, range(0, len(tk), 48) AS starts FROM t),
+         c AS (SELECT doc_id,
+             unnest(range(0, len(starts))) AS chunk_idx,
+             unnest(list_transform(starts, st -> tk[st+1 : st+64])) AS chunk
+           FROM s)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+    // incremental near-dup replica: exact delta-vs-rest Jaccard pairs —
+    // same shingle/threshold rules as p05, endpoints split by doc_id % 10
+    "p54_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.s = b.s
+                   WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_inter, (sa.n + sb.n - n_inter) AS n_union
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60
+         ORDER BY doc_a, doc_b""",
     // URL-canonicalization replica: identical synthetic URLs and the same
     // lowercase/strip-slash/drop-utm rules in SQL
     "p52_url_canonical" ->

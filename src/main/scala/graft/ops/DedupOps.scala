@@ -187,6 +187,41 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** INCREMENTAL near-dup: probe a batch of NEW docs (`delta`) against the
+    * existing corpus (`index`) through the banded minhash keys — the
+    * incremental-crawl form of [[minhashLsh]] and the batch twin of
+    * `StreamingExtraction.nearDupStream`. Only the delta's band keys join
+    * against the index's, so each ingest batch costs
+    * O(|delta| × bands) probe keys against a (bucketable, precomputable)
+    * index — the corpus never re-pairs with itself. Same band kernel as
+    * the self-join path, so any pair the full run finds between the two
+    * sets, this finds. Emits (doc_a ∈ delta, doc_b ∈ index) with the
+    * exact-Jaccard verify counts. */
+  def minhashIncremental(index: DataFrame, delta: DataFrame, w: Int = 3,
+                         bands: Int = 32, rowsPerBand: Int = 3,
+                         minJaccardPct: Int = 60): DataFrame = {
+    val bi = minhashBands(index, w, bands, rowsPerBand)
+      .select(col("doc_id").as("doc_b"),
+        posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
+    val bd = minhashBands(delta, w, bands, rowsPerBand)
+      .select(col("doc_id").as("doc_a"),
+        posexplode(col("band_keys")).as(Seq("band_id", "band_key")))
+    val cand = bd.join(bi, Seq("band_id", "band_key"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    // exact verify, same broadcast-candidate shape as minhashLsh: shingle
+    // sets stream map-side, only candidates are broadcast
+    val withA = shingleSets(delta, w)
+      .withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+      .join(broadcast(cand), "doc_a")
+    shingleSets(index, w)
+      .withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+      .join(broadcast(withA), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
   /** 64-bit SimHash per document (token-hash bit voting), emitted as four
     * 16-bit band keys — the bands ARE the hamming-bucketing keys at scale,
     * and staying under 2^16 keeps every output column signed-int64-safe for

@@ -167,6 +167,52 @@ object TextOps {
 
   /** md5-low64 (= DuckDB `md5_number_lower`) masked to 63 bits so both
     * engines stay in signed int64. */
+  /** Context-window CHUNKING with stride overlap: split each doc's token
+    * stream into windows of `chunkSize` tokens starting every `stride`
+    * tokens (overlap = chunkSize - stride), the standard shape for
+    * training-sequence preparation. Typed flatMap, not Column HOFs — a
+    * `transform(starts, s => slice(split(text), ...))` formulation
+    * re-inlines the tokenizer per chunk (the measured O(tokens²) trap from
+    * shingleCounts), while this tokenizes once per doc. Emits
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_md5); chunk text itself
+    * stays out of the shuffle — downstream joins re-fetch it by
+    * (doc_id, chunk_idx) when needed. */
+  def chunkDocs(df: DataFrame, chunkSize: Int = 64,
+                stride: Int = 48): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        (0 until toks.length by stride).zipWithIndex.map { case (st, idx) =>
+          val chunk = toks.slice(st, math.min(st + chunkSize, toks.length))
+          (id, idx, chunk.length, md5Hex(chunk.mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5")
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lowercase-hex md5 of a string — matches DuckDB's `md5()` (and Spark
+    * SQL's `md5`) so chunk hashes oracle-compare exactly. */
+  def md5Hex(s: String): String = {
+    val d = md5Digest.get()
+    d.reset()
+    val out = d.digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < out.length) {
+      sb.append(Character.forDigit((out(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(out(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   def md5Low63(s: String): Long = Corpus64.md5Low64(s) & Long.MaxValue
 
   /** One UTF-8 encode per doc; each k-gram hashes a window of the shared

@@ -47,6 +47,40 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1)))
   }
 
+  test("chunking: 64-token windows every 48 tokens, remainder chunk kept, " +
+    "md5 matches the joined tokens") {
+    val toks100 = (1 to 100).map(i => s"t$i")
+    val df = docsDf(1L -> toks100.mkString(" "), 2L -> "a b c")
+    val out = TextOps.chunkDocs(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    // doc 1: starts 0/48/96 → lengths 64, 52, 4
+    assert(out((1L, 0))._1 === 64)
+    assert(out((1L, 1))._1 === 52)
+    assert(out((1L, 2))._1 === 4)
+    assert(out((1L, 0))._2 ===
+      TextOps.md5Hex(toks100.take(64).mkString(" ")))
+    assert(out((1L, 2))._2 ===
+      TextOps.md5Hex(toks100.drop(96).mkString(" ")))
+    // doc 2: single short chunk
+    assert(out((2L, 0)) === ((3, TextOps.md5Hex("a b c"))))
+    assert(out.size === 4)
+  }
+
+  test("incremental near-dup: delta probes the index, finds its planted " +
+    "near-duplicate, never pairs within a set") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val index = docsDf(1L -> base, 3L -> other)
+    val delta = docsDf(2L -> nearDup, 4L -> "completely unrelated fresh text")
+    val out = DedupOps.minhashIncremental(index, delta).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("doc_a") === 2L) // delta side
+    assert(out(0).getAs[Long]("doc_b") === 1L) // index side
+    assert(out(0).getAs[Int]("n_inter") > 30)
+  }
+
   test("simhash pairs: identical docs at hamming 0, unrelated docs unpaired") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val other = (200 to 260).map(i => s"zzz$i").mkString(" ")

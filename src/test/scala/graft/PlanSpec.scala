@@ -100,6 +100,17 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q46 grouped top-k: bounded-heap aggregation with a map-side " +
+    "partial — one shuffle, never a per-key window sort") {
+    val df = RelationalQueries.queries("q46_grouped_topk")(spark, dir)
+    val plan = staticPlan(df)
+    assert(shuffles(plan) === 1, s"plan:\n$plan")
+    assert(!plan.toString.contains("Window"), s"window crept in:\n$plan")
+    // typed Aggregator plans as ObjectHashAggregate with a partial phase
+    assert(plan.toString.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q44 null-safe join: EqualNullSafe stays a broadcast HASH join — " +
     "never a nested loop") {
     val df = RelationalQueries.queries("q44_nullsafe_join")(spark, dir)
