@@ -571,7 +571,18 @@ object RelationalQueries {
           posexplode(col("top_ids")).as(Seq("pos", "doc_id")))
         .select(col("source"), (col("pos") + 1).cast("int").as("rnk"),
           col("doc_id"))
-    })
+    }),
+
+    // integer PageRank over the deterministic hyperlink graph: 3 Pregel
+    // rounds of join+agg, lineage truncated per round; all-floor-division
+    // arithmetic so engine and oracle are bit-identical
+    "q47_pagerank" -> ((s, dir) =>
+      graft.ops.GraphOps.pagerank(t(s, dir, "documents"))),
+
+    // per-node triangle participation + degree on the canonicalized
+    // (a < b) edge set — oriented 2-path join closed by the third edge
+    "q48_triangles" -> ((s, dir) =>
+      graft.ops.GraphOps.triangles(t(s, dir, "documents")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -873,6 +884,58 @@ object RelationalQueries {
              (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
            FROM documents)
          SELECT source, CAST(rnk AS INT) AS rnk, doc_id
-         FROM r WHERE rnk <= 3 ORDER BY source, rnk"""
+         FROM r WHERE rnk <= 3 ORDER BY source, rnk""",
+    // PageRank replica: identical edge derivation (ring successors +
+    // masked-md5 long-range targets) and identical floor-division rank
+    // arithmetic, 3 unrolled iterations
+    "q47_pagerank" ->
+      ("WITH " + graphEdgesCte + """,
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),""" +
+        pagerankIterCte(1) + "," + pagerankIterCte(2) + "," +
+        pagerankIterCte(3) +
+        " SELECT node, pr FROM r3 ORDER BY node"),
+    // triangle replica: same canonical (a < b) distinct edges, same
+    // oriented 2-path + closing-edge enumeration
+    "q48_triangles" ->
+      ("WITH " + graphEdgesCte + """,
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               FROM edges WHERE src <> dst),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pern AS (SELECT node, count(*) AS tri_cnt FROM
+                  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri) GROUP BY node),
+         deg AS (SELECT node, count(*) AS deg_cnt FROM
+                 (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY node)
+         SELECT d.doc_id AS node, coalesce(deg.deg_cnt, 0) AS degree,
+                coalesce(pern.tri_cnt, 0) AS n_triangles
+         FROM documents d LEFT JOIN deg ON deg.node = d.doc_id
+         LEFT JOIN pern ON pern.node = d.doc_id ORDER BY node""")
   )
+
+  /** The deterministic link-graph edge list in DuckDB — must stay
+    * arithmetic-identical to [[graft.ops.GraphOps.linkEdges]]. */
+  private def graphEdgesCte: String =
+    """nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT doc_id AS node FROM documents),
+       edges AS (
+         SELECT doc_id AS src, (doc_id + d.dd) % nn.n AS dst
+         FROM documents, nn, (VALUES (1), (2)) d(dd)
+         UNION ALL
+         SELECT doc_id AS src,
+           CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || '#L' ||
+                                  CAST(j.jj AS VARCHAR))
+                 & 9223372036854775807) % nn.n AS BIGINT) AS dst
+         FROM documents, nn, (VALUES (0), (1)) j(jj))"""
+
+  /** One unrolled PageRank round r{i} reading r{i-1}. */
+  private def pagerankIterCte(i: Int): String =
+    s""" r$i AS (SELECT nd.node,
+           CAST(150000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
+         FROM nodes nd LEFT JOIN (
+           SELECT e.dst, sum(r.pr // 4) AS c FROM edges e
+           JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s
+         ON s.dst = nd.node)"""
 }

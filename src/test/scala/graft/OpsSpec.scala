@@ -81,6 +81,52 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("n_inter") > 30)
   }
 
+  test("pagerank: distributed ranks equal a driver-side brute-force replay " +
+    "of the same integer arithmetic; rank mass stays near n*10^9") {
+    val df = docsDf((0L until 12L).map(i => i -> s"doc $i text"): _*)
+    val n = 12L
+    val edges = graft.ops.GraphOps.linkEdges(df, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var pr = (0L until n).map(_ -> 1000000000L).toMap
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / 4 }.sum
+      }
+      pr = (0L until n).map(v =>
+        v -> (150000000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = graft.ops.GraphOps.pagerank(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    val mass = got.values.sum
+    assert(mass > 11L * 1000000000L && mass <= 12L * 1000000000L)
+  }
+
+  test("triangles: distributed per-node counts equal the brute-force " +
+    "enumeration; the ring edges guarantee a non-zero total") {
+    val df = docsDf((0L until 12L).map(i => i -> s"doc $i text"): _*)
+    val edges = graft.ops.GraphOps.linkEdges(df, 12L).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .filter(e => e._1 != e._2).distinct.toSet
+    val nodes = (0L until 12L).toArray
+    val triPer = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (a <- nodes; b <- nodes if a < b && edges((a, b));
+         c <- nodes if b < c && edges((b, c)) && edges((a, c))) {
+      triPer(a) += 1; triPer(b) += 1; triPer(c) += 1
+    }
+    val degPer = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = graft.ops.GraphOps.triangles(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 12)
+    got.foreach { case (node, deg, tri) =>
+      assert(deg === degPer.getOrElse(node, 0L), s"degree of $node")
+      assert(tri === triPer(node), s"triangles of $node")
+    }
+    assert(got.map(_._3).sum > 0, "ring structure must yield triangles")
+  }
+
   test("simhash pairs: identical docs at hamming 0, unrelated docs unpaired") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val other = (200 to 260).map(i => s"zzz$i").mkString(" ")
