@@ -582,7 +582,27 @@ object RelationalQueries {
     // per-node triangle participation + degree on the canonicalized
     // (a < b) edge set — oriented 2-path join closed by the third edge
     "q48_triangles" -> ((s, dir) =>
-      graft.ops.GraphOps.triangles(t(s, dir, "documents")))
+      graft.ops.GraphOps.triangles(t(s, dir, "documents"))),
+
+    // SCD Type-2 dimension build: signup events become half-open version
+    // intervals via one lead() window — single shuffle, no self-join
+    "q49_scd2_versions" -> ((s, dir) =>
+      graft.ops.EventOps.scd2Versions(t(s, dir, "events"))),
+
+    // calendar densify + forward fill over each user's active day span
+    // (epoch-day integers; purchase totals cent-encoded)
+    "q50_gapfill_daily" -> ((s, dir) =>
+      graft.ops.EventOps.gapFillDaily(t(s, dir, "events"))),
+
+    // ordered view→click→purchase funnel, 24h per-step conversion window,
+    // via the secondary-sort single-pass state machine (no window funnel,
+    // no per-step self-joins)
+    "q51_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnel(t(s, dir, "events"))),
+
+    // cohort retention: first-signup-week cohorts × distinct active weeks
+    "q52_cohort_retention" -> ((s, dir) =>
+      graft.ops.EventOps.cohortRetention(t(s, dir, "events")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -912,7 +932,76 @@ object RelationalQueries {
          SELECT d.doc_id AS node, coalesce(deg.deg_cnt, 0) AS degree,
                 coalesce(pern.tri_cnt, 0) AS n_triangles
          FROM documents d LEFT JOIN deg ON deg.node = d.doc_id
-         LEFT JOIN pern ON pern.node = d.doc_id ORDER BY node""")
+         LEFT JOIN pern ON pern.node = d.doc_id ORDER BY node"""),
+    // SCD2 replica: the identical lead() interval build
+    "q49_scd2_versions" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us
+                    FROM events WHERE event_type = 'signup')
+         SELECT user_id, event_id, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+             ORDER BY valid_from_us, event_id) AS valid_to_us,
+           CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+             ORDER BY valid_from_us, event_id) IS NULL
+             THEN 1 ELSE 0 END AS INT) AS is_current
+         FROM s ORDER BY user_id, valid_from_us""",
+    // gap-fill replica: per-user day range + IGNORE NULLS forward fill
+    "q50_gapfill_daily" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+                       epoch_us(ts) // 86400000000 AS day FROM events),
+         daily AS (SELECT user_id, day, count(*) AS n_ev,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(18,2)) END)
+                          * 100 AS BIGINT) AS purchase_cents
+                   FROM ev GROUP BY user_id, day),
+         spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                   FROM ev GROUP BY user_id),
+         cal AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans)
+         SELECT c.user_id, c.day, coalesce(d.n_ev, 0) AS n_events,
+           last_value(d.purchase_cents IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_purchase_cents
+         FROM cal c LEFT JOIN daily d
+           ON d.user_id = c.user_id AND d.day = c.day
+         ORDER BY c.user_id, c.day""",
+    // funnel replica: per-step min-qualifying keys in composite-key space,
+    // 24h window (86400e6 us * 1e6 key scale)
+    "q51_funnel" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS m FROM events),
+         e AS (SELECT user_id, (epoch_us(ts) - b.m) * 1000000 + event_id AS k,
+                 event_type FROM events, b),
+         s1 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN k END) AS k1
+                FROM e GROUP BY user_id),
+         s2 AS (SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'click' AND e.k > s1.k1
+                       AND e.k <= s1.k1 + 86400000000000000
+                       THEN e.k END) AS k2
+                FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.k > s2.k2
+                       AND e.k <= s2.k2 + 86400000000000000
+                       THEN e.k END) AS k3
+                FROM e JOIN s2 USING (user_id) GROUP BY e.user_id)
+         SELECT s1.user_id,
+           CAST(CASE WHEN k1 IS NULL THEN 0 WHEN k2 IS NULL THEN 1
+                     WHEN k3 IS NULL THEN 2 ELSE 3 END AS INT) AS stage,
+           k1, k2, k3
+         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+         ORDER BY s1.user_id""",
+    // cohort replica: absolute epoch weeks (integer division both sides)
+    "q52_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                       (epoch_us(ts) // 86400000000) // 7 AS week
+                     FROM events),
+         coh AS (SELECT user_id, min(week) AS cohort_week FROM ev
+                 WHERE event_type = 'signup' GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, week FROM ev)
+         SELECT c.cohort_week, a.week - c.cohort_week AS offset_weeks,
+           count(DISTINCT a.user_id) AS n_users
+         FROM act a JOIN coh c USING (user_id)
+         WHERE a.week >= c.cohort_week
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** The deterministic link-graph edge list in DuckDB — must stay

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse / time-series operators over the event stream: SCD Type-2
+  * interval building, calendar gap-fill with forward-fill, ordered funnel
+  * analysis, and cohort retention. All timestamps go through
+  * `unix_micros(ts)` under the pinned-UTC session (the q24 convention) so
+  * DuckDB's `epoch_us` oracle arithmetic is identical.
+  *
+  * Scale notes (10^12 events): every op here shuffles once on `user_id`
+  * (or not at all past the first agg); with the event log bucketed by
+  * user_id all four become exchange-free. No op carries event payloads
+  * through a shuffle — only (user, key, type) triples or pre-aggregated
+  * per-(user, day) rows.
+  */
+object EventOps {
+
+  private def withUs(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), unix_micros(col("ts").cast("timestamp")).as("us"))
+
+  /** SCD Type-2 dimension build: each `signup` event opens a new version of
+    * the user row; `valid_to_us` is the next version's start (half-open
+    * interval), null while current. One window over (user, us, event_id) —
+    * a single shuffle, no self-join. */
+  def scd2Versions(events: DataFrame): DataFrame =
+    withUs(events)
+      .where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("us").as("valid_from_us"))
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from_us"), col("event_id"))))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1).otherwise(0).cast("int"))
+
+  /** Calendar densify + forward fill: per user, one row per day of the
+    * user's active span (epoch-day integers — no timezone arithmetic);
+    * days without events get n_events = 0 and the purchase total
+    * forward-filled from the last day that had one (null until the first).
+    * The explode produces only each user's own span, and both aggregates
+    * and the final window share the user_id partitioning. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val ev = withUs(events)
+      .withColumn("day", expr("us div 86400000000"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_ev"),
+        (sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))) * 100)
+          .cast("long").as("purchase_cents"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events"),
+        last(col("purchase_cents"), ignoreNulls = true).over(w)
+          .as("filled_purchase_cents"))
+  }
+
+  /** Ordered 3-step funnel (view → click → purchase, each step within
+    * `windowUs` of the previous) per user via the secondary-sort pattern:
+    * one hash repartition on user_id, an in-partition sort on (user, k),
+    * then a single-pass state machine — no window function, no per-step
+    * self-joins. `k = rel_us * 10^6 + event_id` is a strictly-ordered
+    * unique key (collision-free for event_id < 10^6), so "first click
+    * strictly after the first view" is exactly "next click in scan order";
+    * the conversion window is measured in the same composite-key space on
+    * both engine and oracle, so the event_id low bits can never disagree.
+    * Emits one row per user with the stage reached + step keys. */
+  def funnel(events: DataFrame,
+             windowUs: Long = 86400000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winK = windowUs * 1000000L
+    val ev = withUs(events)
+    val minUs = ev.agg(min(col("us")).as("m"))
+    val keyed = ev.crossJoin(broadcast(minUs))
+      .select(col("user_id").cast("long"),
+        ((col("us") - col("m")) * 1000000L + col("event_id")).as("k"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+    keyed
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("k"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Option[Long], Option[Long], Option[Long])]
+        var cur = Long.MinValue
+        var seen = false
+        var k1, k2, k3: Option[Long] = None
+        def flush(): Unit = if (seen) {
+          val stage = if (k1.isEmpty) 0 else if (k2.isEmpty) 1
+            else if (k3.isEmpty) 2 else 3
+          out += ((cur, stage, k1, k2, k3))
+        }
+        it.foreach { case (u, k, ty) =>
+          if (u != cur) { flush(); cur = u; seen = true
+            k1 = None; k2 = None; k3 = None }
+          // keys ascend within a user, so the first qualifying event in
+          // scan order IS the min-qualifying one; a first-seen event past
+          // the window closes the step (later ones are farther still)
+          ty match {
+            case "view" if k1.isEmpty => k1 = Some(k)
+            case "click" if k1.isDefined && k2.isEmpty
+              && k <= k1.get + winK => k2 = Some(k)
+            case "purchase" if k2.isDefined && k3.isEmpty
+              && k <= k2.get + winK => k3 = Some(k)
+            case _ =>
+          }
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("user_id", "stage", "k1", "k2", "k3")
+  }
+
+  /** Cohort retention: cohort = the user's first signup week (absolute
+    * epoch week, integer div — no week-start convention to disagree on);
+    * a user counts toward (cohort_week, offset) for every distinct week
+    * with any activity at offset ≥ 0. Two keyed aggregations + one join on
+    * user_id. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = withUs(events)
+      .withColumn("week", expr("(us div 86400000000) div 7"))
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.select(col("user_id"), col("week")).distinct()
+      .join(cohorts, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+}
