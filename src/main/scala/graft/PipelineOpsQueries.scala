@@ -36,6 +36,9 @@ object PipelineOpsQueries {
   def lshRecallDumpPath(dir: String): String =
     s"/tmp/graft_lsh_recall_${SparkEntry.docCountFor(dir)}"
 
+  def mgDumpPath(dir: String): String =
+    s"/tmp/graft_mg_summary_${SparkEntry.docCountFor(dir)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -333,6 +336,34 @@ object PipelineOpsQueries {
       DedupOps.minhashIncremental(
         d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0))
     }),
+
+    // positional-postings phrase query: postings filtered to the phrase's
+    // tokens before the (single) doc_id shuffle; adjacency via array HOFs
+    "p55_phrase_search" -> ((s, dir) =>
+      graft.ops.CorpusOps.phraseSearch(docs(s, dir), Seq("slow", "hash", "batch"))),
+
+    // ANALYZE-style table profile over normalized orders columns (doubles
+    // cent-encoded, timestamps to epoch micros, so min/max stringify
+    // identically in both engines)
+    "p56_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("o_price_cents"),
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_us"))
+      graft.ops.ProfileOps.profile(o, Seq("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_orderpriority", "o_price_cents",
+        "o_orderdate_us"))
+    }),
+
+    // Misra-Gries heavy hitters (k=16) with planted hot tokens; the
+    // summary is dumped so the oracle re-derives the same error-bound
+    // verdicts against exact counts
+    "p57_heavy_hitters" -> ((s, dir) =>
+      graft.ops.CorpusOps.heavyHitters(docs(s, dir), 16, mgDumpPath(dir))),
 
     // URL canonicalization dedup: synthetic URLs derived from (source,
     // doc_id) vary ONLY in host case, a utm_* tracking param and a trailing
@@ -1226,6 +1257,51 @@ object PipelineOpsQueries {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60
          ORDER BY doc_a, doc_b""",
+    // phrase replica: zipped-unnest positions, same 3-token adjacency
+    "p55_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         p AS (SELECT doc_id, unnest(range(1, len(tk) - 1)) AS i, tk FROM t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM p
+         WHERE tk[i] = 'slow' AND tk[i+1] = 'hash' AND tk[i+2] = 'batch'
+         GROUP BY doc_id ORDER BY doc_id""",
+    // profile replica: per-column UNION ALL over the same normalization
+    "p56_profile" ->
+      ("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            o_orderpriority,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS o_price_cents,
+            epoch_us(o_orderdate) AS o_orderdate_us FROM orders)
+          SELECT * FROM (""" +
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_price_cents", "o_orderdate_us").map(c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_v,
+              CAST(max($c) AS VARCHAR) AS max_v FROM o""")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY column_name"),
+    // Misra-Gries replica: exact counts over the identical planted stream,
+    // engine summary read back from the dump, same n div (k+1) bound
+    "p57_heavy_hitters" ->
+      s"""WITH ex AS (SELECT tok AS token,
+             CAST(count(*) AS BIGINT) AS exact_cnt FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+             FROM documents
+             UNION ALL
+             SELECT 'hot_' || CAST(doc_id % 3 AS VARCHAR) AS tok
+             FROM documents, (SELECT unnest(range(0, 20)) AS j) r
+             WHERE doc_id % 2 = 0
+           ) GROUP BY tok),
+         nt AS (SELECT sum(exact_cnt) AS n FROM ex),
+         d AS (SELECT * FROM read_parquet('${mgDumpPath(dir)}/*.parquet'))
+         SELECT d.token, d.est_cnt, ex.exact_cnt,
+           CAST(CASE WHEN d.est_cnt <= ex.exact_cnt
+                 AND ex.exact_cnt - d.est_cnt <= nt.n // 17
+                 THEN 1 ELSE 0 END AS INT) AS ok
+         FROM d JOIN ex USING (token), nt ORDER BY d.token""",
     // URL-canonicalization replica: identical synthetic URLs and the same
     // lowercase/strip-slash/drop-utm rules in SQL
     "p52_url_canonical" ->

@@ -799,4 +799,104 @@ object CorpusOps {
         col("est_val"), col("err_permille"))
       .orderBy(col("q"))
   }
+
+  /** Positional-postings PHRASE query: per matching doc, the number of
+    * positions where the phrase's tokens appear consecutively. The scan
+    * filters postings to the phrase's tokens BEFORE anything shuffles
+    * (at 10^12 docs this is an index probe over a prebuilt (token → doc,
+    * pos) table, reading |phrase| token keys, never the corpus); the
+    * per-doc adjacency check is a codegen'd array HOF over the collected
+    * position lists — one shuffle on doc_id total, no per-position
+    * self-joins. */
+  def phraseSearch(df: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least 2 tokens")
+    val postings = df
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase: _*))
+    val aggs = phrase.zipWithIndex.map { case (w, i) =>
+      collect_list(when(col("tok") === w, col("pos"))).as(s"l$i")
+    }
+    val lists = postings.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val hits = filter(col("l0"), p =>
+      phrase.indices.tail
+        .map(i => array_contains(col(s"l$i"), p + i))
+        .reduce(_ && _))
+    lists
+      .select(col("doc_id"), size(hits).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The heavy-hitter token stream: corpus tokens plus a deterministic
+    * planted skew (20 copies of `hot_<doc_id % 3>` for every even doc) so
+    * the Misra-Gries completeness guarantee is exercised by real
+    * above-threshold keys — the synthetic corpus alone is too uniform. */
+  private def hhStream(df: DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = wsPat.split(text.trim).iterator
+        val hot = if (id % 2 == 0)
+          Iterator.fill(20)("hot_" + (id % 3)) else Iterator.empty
+        toks ++ hot
+      }
+  }
+
+  /** Misra-Gries heavy hitters (capacity k) with an error-bound
+    * validation output: per-partition MG summaries (bounded state, one
+    * scan) merged by count-sum + single (k+1)-th-largest subtraction —
+    * the mergeable-summaries construction, whose total undercount is
+    * ≤ n/(k+1) regardless of merge order, so the driver-side fold of the
+    * tiny (partitions × k)-row summary set is deterministic. Emits one
+    * row per surviving token: (token, est_cnt, exact_cnt, ok) where ok
+    * verifies 0 ≤ exact − est ≤ n div (k+1); the summary is also dumped
+    * to `dumpPath` so the oracle can re-derive the same verdicts. */
+  def heavyHitters(df: DataFrame, k: Int, dumpPath: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stream = hhStream(df)
+    val partials = stream.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach { t =>
+        val cur = m.get(t)
+        if (cur != null) m.put(t, cur + 1)
+        else if (m.size < k) m.put(t, 1L)
+        else { // decrement-all step; the newcomer's 1 cancels with it
+          val e = m.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(kv => (kv.getKey, kv.getValue))
+    }.collect() // ≤ partitions × k rows
+    val summed = partials.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).sum
+    }
+    val survivors =
+      if (summed.size <= k) summed.toSeq
+      else {
+        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        summed.toSeq.map { case (t, c) => t -> (c - cut) }.filter(_._2 > 0)
+      }
+    val summary = survivors.sortBy(_._1).toDF("token", "est_cnt")
+    summary.coalesce(1).write.mode("overwrite").parquet(dumpPath)
+    val exact = stream.toDF("token").groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val total = exact.agg(sum(col("exact_cnt")).as("n"))
+    spark.read.parquet(dumpPath)
+      .join(exact, "token")
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("est_cnt"), col("exact_cnt"),
+        when(col("est_cnt") <= col("exact_cnt") &&
+          col("exact_cnt") - col("est_cnt") <=
+            expr(s"n div ${k + 1}"), 1).otherwise(0)
+          .cast("int").as("ok"))
+      .orderBy(col("token"))
+  }
 }

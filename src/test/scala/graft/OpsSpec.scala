@@ -81,6 +81,58 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("n_inter") > 30)
   }
 
+  test("phrase search: counts consecutive-token occurrences per doc, " +
+    "including overlapping ones; non-matching docs are absent") {
+    val df = docsDf(1L -> "a b c a b c d", 2L -> "a b x b c",
+      3L -> "c b a")
+    val out = graft.ops.CorpusOps.phraseSearch(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L))
+    val rep = graft.ops.CorpusOps.phraseSearch(
+      docsDf(9L -> "z z z z"), Seq("z", "z")).collect()
+    assert(rep.map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(9L -> 3L))
+  }
+
+  test("misra-gries heavy hitters: with capacity above the vocabulary the " +
+    "estimates are exact; planted hot tokens always appear") {
+    val df = docsDf((0L until 10L).map(i => i -> "x y"): _*)
+    val out = graft.ops.CorpusOps
+      .heavyHitters(df, 16, "/tmp/graft_mg_spec_16")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // stream: 20 corpus tokens + 20 hot per even doc (0,2,4,6,8)
+    val expectExact = Map("x" -> 10L, "y" -> 10L,
+      "hot_0" -> 40L, "hot_1" -> 20L, "hot_2" -> 40L)
+    assert(out.map(x => x._1 -> x._2).toMap === expectExact)
+    out.foreach { case (t, est, exact, ok) =>
+      assert(est === exact, t); assert(ok === 1, t)
+    }
+  }
+
+  test("misra-gries under pressure (k=3): every surviving estimate is an " +
+    "undercount within n div (k+1) — ok=1 on all rows") {
+    val df = docsDf((0L until 10L).map(i => i -> "x y"): _*)
+    val out = graft.ops.CorpusOps
+      .heavyHitters(df, 3, "/tmp/graft_mg_spec_3")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, est, exact, ok) =>
+      assert(est <= exact, t); assert(ok === 1, t)
+    }
+  }
+
+  test("table profile: one row per column with completeness, exact " +
+    "cardinality and stringified min/max") {
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (2L, Option("b"))).toDF("k", "v")
+    val out = graft.ops.ProfileOps.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(out("k") === ((3L, 0L, 2L, "1", "2")))
+    assert(out("v") === ((3L, 1L, 2L, "a", "b")))
+  }
+
   test("pagerank: distributed ranks equal a driver-side brute-force replay " +
     "of the same integer arithmetic; rank mass stays near n*10^9") {
     val df = docsDf((0L until 12L).map(i => i -> s"doc $i text"): _*)
