@@ -602,7 +602,21 @@ object RelationalQueries {
 
     // cohort retention: first-signup-week cohorts × distinct active weeks
     "q52_cohort_retention" -> ((s, dir) =>
-      graft.ops.EventOps.cohortRetention(t(s, dir, "events")))
+      graft.ops.EventOps.cohortRetention(t(s, dir, "events"))),
+
+    // tumbling-window rollup via the window() API (epoch-aligned 6h
+    // buckets under the pinned-UTC session) — the batch twin of the
+    // streaming windowed aggregation, one partial+final hash agg
+    "q53_tumbling_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "6 hours"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_value_cents"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("sum_value_cents"))
+        .orderBy(col("win_start_us"), col("event_type")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1001,7 +1015,15 @@ object RelationalQueries {
            count(DISTINCT a.user_id) AS n_users
          FROM act a JOIN coh c USING (user_id)
          WHERE a.week >= c.cohort_week
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // tumbling replica: epoch-aligned integer bucketing (Spark's window()
+    // origin is the epoch under UTC, and 6h divides a day evenly)
+    "q53_tumbling_windows" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS sum_value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** The deterministic link-graph edge list in DuckDB — must stay

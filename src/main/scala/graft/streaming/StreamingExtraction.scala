@@ -223,4 +223,25 @@ object StreamingExtraction {
       }
       .start()
   }
+
+  /** STREAM-STREAM interval join — the streaming analogue of the batch
+    * range join (q23): each purchase joins every click by the same user in
+    * the hour before it. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark derives a state-
+    * retention horizon for each side (a click's state is droppable once
+    * the purchase watermark passes click_ts + window) — state is bounded
+    * by rate × (watermark + window), never by history. Append-mode inner
+    * join: a pair is emitted exactly once, whichever side arrives first.
+    * Inputs: purchases(p_user, p_ts, p_id), clicks(c_user, c_ts, c_id). */
+  def intervalJoinStream(purchases: DataFrame, clicks: DataFrame,
+                         windowSeconds: Long = 3600,
+                         watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val c = clicks.withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+          c_ts >= p_ts - INTERVAL $windowSeconds SECONDS AND
+          c_ts <= p_ts"""))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+  }
 }

@@ -18,7 +18,12 @@ object PlanSweep {
       "p07_ann_brute_topk" -> Set("BroadcastNestedLoop"),
       "p47_quantile_validate" -> Set("BroadcastNestedLoop"),
       "p50_mixture_plan" -> Set("BroadcastNestedLoop"),
-      "x14_media_integrity" -> Set("BroadcastNestedLoop"))
+      "x14_media_integrity" -> Set("BroadcastNestedLoop"),
+      // q51 broadcasts the 1-row global min-ts (funnel key base); p57
+      // broadcasts the 1-row stream total (the n div (k+1) bound) — same
+      // keyless-constant-build-side class as p47/p50/x14
+      "q51_funnel" -> Set("BroadcastNestedLoop"),
+      "p57_heavy_hitters" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -73,6 +73,36 @@ class StreamingSpec extends AnyFunSuite {
     }, "fresh 10:20 window missing")
   }
 
+  test("stream-stream interval join pairs each purchase with prior-hour " +
+    "clicks, across micro-batches, in either arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val out = StreamingExtraction.intervalJoinStream(
+      pStream.toDS().toDF("p_user", "p_ts", "p_id"),
+      cStream.toDS().toDF("c_user", "c_ts", "c_id"))
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // batch 1: click before its purchase (click side arrives first)
+    cStream.addData(Seq((1L, ts(5), 101L), (2L, ts(6), 102L)))
+    pStream.addData(Seq((1L, ts(30), 201L)))
+    q.processAllAvailable()
+    // batch 2: purchase's click arrives LATER than the purchase; also a
+    // same-user click 2h before a purchase (outside the window → no pair)
+    pStream.addData(Seq((2L, ts(40), 202L)))
+    cStream.addData(Seq((3L, ts(0), 103L)))
+    pStream.addData(Seq((3L, java.sql.Timestamp.valueOf(
+      "2026-01-01 12:30:00"), 203L)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((201L, 101L), (202L, 102L)),
+      s"got $pairs")
+  }
+
   test("session windows merge events within the gap, close on watermark, " +
     "emit once in append mode") {
     import spark.implicits._
