@@ -617,6 +617,38 @@ object RelationalQueries {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n_events"), col("sum_value_cents"))
         .orderBy(col("win_start_us"), col("event_type")))
+  ,
+
+    // Iceberg-style copy-on-write snapshots + TIME TRAVEL: v1 committed,
+    // v2 = read-latest → update/delete → commit; the query then reads v1
+    // THROUGH ITS MANIFEST after v2 exists and rolls both up — isolation
+    // of published snapshots is the thing under test
+    "q54_time_travel" -> ((s, dir) => {
+      val base = s"/tmp/graft_timetravel_${SparkEntry.docCountFor(dir)}"
+      // fresh table: stale manifests from a prior run would make
+      // readSnapshot(latest) resolve PAST the version being rebuilt (and
+      // the v2 commit would then overwrite its own input)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.io.TableIO.commitSnapshot(v1, base, 1)
+      val v2 = graft.io.TableIO.readSnapshot(s, base) // latest = v1
+        .where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 7L)
+            .otherwise(col("n_chars")).as("n_chars"))
+      graft.io.TableIO.commitSnapshot(v2, base, 2)
+      def rollup(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v).as("version"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      rollup(graft.io.TableIO.readSnapshot(s, base, Some(1)), 1)
+        .unionByName(rollup(graft.io.TableIO.readSnapshot(s, base), 2))
+        .orderBy(col("version"), col("lang"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1023,7 +1055,22 @@ object RelationalQueries {
          event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS sum_value_cents
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // time-travel replica: both versions re-derived from the base table
+    // (v2 = %17 deletes + %5 updates, exactly the engine's commit chain)
+    "q54_time_travel" ->
+      """WITH v1 AS (SELECT lang, n_chars FROM documents),
+         v2 AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                             ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 17 <> 0)
+         SELECT CAST(1 AS INT) AS version, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM v1 GROUP BY lang
+         UNION ALL
+         SELECT CAST(2 AS INT), lang, count(*),
+                CAST(sum(n_chars) AS BIGINT)
+         FROM v2 GROUP BY lang
+         ORDER BY version, lang"""
   )
 
   /** The deterministic link-graph edge list in DuckDB — must stay

@@ -183,4 +183,41 @@ object TableIO {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     n
   }
+
+  /** Copy-on-write SNAPSHOT commit — the Iceberg snapshot model over plain
+    * parquet: each commit writes its data files under `v<version>/` and
+    * publishes a manifest (`_manifests/v<version>.txt`) listing exactly
+    * the files that snapshot reads. Data files are immutable once
+    * committed; a new version never touches an old version's files, so
+    * readers pinned to an older manifest are isolated from concurrent
+    * commits (time travel). The manifest write is the commit point. */
+  def commitSnapshot(df: DataFrame, table: String, version: Int): Unit = {
+    val spark = df.sparkSession
+    val dataDir = s"$table/v$version"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(s"$table/_manifests/v$version.txt")
+    val out = fs.create(mPath, true)
+    out.write((dataDir + "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Time-travel read: load the file list of `version` (or the latest
+    * committed version when None) from its manifest and read exactly
+    * those files — a v1 reader sees v1 bytes even after v2 commits. */
+  def readSnapshot(spark: SparkSession, table: String,
+                   version: Option[Int] = None): DataFrame = {
+    val mDir = new org.apache.hadoop.fs.Path(s"$table/_manifests")
+    val fs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(mDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt)
+    val v = version.getOrElse(versions.max)
+    require(versions.contains(v), s"no committed snapshot v$v in $table")
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$table/_manifests/v$v.txt"))
+    val paths = scala.io.Source.fromInputStream(in).getLines().toSeq
+    in.close()
+    spark.read.parquet(paths: _*)
+  }
 }

@@ -111,6 +111,49 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q51 funnel: one user repartition + one 1-row min aggregate — " +
+    "never a window funnel or per-step self-joins") {
+    val df = RelationalQueries.queries("q51_funnel")(spark, dir)
+    val plan = staticPlan(df)
+    assert(shuffles(plan) <= 2, s"plan:\n$plan") // min-agg + repartition
+    assert(!plan.toString.contains("Window"), s"window crept in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q49 scd2: exactly the one window shuffle, no self-join") {
+    val df = RelationalQueries.queries("q49_scd2_versions")(spark, dir)
+    val plan = staticPlan(df)
+    assert(shuffles(plan) === 1, s"plan:\n$plan")
+    assert(plan.toString.contains("Window"), s"plan:\n$plan")
+    assert(!plan.toString.toLowerCase.contains("join"), s"plan:\n$plan")
+  }
+
+  test("p55 phrase search: postings filtered to the phrase's tokens " +
+    "before the single doc_id hash shuffle (plus only the output sort)") {
+    val df = PipelineOpsQueries.queries("p55_phrase_search")(spark, dir)
+    val s = staticPlan(df).toString
+    // one keyed exchange; the trailing rangepartitioning is the ORDER BY
+    assert("hashpartitioning".r.findAllIn(s).size === 1, s"plan:\n$s")
+    // the token IN-filter must sit UNDER the exchange (map side), so the
+    // shuffle carries only phrase-token postings, never the full corpus;
+    // the partial collect_list proves map-side pre-aggregation
+    val filterIdx = s.indexOf(" IN (slow,hash,batch)")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning")
+    assert(filterIdx > exchangeIdx && exchangeIdx >= 0, s"plan:\n$s")
+    assert(s.contains("partial_collect_list"), s"plan:\n$s")
+  }
+
+  test("p56 profile: approx_count_distinct tracks the exact cardinality " +
+    "within HLL++ error — the 10^12-row swap the scaladoc commits to") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val row = o.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   test("q44 null-safe join: EqualNullSafe stays a broadcast HASH join — " +
     "never a nested loop") {
     val df = RelationalQueries.queries("q44_nullsafe_join")(spark, dir)

@@ -213,6 +213,26 @@ class TableIOSpec extends AnyFunSuite {
     val b = docs.orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("snapshot commits are isolated: a v1 reader sees v1 bytes after v2 " +
+    "commits, latest resolves to v2, and v1 reads only v1 files") {
+    import spark.implicits._
+    val base = "/tmp/graft_tt_spec"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    val v1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "x")
+    TableIO.commitSnapshot(v1, base, 1)
+    val v2 = TableIO.readSnapshot(spark, base)
+      .where(col("id") =!= 2L).withColumn("x", col("x") + 1L)
+    TableIO.commitSnapshot(v2, base, 2)
+    val r1 = TableIO.readSnapshot(spark, base, Some(1))
+    assert(r1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(r1.inputFiles.nonEmpty && r1.inputFiles.forall(_.contains("/v1/")),
+      s"v1 reader touched non-v1 files: ${r1.inputFiles.mkString(",")}")
+    val latest = TableIO.readSnapshot(spark, base)
+    assert(latest.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 11L), (3L, 31L)))
+  }
 }
 
 /** The driver's smoke check: SparkEntry.entry must return rows. */
