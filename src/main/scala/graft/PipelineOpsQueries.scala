@@ -365,6 +365,11 @@ object PipelineOpsQueries {
     "p57_heavy_hitters" -> ((s, dir) =>
       graft.ops.CorpusOps.heavyHitters(docs(s, dir), 16, mgDumpPath(dir))),
 
+    // bigram-LM surprisal: the conditional upgrade of p38's unigram
+    // filter, pure integer bit-length arithmetic
+    "p58_bigram_surprisal" -> ((s, dir) =>
+      graft.ops.CorpusOps.bigramSurprisal(docs(s, dir))),
+
     // URL canonicalization dedup: synthetic URLs derived from (source,
     // doc_id) vary ONLY in host case, a utm_* tracking param and a trailing
     // slash — canonicalization (lowercase scheme+host, strip trailing
@@ -1302,6 +1307,26 @@ object PipelineOpsQueries {
                  AND ex.exact_cnt - d.est_cnt <= nt.n // 17
                  THEN 1 ELSE 0 END AS INT) AS ok
          FROM d JOIN ex USING (token), nt ORDER BY d.token""",
+    // bigram replica: zipped unnests build the identical (w1, pair)
+    // stream; same MLE context counts and bit-length arithmetic
+    "p58_bigram_surprisal" ->
+      """WITH tk AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         pr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS pair
+           FROM tk),
+         c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                FROM pr GROUP BY w1),
+         c12 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c12
+                 FROM pr GROUP BY pair)
+         SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(length(bin(c1.c1)) - length(bin(c12.c12)))
+                     AS BIGINT) AS bigram_surprisal
+         FROM pr JOIN c1 USING (w1) JOIN c12 USING (pair)
+         GROUP BY pr.doc_id ORDER BY pr.doc_id""",
+
     // URL-canonicalization replica: identical synthetic URLs and the same
     // lowercase/strip-slash/drop-utm rules in SQL
     "p52_url_canonical" ->

@@ -800,6 +800,44 @@ object CorpusOps {
       .orderBy(col("q"))
   }
 
+  /** Bigram-LM surprisal — the conditional-probability upgrade of
+    * [[surprisalScores]] (the CCNet/Gopher-style LM quality filter one
+    * model order up): per doc, Σ over adjacent token pairs of
+    * bitlen(c(w1)) − bitlen(c(w1 w2)), the integer-bit-length form of
+    * −log2 p̂(w2|w1) under the corpus MLE bigram model (c(w1) = pairs
+    * starting with w1, the MLE denominator). Pure integer arithmetic, so
+    * engine and oracle agree bit-for-bit. Scale shape: one tokenize pass
+    * emitting (doc, w1, pair) with per-(doc,pair) pre-aggregation before
+    * any join; the two model tables are token-keyed aggs (broadcast here;
+    * co-partitioned keyed joins at 10^12 rows where the pair vocabulary
+    * outgrows a broadcast). The pairs subtree is consumed by all three
+    * aggregations — recompute is the small-SF default (typed-map subtrees
+    * don't get exchange reuse; p44's measured rule). */
+  def bigramSurprisal(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = wsPat.split(text.trim)
+        (0 until t.length - 1).iterator
+          .map(i => (id, t(i), t(i) + " " + t(i + 1)))
+      })
+      .toDF("doc_id", "w1", "pair")
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+    val docPair = pairs.groupBy(col("doc_id"), col("w1"), col("pair"))
+      .agg(count(lit(1)).as("tf"))
+    docPair
+      .join(broadcast(c1), "w1")
+      .join(broadcast(c12), "pair")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_pairs"),
+        sum(col("tf") *
+            (length(bin(col("c1"))) - length(bin(col("c12")))))
+          .cast("long").as("bigram_surprisal"))
+  }
+
   /** Positional-postings PHRASE query: per matching doc, the number of
     * positions where the phrase's tokens appear consecutively. The scan
     * filters postings to the phrase's tokens BEFORE anything shuffles

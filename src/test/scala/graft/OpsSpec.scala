@@ -133,6 +133,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out("v") === ((3L, 1L, 2L, "a", "b")))
   }
 
+  test("bigram surprisal: hand-computed bit-length scores over a tiny " +
+    "corpus (rare continuations cost bits, the modal one costs none)") {
+    val df = docsDf(1L -> "a b a b c", 2L -> "a b")
+    // c1: a=3, b=2; c12: "a b"=3, "b a"=1, "b c"=1; bitlen: 3→2, 2→2, 1→1
+    // doc1: 2×("a b": 2-2) + ("b a": 2-1) + ("b c": 2-1) = 2, n_pairs 4
+    // doc2: 1×("a b": 2-2) = 0, n_pairs 1
+    val out = graft.ops.CorpusOps.bigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((4L, 2L)), 2L -> ((1L, 0L))))
+  }
+
+  test("observedWrite: metric aggregates ride the sink job and match a " +
+    "direct aggregation; the parquet lands intact") {
+    val df = docsDf(1L -> "alpha", 2L -> "beta gamma", 3L -> "x")
+    val path = "/tmp/graft_observe_spec"
+    val m = graft.pipe.Metrics.observedWrite(df, path, Seq(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("sum_len")))
+    assert(m("n_docs") === 3L)
+    assert(m("sum_len") === (5 + 10 + 1).toLong)
+    assert(spark.read.parquet(path).count() === 3L)
+  }
+
   test("pagerank: distributed ranks equal a driver-side brute-force replay " +
     "of the same integer arithmetic; rank mass stays near n*10^9") {
     val df = docsDf((0L until 12L).map(i => i -> s"doc $i text"): _*)
