@@ -616,6 +616,20 @@ object RelationalQueries {
             .as("sum_value_cents"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n_events"), col("sum_value_cents"))
+        .orderBy(col("win_start_us"), col("event_type"))),
+
+    // SLIDING windows (12h length, 6h slide): every event lands in exactly
+    // two epoch-aligned windows; distinct-user counts per window — the
+    // overlap means naive per-window reuse is impossible and the Expand
+    // (×2 window assignment) happens map-side before the one shuffle
+    "q55_sliding_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "12 hours", "6 hours"),
+          col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_users"), col("n_events"))
         .orderBy(col("win_start_us"), col("event_type")))
   ,
 
@@ -1056,6 +1070,17 @@ object RelationalQueries {
          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS sum_value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // sliding replica: each event expands to its two epoch-aligned
+    // 6h-slide window starts (length 12h ⇒ exactly two)
+    "q55_sliding_windows" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+         w AS (SELECT user_id, event_type,
+                 (us // 21600000000) * 21600000000 - s.off AS win_start_us
+               FROM e, (VALUES (0), (21600000000)) s(off))
+         SELECT win_start_us, event_type,
+                count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // time-travel replica: both versions re-derived from the base table
     // (v2 = %17 deletes + %5 updates, exactly the engine's commit chain)
     "q54_time_travel" ->

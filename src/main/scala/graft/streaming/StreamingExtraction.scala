@@ -232,16 +232,21 @@ object StreamingExtraction {
     * the purchase watermark passes click_ts + window) — state is bounded
     * by rate × (watermark + window), never by history. Append-mode inner
     * join: a pair is emitted exactly once, whichever side arrives first.
+    * With `joinType = "leftOuter"` an unmatched purchase emits a
+    * null-click row — but only once the watermark proves no matching
+    * click can still arrive (its state is evictable): the semantics that
+    * keep outer results exactly-once under out-of-order arrival.
     * Inputs: purchases(p_user, p_ts, p_id), clicks(c_user, c_ts, c_id). */
   def intervalJoinStream(purchases: DataFrame, clicks: DataFrame,
                          windowSeconds: Long = 3600,
-                         watermark: String = "2 hours"): DataFrame = {
+                         watermark: String = "2 hours",
+                         joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("p_ts", watermark)
     val c = clicks.withWatermark("c_ts", watermark)
     p.join(c, expr(
       s"""p_user = c_user AND
           c_ts >= p_ts - INTERVAL $windowSeconds SECONDS AND
-          c_ts <= p_ts"""))
+          c_ts <= p_ts"""), joinType)
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
   }
 }

@@ -133,6 +133,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out("v") === ((3L, 1L, 2L, "a", "b")))
   }
 
+  test("chunking invariants across lengths 1..150: contiguous indexes, " +
+    "window arithmetic, md5 of exactly the window's tokens") {
+    (1 to 150 by 7).foreach { n =>
+      val toks = (1 to n).map(i => s"w$i")
+      val out = TextOps.chunkDocs(docsDf(5L -> toks.mkString(" ")))
+        .collect()
+        .map(r => r.getInt(1) -> (r.getInt(2), r.getString(3))).toMap
+      val expectedChunks = (0 until n by 48).zipWithIndex
+      assert(out.size === expectedChunks.size, s"n=$n")
+      expectedChunks.foreach { case (st, idx) =>
+        val window = toks.slice(st, math.min(st + 64, n))
+        assert(out(idx)._1 === window.length, s"n=$n idx=$idx")
+        assert(out(idx)._2 === TextOps.md5Hex(window.mkString(" ")),
+          s"n=$n idx=$idx")
+      }
+    }
+  }
+
   test("bigram surprisal: hand-computed bit-length scores over a tiny " +
     "corpus (rare continuations cost bits, the modal one costs none)") {
     val df = docsDf(1L -> "a b a b c", 2L -> "a b")

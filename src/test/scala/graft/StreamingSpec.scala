@@ -103,6 +103,41 @@ class StreamingSpec extends AnyFunSuite {
       s"got $pairs")
   }
 
+  test("stream-stream LEFT OUTER interval join: an unmatched purchase " +
+    "emits its null-click row only after the watermark closes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val out = StreamingExtraction.intervalJoinStream(
+      pStream.toDS().toDF("p_user", "p_ts", "p_id"),
+      cStream.toDS().toDF("c_user", "c_ts", "c_id"),
+      joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    // a purchase with NO click for its user
+    pStream.addData(Seq((7L, ts(10), 701L)))
+    cStream.addData(Seq((8L, ts(10), 801L)))
+    q.processAllAvailable()
+    // not yet closable: the watermark hasn't passed 10:00 + window
+    assert(!spark.table("ssj_outer").collect()
+      .exists(_.getLong(0) == 701L), "outer row leaked before the horizon")
+    // advance BOTH watermarks well past the horizon, then run the extra
+    // batch that flushes watermark-closed outer state
+    pStream.addData(Seq((9L, ts(20), 901L)))
+    cStream.addData(Seq((9L, ts(20), 902L)))
+    q.processAllAvailable()
+    pStream.addData(Seq((9L, ts(21), 903L)))
+    cStream.addData(Seq((9L, ts(21), 904L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(rows(701L) === None, s"expected null click for 701: $rows")
+    assert(rows(901L) === Some(902L)) // same-ts click joins (c_ts <= p_ts)
+  }
+
   test("session windows merge events within the gap, close on watermark, " +
     "emit once in append mode") {
     import spark.implicits._
