@@ -370,6 +370,11 @@ object PipelineOpsQueries {
     "p58_bigram_surprisal" -> ((s, dir) =>
       graft.ops.CorpusOps.bigramSurprisal(docs(s, dir))),
 
+    // weighted-sampling executor (p50's planner companion): md5-derived
+    // per-source keep rates applied row-locally inside the scan
+    "p59_weighted_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.weightedSample(docs(s, dir))),
+
     // URL canonicalization dedup: synthetic URLs derived from (source,
     // doc_id) vary ONLY in host case, a utm_* tracking param and a trailing
     // slash — canonicalization (lowercase scheme+host, strip trailing
@@ -1326,6 +1331,23 @@ object PipelineOpsQueries {
                      AS BIGINT) AS bigram_surprisal
          FROM pr JOIN c1 USING (w1) JOIN c12 USING (pair)
          GROUP BY pr.doc_id ORDER BY pr.doc_id""",
+
+    // weighted-sample replica: identical md5 rate + draw arithmetic
+    "p59_weighted_sample" ->
+      """WITH d AS (SELECT source,
+             CAST((md5_number_lower(source || '|wsr')
+                   & 9223372036854775807) % 500 + 250 AS BIGINT)
+               AS rate_permille,
+             CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || '|wsmp')
+                        & 9223372036854775807) % 1000
+                  < (md5_number_lower(source || '|wsr')
+                     & 9223372036854775807) % 500 + 250
+                  THEN 1 ELSE 0 END AS kept
+           FROM documents)
+         SELECT source, rate_permille,
+                CAST(sum(kept) AS BIGINT) AS n_kept,
+                count(*) AS n_total
+         FROM d GROUP BY source, rate_permille ORDER BY source""",
 
     // URL-canonicalization replica: identical synthetic URLs and the same
     // lowercase/strip-slash/drop-utm rules in SQL

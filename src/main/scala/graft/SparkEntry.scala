@@ -94,6 +94,9 @@ object SparkEntry {
   def mediaCatalogDumpPath(dir: String): String =
     s"/tmp/graft_media_catalog_dump_${docCountFor(dir)}"
 
+  def observedDumpPath(dir: String): String =
+    s"/tmp/graft_observed_dump_${docCountFor(dir)}"
+
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
     * extraction itself stays parity-gated (ReferenceParitySpec), the
@@ -321,6 +324,28 @@ object SparkEntry {
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .select(col("start_pack").as("pack"), col("n_docs"), col("n_tokens"))
         .orderBy(col("pack"))
+    }),
+
+    // Dataset.observe driver-verified: the per-doc extraction scalars are
+    // written through Metrics.observedWrite (the aggregates accumulate
+    // task-side INSIDE the sink job — no second scan) and the query's
+    // result IS the observed map; the oracle independently re-aggregates
+    // the sink bytes, so observe()'s numbers are held to the same hash
+    // gate as any other query
+    "x16_observed_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val res = ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("doc_id"), col("is_valid"),
+          size(col("spans")).as("n_spans"))
+      val m = graft.pipe.Metrics.observedWrite(res,
+        observedDumpPath(dir), Seq(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).cast("long").as("sum_spans"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid")))
+      Seq((m("n_docs").asInstanceOf[Long],
+        m("sum_spans").asInstanceOf[Long],
+        m("n_valid").asInstanceOf[Long]))
+        .toDF("n_docs", "sum_spans", "n_valid")
     })
   )
 
@@ -353,6 +378,13 @@ object SparkEntry {
            CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_count
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY document_type ORDER BY document_type""",
+      // observe() held to the hash gate: re-aggregate the observed sink's
+      // actual bytes — the task-side accumulators must match exactly
+      "x16_observed_metrics" ->
+        s"""SELECT count(*) AS n_docs,
+           CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+           CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+           FROM read_parquet('${observedDumpPath(dir)}/*.parquet')""",
       // the crash/resume path must reproduce the straight pipeline exactly:
       // same oracle table as x02 (the single-job extraction dump)
       "x10_checkpoint_resume" ->

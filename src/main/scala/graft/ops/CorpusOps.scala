@@ -800,6 +800,32 @@ object CorpusOps {
       .orderBy(col("q"))
   }
 
+  /** Weighted (per-source) sampling EXECUTOR — the row-level companion of
+    * the mixture planner (p50): each source gets a deterministic keep-rate
+    * (md5-derived permille in [250, 750)), each doc keeps or drops by its
+    * own md5 draw against that rate. Both derivations are row-local
+    * functions of values already on the row, so the filter runs inside
+    * the scan (no broadcast, no shuffle) and is re-runnable/engine-stable
+    * — the property that lets a 10^12-row sampling pass restart anywhere.
+    * Output is the per-source census (rate, kept, total) proving the
+    * realized rates track the assigned ones. */
+  def weightedSample(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val rate = TextOps.md5Low63(src + "|wsr") % 500 + 250
+        val kept = if (TextOps.md5Low63(id.toString + "|wsmp") % 1000 < rate)
+          1L else 0L
+        (src, rate, kept)
+      }
+      .toDF("source", "rate_permille", "kept")
+      .groupBy(col("source"), col("rate_permille"))
+      .agg(sum(col("kept")).as("n_kept"), count(lit(1)).as("n_total"))
+      .orderBy(col("source"))
+  }
+
   /** Bigram-LM surprisal — the conditional-probability upgrade of
     * [[surprisalScores]] (the CCNet/Gopher-style LM quality filter one
     * model order up): per doc, Σ over adjacent token pairs of
