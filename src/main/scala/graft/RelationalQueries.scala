@@ -662,7 +662,17 @@ object RelationalQueries {
       rollup(graft.io.TableIO.readSnapshot(s, base, Some(1)), 1)
         .unionByName(rollup(graft.io.TableIO.readSnapshot(s, base), 2))
         .orderBy(col("version"), col("lang"))
-    })
+    }),
+
+    // equi-depth histogram over order totals: exact decile boundaries via
+    // the rank-over-distinct-values method (never a global row sort),
+    // then one codegen'd bucketing pass — ANALYZE's histogram stat
+    "q56_histogram" -> ((s, dir) =>
+      graft.ops.ProfileOps.equiDepthHistogram(
+        t(s, dir, "orders").select(
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        "cents"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1095,7 +1105,30 @@ object RelationalQueries {
          SELECT CAST(2 AS INT), lang, count(*),
                 CAST(sum(n_chars) AS BIGINT)
          FROM v2 GROUP BY lang
-         ORDER BY version, lang"""
+         ORDER BY version, lang""",
+    // histogram replica: identical rank-over-distinct-values boundaries
+    // and ties-bucket-low assignment
+    "q56_histogram" ->
+      """WITH vals AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS v FROM orders),
+         cnt AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+         cum AS (SELECT v, c,
+                   sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM cnt),
+         nn AS (SELECT count(*) AS n FROM vals),
+         b AS (SELECT q.q, min(cum.v) AS bv
+               FROM cum, nn,
+                 (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) q(q)
+               WHERE cum.cum >= (q.q * nn.n + 9) // 10
+                 AND cum.cum - cum.c < (q.q * nn.n + 9) // 10
+               GROUP BY q.q),
+         bk AS (SELECT v,
+                  (SELECT count(*) FROM b WHERE b.bv < vals.v) AS bucket
+                FROM vals)
+         SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+                min(v) AS min_v, max(v) AS max_v,
+                CAST(sum(v) AS BIGINT) AS sum_v
+         FROM bk GROUP BY bucket ORDER BY bucket"""
   )
 
   /** The deterministic link-graph edge list in DuckDB — must stay

@@ -17,6 +17,43 @@ import org.apache.spark.sql.functions._
   */
 object ProfileOps {
 
+  /** Equi-depth histogram (ANALYZE's companion stat to [[profile]]):
+    * boundaries are the exact q/B-quantiles via the rank-over-distinct-
+    * values formulation (the q25 method — cumulative counts over the
+    * DISTINCT value domain, never a global row sort), collected as B−1
+    * scalars (the IvfOps-style tiny-collect contract), then every row is
+    * bucketed by a codegen'd comparison chain and aggregated once.
+    * Ties bucket low (bucket = #boundaries strictly below the value), so
+    * the histogram is deterministic under duplicates. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(valueCol).cast("long").as("v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val n = v.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rks = (1 until buckets)
+      .map(q => (q, (q.toLong * n + buckets - 1) / buckets))
+      .toDF("q", "rk")
+    // all B−1 boundaries in ONE pass over the distinct-value rollup
+    val bounds = cum.crossJoin(broadcast(rks))
+      .where(col("cum") >= col("rk") && col("cum") - col("c") < col("rk"))
+      .select(col("q"), col("v")).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(lit(b) < col("v"), 1).otherwise(0)
+    }
+    v.select(col("v"), bucket.cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"), sum(col("v")).cast("long").as("sum_v"))
+      .orderBy(col("bucket"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),

@@ -122,6 +122,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram: 100 distinct values split into 10 buckets " +
+    "of exactly 10; duplicates at a boundary bucket low") {
+    val df = (1L to 100L).map(v => v * 7).toDF("x")
+    val out = graft.ops.ProfileOps.equiDepthHistogram(df, "x").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    out.foreach { case (b, n, mn, mx) =>
+      assert(n === 10L, s"bucket $b")
+      assert(mn === (b * 10 + 1) * 7L && mx === (b + 1) * 10 * 7L, s"bucket $b")
+    }
+    // duplicates equal to a boundary value stay in the lower bucket
+    val dup = (Seq.fill(50)(1L) ++ Seq.fill(50)(2L)).toDF("x")
+    val out2 = graft.ops.ProfileOps.equiDepthHistogram(dup, "x", buckets = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out2 === Map(0 -> 50L, 1 -> 50L))
+  }
+
   test("table profile: one row per column with completeness, exact " +
     "cardinality and stringified min/max") {
     val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
