@@ -39,6 +39,9 @@ object PipelineOpsQueries {
   def mgDumpPath(dir: String): String =
     s"/tmp/graft_mg_summary_${SparkEntry.docCountFor(dir)}"
 
+  def semDedupAssignPath(dir: String): String =
+    s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -374,6 +377,24 @@ object PipelineOpsQueries {
     // per-source keep rates applied row-locally inside the scan
     "p59_weighted_sample" -> ((s, dir) =>
       graft.ops.CorpusOps.weightedSample(docs(s, dir))),
+
+    // per-dimension embedding stats in exact integer arithmetic
+    // (quantized floor(x*1000)); d-row partial state per partition,
+    // the raw n x d coordinate stream never shuffles
+    "p60_embedding_stats" -> ((s, dir) =>
+      SimilarityOps.dimensionStats(emb(s, dir))),
+
+    // SemDeDup: k-means-cell-bounded semantic dedup. The quantizer is
+    // engine code, so the cell assignment is dumped and the oracle
+    // recomputes the within-cell pairwise-cosine prune from it.
+    "p61_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = graft.ops.IvfOps.train(e)
+      graft.ops.IvfOps.assign(e, centroids)
+        .write.mode("overwrite").parquet(semDedupAssignPath(dir))
+      SimilarityOps.semDedupFrom(e,
+        s.read.parquet(semDedupAssignPath(dir)), tau = 0.45)
+    }),
 
     // URL canonicalization dedup: synthetic URLs derived from (source,
     // doc_id) vary ONLY in host case, a utm_* tracking param and a trailing
@@ -1331,6 +1352,35 @@ object PipelineOpsQueries {
                      AS BIGINT) AS bigram_surprisal
          FROM pr JOIN c1 USING (w1) JOIN c12 USING (pair)
          GROUP BY pr.doc_id ORDER BY pr.doc_id""",
+
+    // embedding-stats replica: zipped unnest with ordinality, identical
+    // float32→float64 widening + floor quantization
+    "p60_embedding_stats" ->
+      """WITH c AS (SELECT unnest(embedding) AS x,
+                      unnest(range(0, len(embedding))) AS dim
+                    FROM embeddings),
+         q AS (SELECT dim,
+                 CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+               FROM c)
+         SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+                CAST(sum(q) AS BIGINT) AS sum_q,
+                CAST(sum(q * q) AS BIGINT) AS sum_sq_q,
+                min(q) AS min_q, max(q) AS max_q
+         FROM q GROUP BY dim ORDER BY dim""",
+
+    // SemDeDup replica: same within-cell closed-form prune over the
+    // dumped assignment; list_cosine_similarity matches the engine's
+    // codegen'd cosine bit-for-bit (established by p12/p13/p28/p40)
+    "p61_semdedup" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('${semDedupAssignPath(dir)}/*.parquet')),
+         v AS (SELECT a.cell, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+               FROM a JOIN embeddings e USING (vec_id))
+         SELECT r.vec_id, CAST(l.cell AS INT) AS cell,
+                min(l.vec_id) AS canonical_id
+         FROM v l JOIN v r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         WHERE list_cosine_similarity(l.emb, r.emb) >= 0.45
+         GROUP BY r.vec_id, l.cell
+         ORDER BY r.vec_id""",
 
     // weighted-sample replica: identical md5 rate + draw arithmetic
     "p59_weighted_sample" ->

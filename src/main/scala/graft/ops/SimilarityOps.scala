@@ -12,6 +12,83 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Per-dimension embedding statistics (the normalization/whitening-prep
+    * pass: mean, variance, range per coordinate) in exact INTEGER
+    * arithmetic: each float32 coordinate is quantized `floor(x · 1000)`
+    * (float32→float64 widening is exact, so both engines floor the same
+    * double) and the per-dim (n, Σq, Σq², min, max) are integer sums —
+    * no accumulation-order drift ever. One typed pass holds d-row state
+    * per partition (5 longs × dim), then a single d-row shuffle — the
+    * raw n×d coordinate stream never hits an exchange (an explode
+    * formulation would shuffle every coordinate). */
+  def dimensionStats(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        var n: Array[Long] = null
+        var s: Array[Long] = null
+        var s2: Array[Long] = null
+        var mn: Array[Long] = null
+        var mx: Array[Long] = null
+        it.foreach { v =>
+          if (n == null) {
+            n = new Array[Long](v.length); s = new Array[Long](v.length)
+            s2 = new Array[Long](v.length)
+            mn = Array.fill(v.length)(Long.MaxValue)
+            mx = Array.fill(v.length)(Long.MinValue)
+          }
+          var i = 0
+          while (i < v.length) {
+            val q = math.floor(v(i) * 1000).toLong
+            n(i) += 1; s(i) += q; s2(i) += q * q
+            if (q < mn(i)) mn(i) = q
+            if (q > mx(i)) mx(i) = q
+            i += 1
+          }
+        }
+        if (n == null) Iterator.empty
+        else Iterator.range(0, n.length)
+          .map(i => (i, n(i), s(i), s2(i), mn(i), mx(i)))
+      }
+      .toDF("dim", "n_part", "s_part", "s2_part", "mn_part", "mx_part")
+      .groupBy(col("dim"))
+      .agg(sum(col("n_part")).as("n"), sum(col("s_part")).as("sum_q"),
+        sum(col("s2_part")).as("sum_sq_q"), min(col("mn_part")).as("min_q"),
+        max(col("mx_part")).as("max_q"))
+      .orderBy(col("dim"))
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic
+    * deduplication with the pairwise cosine bounded by a k-means coarse
+    * quantizer — pairs are compared ONLY within a cluster, so the global
+    * O(N²) collapses to Σ|cell|² with |cell| ≈ N/k set by the quantizer
+    * (at 10^12 rows a hierarchical quantizer keeps cells ~10^4 and each
+    * per-cell pair kernel in executor memory; the cell self-join is the
+    * only exchange). The keep rule is closed-form, no iteration: a vector
+    * is a semantic duplicate iff some SMALLER vec_id in its cell is
+    * ≥ `tau` cosine-similar; `canonical_id` reports the smallest such
+    * witness. Output = the dropped rows (what a curation pass deletes).
+    */
+  def semDedupFrom(emb: DataFrame, assigned: DataFrame,
+                   tau: Double): DataFrame = {
+    val vecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(assigned, "vec_id")
+    val l = vecs.select(col("cell"), col("vec_id").as("witness_id"),
+      col("v").as("va"))
+    val r = vecs.select(col("cell"), col("vec_id"), col("v").as("vb"))
+    l.join(r, "cell")
+      .where(col("witness_id") < col("vec_id") &&
+        cosine(col("va"), col("vb")) >= lit(tau))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(min(col("witness_id")).as("canonical_id"))
+      .select(col("vec_id"), col("cell"), col("canonical_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cosine similarity between two array<double> columns: the codegen'd
     * CosineSimilarity expression (one fused pass — Catalyst higher-order
     * functions run their lambda interpreted, per element). Bit-identical

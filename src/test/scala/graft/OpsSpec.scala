@@ -122,6 +122,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding dimension stats: integer-quantized sums/extrema match " +
+    "a driver-side recompute across partitionings") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) * 0.125 - 1.0)))
+    val df = vecs.toDF("vec_id", "embedding").repartition(3)
+    val out = graft.ops.SimilarityOps.dimensionStats(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    (0 until 4).foreach { d =>
+      val qs = vecs.map(v => math.floor(v._2(d) * 1000).toLong)
+      assert(out(d) === ((20L, qs.sum, qs.map(q => q * q).sum,
+        qs.min, qs.max)), s"dim $d")
+    }
+  }
+
+  test("semdedup: within-cell closed-form prune — near-dup of a smaller " +
+    "id drops with the smallest witness; cross-cell near-dups survive") {
+    import spark.implicits._
+    val mk = (x: Double, y: Double) => Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, mk(1.0, 0.0)), (2L, mk(0.999, 0.01)), // cell 0 near-dups
+      (3L, mk(0.0, 1.0)),                        // cell 0, orthogonal
+      (4L, mk(-1.0, 0.0)), (5L, mk(-0.998, -0.02)), // cell 1 near-dups
+      (6L, mk(0.997, 0.02)) // near-dup of 1/2 but isolated in cell 2
+    ).toDF("vec_id", "embedding")
+    val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 2))
+      .toDF("vec_id", "cell")
+    val out = graft.ops.SimilarityOps.semDedupFrom(emb, assigned, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 0, 1L), (5L, 1, 4L)))
+  }
+
   test("equi-depth histogram: 100 distinct values split into 10 buckets " +
     "of exactly 10; duplicates at a boundary bucket low") {
     val df = (1L to 100L).map(v => v * 7).toDF("x")
