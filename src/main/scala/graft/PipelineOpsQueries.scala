@@ -384,6 +384,10 @@ object PipelineOpsQueries {
     "p60_embedding_stats" -> ((s, dir) =>
       SimilarityOps.dimensionStats(emb(s, dir))),
 
+    // Okapi BM25 retrieval top-k — integer-quantized scoring, exact oracle
+    "p62_bm25_topk" -> ((s, dir) =>
+      graft.ops.CorpusOps.bm25TopK(docs(s, dir))),
+
     // SemDeDup: k-means-cell-bounded semantic dedup. The quantizer is
     // engine code, so the cell assignment is dumped and the oracle
     // recomputes the within-cell pairwise-cosine prune from it.
@@ -1367,6 +1371,37 @@ object PipelineOpsQueries {
                 CAST(sum(q * q) AS BIGINT) AS sum_sq_q,
                 min(q) AS min_q, max(q) AS max_q
          FROM q GROUP BY dim ORDER BY dim""",
+
+    // BM25 replica: identical integer-scaled Okapi term, same integer idf,
+    // qtf=1 query simplification, ties by neighbor_id
+    "p62_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+                  FROM tf GROUP BY 1),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS L),
+         idf AS (SELECT token,
+             ((SELECT n FROM stats) * 100) // count(*) AS idf
+           FROM tf GROUP BY token),
+         w AS (SELECT tf.doc_id, tf.token,
+                 idf.idf * ((22000 * s.L * tf.tf) //
+                   (10 * s.L * tf.tf + 3 * s.L + 9 * s.n * lens.len)) AS wt
+               FROM tf JOIN idf USING (token) JOIN lens USING (doc_id),
+                    stats s),
+         scored AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+                      sum(d.wt) AS score
+                    FROM w d JOIN tf q ON d.token = q.token
+                      AND q.doc_id < 10 AND d.doc_id <> q.doc_id
+                    GROUP BY 1, 2),
+         ranked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // SemDeDup replica: same within-cell closed-form prune over the
     // dumped assignment; list_cosine_similarity matches the engine's

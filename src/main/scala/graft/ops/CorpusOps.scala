@@ -240,6 +240,62 @@ object CorpusOps {
     SimilarityOps.rankTopK(scored, k)
   }
 
+  /** tokenTf plus the document's total token count on every row — len is
+    * row-local (computed in the same typed pass), so BM25's length
+    * normalization needs no doc-length join. */
+  def tokenTfWithLen(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        val counts = new java.util.HashMap[String, Long]()
+        toks.foreach(t => counts.merge(t, 1L, (a, b) => a + b))
+        import scala.jdk.CollectionConverters._
+        counts.asScala.iterator.map { case (t, n) =>
+          (id, t, n, toks.length.toLong)
+        }
+      }
+      .toDF("doc_id", "token", "tf", "len")
+  }
+
+  /** Okapi BM25 top-k retrieval — the ranking function the TF-IDF family
+    * (p23) graduates to in production retrieval stacks. Integer-exact
+    * across engines: with k1=1.2, b=0.75 the per-term contribution is ONE
+    * integer division
+    *   contrib = idf · ((22000·L·tf) div (10·L·tf + 3·L + 9·N·len))
+    * — the Okapi term with numerator and denominator both scaled by 10·L
+    * (L = total corpus tokens, N = docs, len = doc tokens; extra ×1000 for
+    * ranking granularity; idf = p23's (N·100) div df). Integer div
+    * quantizes identically in both engines and keeps the per-(query,doc)
+    * sum order-independent — no float accumulation drift ever. Query-side
+    * weight is the standard short-query simplification (qtf = 1 per
+    * distinct query token). Scale shape = tfidfTopK: inverted-index join
+    * on token (df-cappable), broadcast idf + query tokens, bounded-heap
+    * top-k. N and L are table stats (two cheap aggregates here, catalog
+    * stats at 10^12 rows — where the production variant also pre-divides
+    * L out of the scaling so 22000·L·tf stays in range). */
+  def bm25TopK(df: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val n = df.count()
+    val tf = tokenTfWithLen(df)
+    val bigL = tf.agg(sum(col("tf"))).collect()(0).getLong(0)
+    val idf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), expr(s"($n * 100) div df").as("idf"))
+    val w = tf.join(broadcast(idf), "token")
+      .select(col("doc_id"),
+        col("token"),
+        expr(s"idf * ((22000 * $bigL * tf) div " +
+          s"(10 * $bigL * tf + 3 * $bigL + 9 * $n * len))").as("wt"))
+    val q = tf.where(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("token").as("q_token"))
+    val scored = w.join(broadcast(q),
+        col("token") === col("q_token") && col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("wt")).cast("double").as("score")) // wt sums ≪ 2^53: exact
+    SimilarityOps.rankTopK(scored, k)
+  }
+
   /** Token-coverage / OOV statistics against an INDUCED top-V vocabulary —
     * the tokenizer-evaluation primitive: induce vocab = the `vocabSize`
     * highest-term-frequency tokens (ties broken by token text, so the

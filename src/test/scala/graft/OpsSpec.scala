@@ -138,6 +138,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: integer-quantized okapi ranking matches a driver-side " +
+    "recompute; shorter doc with equal tf outranks the padded one") {
+    val docs = Seq(
+      0L -> "apple banana",
+      1L -> ("apple banana " + (1 to 30).map(i => s"pad$i").mkString(" ")),
+      2L -> "apple banana cherry",
+      3L -> "unrelated words only here")
+    val df = docsDf(docs: _*)
+    val out = graft.ops.CorpusOps.bm25TopK(df, numQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // driver-side recompute of the exact integer formula
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val n = docs.size.toLong
+    val bigL = toks.map(_._2.size).sum.toLong
+    val dfMap = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    def score(q: Long, d: Long): Long = {
+      val dToks = toks.toMap.apply(d)
+      val len = dToks.size.toLong
+      toks.toMap.apply(q).distinct.map { t =>
+        val tf = dToks.count(_ == t).toLong
+        if (tf == 0) 0L
+        else {
+          val idf = (n * 100) / dfMap(t)
+          idf * ((22000 * bigL * tf) /
+            (10 * bigL * tf + 3 * bigL + 9 * n * len))
+        }
+      }.sum
+    }
+    val expect = Seq(1L, 2L, 3L).map(d => d -> score(0L, d))
+      .filter(_._2 > 0).sortBy { case (d, sc) => (-sc, d) }
+      .zipWithIndex.map { case ((d, _), i) => (0L, i + 1, d) }
+    assert(out.toSeq === expect)
+    // length normalization: doc 2 (short) must outrank doc 1 (padded)
+    val rankOf = out.map(r => r._3 -> r._2).toMap
+    assert(rankOf(2L) < rankOf(1L))
+  }
+
   test("semdedup: within-cell closed-form prune — near-dup of a smaller " +
     "id drops with the smallest witness; cross-cell near-dups survive") {
     import spark.implicits._
