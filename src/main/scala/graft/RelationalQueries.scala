@@ -672,7 +672,20 @@ object RelationalQueries {
         t(s, dir, "orders").select(
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
             .as("cents")),
-        "cents"))
+        "cents")),
+
+    // GDPR cascade delete: one delete list propagated by key through the
+    // doc table and two derived tables (chunks, token postings), each
+    // probed by a broadcast semi-join; per-table lineage rows audit the run
+    "q57_cascade_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val del = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"))
+      graft.ops.MergeOps.cascadeDelete(del, "doc_id", Seq(
+        ("documents", docs, "doc_id"),
+        ("chunks", graft.ops.TextOps.chunkDocs(docs), "doc_id"),
+        ("postings", graft.ops.CorpusOps.tokenTf(docs), "doc_id")))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1128,7 +1141,37 @@ object RelationalQueries {
          SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
                 min(v) AS min_v, max(v) AS max_v,
                 CAST(sum(v) AS BIGINT) AS sum_v
-         FROM bk GROUP BY bucket ORDER BY bucket"""
+         FROM bk GROUP BY bucket ORDER BY bucket""",
+    // cascade-delete replica: chunk count = ceil(tokens/48) windows,
+    // postings = per-doc distinct tokens — derived-row counts recomputed
+    // from the base table, same % 97 delete rule
+    "q57_cascade_delete" ->
+      """WITH lens AS (SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         toku AS (SELECT DISTINCT doc_id, token FROM tok),
+         stats AS (
+           SELECT 'documents' AS table_name,
+                  CAST(count(*) AS BIGINT) AS rows_before,
+                  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN 1 END), 0)
+                       AS BIGINT) AS rows_deleted
+           FROM documents
+           UNION ALL
+           SELECT 'chunks', CAST(sum((n + 47) // 48) AS BIGINT),
+                  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0
+                                    THEN (n + 47) // 48 END), 0) AS BIGINT)
+           FROM lens
+           UNION ALL
+           SELECT 'postings', CAST(count(*) AS BIGINT),
+                  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN 1 END), 0)
+                       AS BIGINT)
+           FROM toku)
+         SELECT table_name, rows_before, rows_deleted,
+                rows_before - rows_deleted AS rows_after
+         FROM stats ORDER BY table_name"""
   )
 
   /** The deterministic link-graph edge list in DuckDB — must stay

@@ -59,4 +59,38 @@ object MergeOps {
             .otherwise(col(s"s.$c")).as(c)
         }: _*)
   }
+
+  /** Cascade delete (the GDPR/right-to-be-forgotten maintenance job): one
+    * delete-key list propagated through every derived table by key, with a
+    * per-table lineage row (rows_before / rows_deleted / rows_after) so
+    * the run is auditable. Delete lists are small by nature → the key set
+    * broadcasts into a left-semi probe on each table (no table ever
+    * shuffles); the stats are two partial-aggregate scans per table
+    * cross-joined into its one lineage row, all in a single lazy plan.
+    * The actual rewrite at scale is each table anti-joined the same way
+    * (`deleteFrom`), written back as an Iceberg overwrite commit. */
+  def cascadeDelete(deleteKeys: DataFrame, keyCol: String,
+                    tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    // the key set is renamed so a delete list DERIVED from one of the
+    // tables (the common case) never makes the join condition ambiguous
+    val keys = broadcast(
+      deleteKeys.select(col(keyCol).as("__del_key")).distinct())
+    tables.map { case (name, df, key) =>
+      val before = df.agg(count(lit(1)).as("rows_before"))
+      val deleted = df
+        .join(keys, df(key) === col("__del_key"), "left_semi")
+        .agg(count(lit(1)).as("rows_deleted"))
+      before.crossJoin(deleted).select(
+        lit(name).as("table_name"), col("rows_before"), col("rows_deleted"),
+        (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    }.reduce(_ unionAll _).orderBy(col("table_name"))
+  }
+
+  /** The rewrite half of [[cascadeDelete]]: the table minus the keyed
+    * rows, via the same broadcast left-anti probe. */
+  def deleteFrom(df: DataFrame, key: String, deleteKeys: DataFrame,
+                 keyCol: String): DataFrame =
+    df.join(
+      broadcast(deleteKeys.select(col(keyCol).as("__del_key")).distinct()),
+      df(key) === col("__del_key"), "left_anti")
 }

@@ -138,6 +138,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cascade delete: lineage counts per table and the anti-join " +
+    "rewrite agree; untouched keys survive") {
+    import spark.implicits._
+    val base = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "v")
+    val derived = Seq((1L, 10), (1L, 11), (2L, 20), (3L, 30), (3L, 31))
+      .toDF("doc_id", "x")
+    val del = Seq(1L, 3L, 99L).toDF("doc_id") // 99 hits nothing
+    val stats = graft.ops.MergeOps.cascadeDelete(del, "doc_id",
+        Seq(("base", base, "doc_id"), ("derived", derived, "doc_id")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("base") === ((3L, 2L, 1L)))
+    assert(stats("derived") === ((5L, 4L, 1L)))
+    val left = graft.ops.MergeOps.deleteFrom(derived, "doc_id", del, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(left === Set((2L, 20)))
+  }
+
   test("bm25: integer-quantized okapi ranking matches a driver-side " +
     "recompute; shorter doc with equal tf outranks the padded one") {
     val docs = Seq(
