@@ -685,6 +685,29 @@ object RelationalQueries {
         ("documents", docs, "doc_id"),
         ("chunks", graft.ops.TextOps.chunkDocs(docs), "doc_id"),
         ("postings", graft.ops.CorpusOps.tokenTf(docs), "doc_id")))
+    }),
+
+    // incremental materialized-view maintenance: the per-user rollup MV is
+    // built from the base slice (event_id % 5 != 0), the remaining rows are
+    // the day's insert-only delta, and the merge (sum-add / greatest /
+    // least over a full-outer key join) must equal the aggregate recomputed
+    // over ALL events — which is exactly what the oracle computes, so any
+    // drift in the fold fails the hash. Money stays exact through the
+    // decimal-cents convention; max_ts as epoch micros.
+    "q58_incremental_mv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def mv(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_value_cents"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"),
+          min(col("event_id")).as("min_event_id"))
+      graft.ops.MergeOps.mergeAggState(
+        mv(ev.where(pmod(col("event_id"), lit(5)) =!= 0)),
+        mv(ev.where(pmod(col("event_id"), lit(5)) === 0)),
+        keys = Seq("user_id"), sums = Seq("n_events", "sum_value_cents"),
+        maxes = Seq("max_ts_us"), mins = Seq("min_event_id"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1171,7 +1194,16 @@ object RelationalQueries {
            FROM toku)
          SELECT table_name, rows_before, rows_deleted,
                 rows_before - rows_deleted AS rows_after
-         FROM stats ORDER BY table_name"""
+         FROM stats ORDER BY table_name""",
+
+    // incremental-MV replica: the FULL recompute the merged view must equal
+    "q58_incremental_mv" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  AS sum_value_cents,
+                max(epoch_us(ts)) AS max_ts_us,
+                min(event_id) AS min_event_id
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 
   /** The deterministic link-graph edge list in DuckDB — must stay

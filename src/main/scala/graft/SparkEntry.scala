@@ -96,6 +96,8 @@ object SparkEntry {
 
   def observedDumpPath(dir: String): String =
     s"/tmp/graft_observed_dump_${docCountFor(dir)}"
+  def captionDumpPath(dir: String): String =
+    s"/tmp/graft_caption_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -346,6 +348,20 @@ object SparkEntry {
         m("sum_spans").asInstanceOf[Long],
         m("n_valid").asInstanceOf[Long]))
         .toDF("n_docs", "sum_spans", "n_valid")
+    }),
+
+    // CLIP-style (media, caption) pair mining over the interleaved payload:
+    // a media span's caption is the text span immediately following it in
+    // render order — the adjacency heuristic image–text contrastive
+    // pipelines mine training pairs with. One row-local typed pass; the
+    // full span dump goes to parquet so the oracle re-derives the pairing
+    // independently with lead() window functions over identical bytes.
+    "x17_caption_pairs" -> ((s, dir) => {
+      val docs = docTable(s, dir)
+      graft.ops.InterleaveOps.spanFullDump(docs)
+        .write.mode("overwrite").parquet(captionDumpPath(dir))
+      graft.ops.InterleaveOps.captionPairs(docs)
+        .orderBy(col("doc_id"), col("ord"))
     })
   )
 
@@ -515,7 +531,21 @@ object SparkEntry {
            SELECT CAST(off // 1024 AS BIGINT) AS pack,
                   CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(cost) AS BIGINT) AS n_tokens
-           FROM o GROUP BY off // 1024 ORDER BY pack""") ++
+           FROM o GROUP BY off // 1024 ORDER BY pack""",
+      // caption pairing re-derived with lead() in render order over the
+      // full span dump — media span followed by a text span forms a pair
+      "x17_caption_pairs" ->
+        s"""WITH sp AS (SELECT doc_id, kind, text, media_ref,
+               row_number() OVER w - 1 AS pos,
+               lead(kind) OVER w AS next_kind,
+               lead(text) OVER w AS next_text
+             FROM read_parquet('${captionDumpPath(dir)}/*.parquet')
+             WINDOW w AS (PARTITION BY doc_id ORDER BY "offset", ord))
+           SELECT doc_id, CAST(pos AS BIGINT) AS ord, media_ref,
+                  CAST(length(next_text) AS BIGINT) AS caption_len,
+                  md5(next_text) AS caption_hash
+           FROM sp WHERE kind = 'media' AND next_kind = 'text'
+           ORDER BY doc_id, ord""") ++
       goldenOracles(dir)
 
   /** x01/x04/x05 oracles: the committed golden parquets ARE the reference

@@ -979,10 +979,13 @@ object CorpusOps {
     import spark.implicits._
     val stream = hhStream(df)
     val partials = stream.mapPartitions { it =>
-      val m = new java.util.HashMap[String, Long]()
+      // boxed values: HashMap[String, Long].get would auto-unbox an absent
+      // key's null to 0L, making the miss branch unreachable (state would
+      // then grow unbounded — the opposite of the MG contract)
+      val m = new java.util.HashMap[String, java.lang.Long]()
       it.foreach { t =>
         val cur = m.get(t)
-        if (cur != null) m.put(t, cur + 1)
+        if (cur != null) m.put(t, cur + 1L)
         else if (m.size < k) m.put(t, 1L)
         else { // decrement-all step; the newcomer's 1 cancels with it
           val e = m.entrySet().iterator()
@@ -993,7 +996,8 @@ object CorpusOps {
         }
       }
       import scala.jdk.CollectionConverters._
-      m.entrySet().iterator().asScala.map(kv => (kv.getKey, kv.getValue))
+      m.entrySet().iterator().asScala
+        .map(kv => (kv.getKey, kv.getValue.longValue))
     }.collect() // ≤ partitions × k rows
     val summed = partials.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).sum

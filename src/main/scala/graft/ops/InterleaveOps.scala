@@ -145,6 +145,32 @@ object InterleaveOps {
         md5(col("rendered").cast("binary")).as("rendered_hash"))
   }
 
+  /** CLIP-style (media, caption) pair mining over the interleaved payload:
+    * a media span's caption candidate is the text span that IMMEDIATELY
+    * follows it in render order ((offset, array-position) — the same order
+    * x12 renders in), the adjacency heuristic image–text contrastive
+    * pipelines mine pairs with. One row-local typed pass — like every op
+    * here the interleave structure never shuffles; the caption bytes are
+    * pinned by length + md5 so the driver compare stays compact while
+    * fixing the exact pairing. `ord` is the media span's render position
+    * (0-based), which keys the pair uniquely inside its doc. */
+  def captionPairs(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val id = d.doc_id.stripPrefix("doc-").toLong
+      val arr = d.spans.zipWithIndex
+        .sortBy { case (s, i) => (s.offset, i) }.map(_._1).toIndexedSeq
+      (0 until arr.length - 1).iterator.collect {
+        case i if arr(i).kind == "media" && arr(i + 1).kind == "text" =>
+          (id, i.toLong, arr(i).media_ref, arr(i + 1).text)
+      }
+    }.toDF("doc_id", "ord", "media_ref", "caption")
+      .select(col("doc_id"), col("ord"), col("media_ref"),
+        length(col("caption")).cast("long").as("caption_len"),
+        md5(col("caption").cast("binary")).as("caption_hash"))
+  }
+
   /** Per-doc MULTIMODAL packing cost: whitespace tokens of the text spans
     * plus `mediaTokens` per media span (a vision encoder emits a fixed
     * patch-token budget per image — 64 here). One typed pass; feeds

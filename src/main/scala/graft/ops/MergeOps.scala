@@ -93,4 +93,29 @@ object MergeOps {
     df.join(
       broadcast(deleteKeys.select(col(keyCol).as("__del_key")).distinct()),
       df(key) === col("__del_key"), "left_anti")
+
+  /** Incremental materialized-view maintenance: fold a delta batch's
+    * partial aggregate into the standing MV withOUT re-scanning the base
+    * data — the daily-rollup refresh pattern where a full recompute over
+    * 100 TB is unaffordable but the day's delta is a few GB. Works for any
+    * insert-only-mergeable measure: sums/counts combine by addition,
+    * max/min by greatest/least (which skip the null a key missing on one
+    * side produces). One full-outer join keyed on `keys` — Spark cannot
+    * broadcast a full-outer build side, so at 10^12 rows the MV lives
+    * bucketed on its key (TableIO.writeBucketed): the merge is then a
+    * narrow zip of co-located buckets and only the small delta shuffles.
+    * Correctness contract: merged MV ≡ the aggregate recomputed over
+    * base ∪ delta (the driver oracle recomputes exactly that). */
+  def mergeAggState(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+                    sums: Seq[String], maxes: Seq[String] = Nil,
+                    mins: Seq[String] = Nil): DataFrame = {
+    val cond = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k))
+    val sumCols = sums.map(c =>
+      (coalesce(col(s"s.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c))
+    val maxCols = maxes.map(c => greatest(col(s"s.$c"), col(s"d.$c")).as(c))
+    val minCols = mins.map(c => least(col(s"s.$c"), col(s"d.$c")).as(c))
+    mv.as("s").join(delta.as("d"), cond, "full_outer")
+      .select(keyCols ++ sumCols ++ maxCols ++ minCols: _*)
+  }
 }

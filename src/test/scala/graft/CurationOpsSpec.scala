@@ -237,6 +237,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "corpus must exercise media sentinels")
   }
 
+  test("captionPairs: media→text adjacency in render order, md5-exact; " +
+    "media runs and trailing media yield no pair") {
+    import spark.implicits._
+    val docs = graft.io.Synthesizer.docs(spark, 300, seed = 42L)
+    val got = graft.ops.InterleaveOps.captionPairs(docs)
+      .orderBy("doc_id", "ord")
+      .as[(Long, Long, String, Long, String)].collect().toSeq
+    val expected = docs.collect()
+      .sortBy(_.doc_id.stripPrefix("doc-").toLong).toSeq.flatMap { d =>
+        val arr = d.spans.zipWithIndex
+          .sortBy { case (s, i) => (s.offset, i) }.map(_._1)
+        (0 until arr.length - 1).collect {
+          case i if arr(i).kind == "media" && arr(i + 1).kind == "text" =>
+            val cap = arr(i + 1).text
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(cap.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            (d.doc_id.stripPrefix("doc-").toLong, i.toLong,
+              arr(i).media_ref, cap.length.toLong, md)
+        }
+      }
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus must yield caption pairs")
+    // heavy docs (media runs) contribute nothing: every pair's media span
+    // is singular before its caption — sanity that adjacency is strict
+    val pairedDocs = got.map(_._1).toSet
+    val heavy = docs.collect().filter(_.spans.count(_.kind == "media") > 5)
+      .map(_.doc_id.stripPrefix("doc-").toLong)
+    assert(heavy.forall(h => !pairedDocs.contains(h)))
+  }
+
   test("x13 html strip: planted chrome is removed per variant, content " +
     "text survives") {
     import spark.implicits._

@@ -156,6 +156,31 @@ class OpsSpec extends AnyFunSuite {
     assert(left === Set((2L, 20)))
   }
 
+  test("incremental MV merge: fold of base+delta partials equals the " +
+    "full recompute; either-side-only keys survive") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L, 100L), (1L, 20L, 90L), (2L, 5L, 50L),
+      (3L, 7L, 70L), (4L, 1L, 10L))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"),
+        org.apache.spark.sql.functions.max("ts").as("max_ts"),
+        org.apache.spark.sql.functions.min("ts").as("min_ts"))
+    val all = rows.toDF("k", "v", "ts")
+    // key 3 only in base, key 4 only in delta
+    val base = all.where("k <> 4"); val delta = all.where("k = 4 or v = 20")
+    val baseOnly = all.where("k <> 4 and v <> 20")
+    val merged = graft.ops.MergeOps.mergeAggState(agg(baseOnly), agg(delta),
+        Seq("k"), Seq("n", "sum_v"), Seq("max_ts"), Seq("min_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val full = agg(all).collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged === full)
+    assert(base.count() == 4) // the slices really overlap nothing
+  }
+
   test("bm25: integer-quantized okapi ranking matches a driver-side " +
     "recompute; shorter doc with equal tf outranks the padded one") {
     val docs = Seq(
