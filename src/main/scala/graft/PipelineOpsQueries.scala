@@ -388,6 +388,28 @@ object PipelineOpsQueries {
     "p62_bm25_topk" -> ((s, dir) =>
       graft.ops.CorpusOps.bm25TopK(docs(s, dir))),
 
+    // hybrid-retrieval fusion: reciprocal-rank fusion of the BM25 (p62)
+    // and TF-IDF (p23) rankings — integer contributions, exact oracle
+    // rebuilt from both retrievers' CTE stacks
+    "p63_rrf_fusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.CorpusOps.rrfFuse(Seq(graft.ops.CorpusOps.bm25TopK(d),
+        graft.ops.CorpusOps.tfidfTopK(d)))
+    }),
+
+    // int8 quantization fidelity: recall@10 of the quantized cosine
+    // ranking vs the exact float ranking — integer quantization grid, so
+    // the oracle re-derives scales, quantized vectors and both rankings
+    // from the raw embeddings alone
+    "p64_quant_recall" -> ((s, dir) =>
+      SimilarityOps.quantizedRecall(emb(s, dir))),
+
+    // asymmetric containment dedup (quote/subset detection) over
+    // long-gram winnowing fingerprints
+    "p65_containment" -> ((s, dir) =>
+      DedupOps.containmentPairs(docs(s, dir))
+        .orderBy("doc_id", "container_id")),
+
     // SemDeDup: k-means-cell-bounded semantic dedup. The quantizer is
     // engine code, so the cell assignment is dumped and the oracle
     // recomputes the within-cell pairwise-cosine prune from it.
@@ -1402,6 +1424,140 @@ object PipelineOpsQueries {
                     FROM scored)
          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // RRF replica: both retrievers' stacks share tok/tf/idf, each ranking
+    // is cut at k=10, contributions 1000000 // (60 + rank) sum per
+    // candidate, re-ranked with the same neighbor-id tiebreak
+    "p63_rrf_fusion" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+                  FROM tf GROUP BY 1),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS L),
+         idf AS (SELECT token,
+             ((SELECT n FROM stats) * 100) // count(*) AS idf
+           FROM tf GROUP BY token),
+         wb AS (SELECT tf.doc_id, tf.token,
+                 idf.idf * ((22000 * s.L * tf.tf) //
+                   (10 * s.L * tf.tf + 3 * s.L + 9 * s.n * lens.len)) AS wt
+               FROM tf JOIN idf USING (token) JOIN lens USING (doc_id),
+                    stats s),
+         sb AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+                  sum(d.wt) AS score
+                FROM wb d JOIN tf q ON d.token = q.token
+                  AND q.doc_id < 10 AND d.doc_id <> q.doc_id
+                GROUP BY 1, 2),
+         rb AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank
+                FROM sb),
+         wt AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS wt
+                FROM tf JOIN idf USING (token)),
+         st AS (SELECT q.query_id, d.doc_id AS neighbor_id,
+                  sum(d.wt * q.wt) AS dot
+                FROM wt d JOIN (SELECT doc_id AS query_id, token, wt
+                                FROM wt WHERE doc_id < 10) q
+                  ON d.token = q.token AND d.doc_id <> q.query_id
+                GROUP BY 1, 2),
+         rt AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id) AS rank
+                FROM st),
+         fused AS (SELECT query_id, neighbor_id,
+                     CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS s
+                   FROM (SELECT query_id, neighbor_id, rank FROM rb
+                           WHERE rank <= 10
+                         UNION ALL
+                         SELECT query_id, neighbor_id, rank FROM rt
+                           WHERE rank <= 10)
+                   GROUP BY 1, 2),
+         rr AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, neighbor_id) AS rank
+                FROM fused)
+         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         FROM rr WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // int8-quantization recall replica: the p60 integer grid derives the
+    // per-dim scales, round-half-away-from-zero on non-negative operands
+    // only (// = div there), quantized + exact rankings both rebuilt from
+    // raw embeddings, overlap counted per query
+    "p64_quant_recall" ->
+      """WITH c AS (SELECT vec_id, unnest(embedding) AS x,
+                      unnest(range(0, len(embedding))) AS dim
+                    FROM embeddings),
+         q0 AS (SELECT vec_id, dim,
+                  CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS fq
+                FROM c),
+         sc AS (SELECT dim, greatest(max(fq), -min(fq), 1) AS scale
+                FROM q0 GROUP BY dim),
+         qq AS (SELECT vec_id, dim,
+                  CASE WHEN fq >= 0 THEN (fq * 254 + scale) // (2 * scale)
+                       ELSE -(((-fq) * 254 + scale) // (2 * scale))
+                  END AS qv
+                FROM q0 JOIN sc USING (dim)),
+         qv AS (SELECT vec_id, list(CAST(qv AS DOUBLE) ORDER BY dim) AS v
+                FROM qq GROUP BY vec_id),
+         qs AS (SELECT vec_id AS query_id, v AS q_v FROM qv
+                ORDER BY vec_id LIMIT 10),
+         qsc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(e.v, q.q_v) AS s
+                 FROM qv e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         qr AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, neighbor_id) AS rank
+                FROM qsc),
+         eq AS (SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS q_emb
+                FROM embeddings ORDER BY vec_id LIMIT 10),
+         esc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.q_emb) AS s
+                 FROM embeddings e CROSS JOIN eq q
+                 WHERE e.vec_id <> q.query_id),
+         er AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, neighbor_id) AS rank
+                FROM esc),
+         ov AS (SELECT a.query_id, count(*) AS n_overlap
+                FROM (SELECT query_id, neighbor_id FROM qr WHERE rank <= 10) a
+                JOIN (SELECT query_id, neighbor_id FROM er WHERE rank <= 10) b
+                  USING (query_id, neighbor_id)
+                GROUP BY 1)
+         SELECT qs.query_id,
+                CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                CAST((coalesce(ov.n_overlap, 0) * 100) // 10 AS BIGINT)
+                  AS recall_pct
+         FROM qs LEFT JOIN ov USING (query_id) ORDER BY query_id""",
+
+    // containment replica: p09's winnowing CTE with k=12-char grams and
+    // window 8, inverted-index self-join, directional percentage
+    "p65_containment" ->
+      """WITH h AS (SELECT doc_id,
+                list_transform(range(1, length(text) - 10),
+                  i -> CAST(md5_number_lower(text[i:i+11]) & 9223372036854775807
+                       AS BIGINT)) AS hs
+              FROM documents WHERE length(text) >= 12),
+         f AS (SELECT doc_id,
+                CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+                ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+                       w -> list_min(hs[w:w+7]))) END AS fp
+              FROM h),
+         fp AS (SELECT doc_id, unnest(fp) AS fp FROM f),
+         sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_id, b.doc_id AS container_id,
+                  count(*) AS n_shared
+                FROM fp a JOIN fp b
+                  ON a.fp = b.fp AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+         SELECT pr.doc_id, pr.container_id, pr.n_shared, sz.n_fp,
+                (pr.n_shared * 100) // sz.n_fp AS containment_pct
+         FROM pr JOIN sz ON pr.doc_id = sz.doc_id
+         WHERE (pr.n_shared * 100) // sz.n_fp >= 50
+         ORDER BY pr.doc_id, pr.container_id""",
 
     // SemDeDup replica: same within-cell closed-form prune over the
     // dumped assignment; list_cosine_similarity matches the engine's

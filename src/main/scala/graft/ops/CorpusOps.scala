@@ -296,6 +296,29 @@ object CorpusOps {
     SimilarityOps.rankTopK(scored, k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * `scale div (rrfK + rank)` per (query, neighbor) and candidates are
+    * re-ranked by the summed contribution. Integer contributions (scale
+    * = 10^6, the classic k = 60) make the fused score engine-exact — no
+    * float reciprocals whose last ulp could reorder a tie. Inputs are
+    * (query_id, rank, neighbor_id) rankings from ANY retrievers (BM25,
+    * TF-IDF, ANN); a candidate absent from one list simply lacks that
+    * term, exactly the RRF contract. Scale shape: the fused state is
+    * |queries|·k·|rankings| rows — trivially small next to the retrieval
+    * passes that produced it; one keyed aggregation + the bounded-heap
+    * top-k, no raw text or vectors anywhere. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, rrfK: Long = 60L,
+              scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+        expr(s"$scale div ($rrfK + rank)").as("score")))
+      .reduce(_ unionAll _)
+    val fused = contrib.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("score")).cast("double").as("score")) // ≤ |rankings|·scale: exact
+    SimilarityOps.rankTopK(fused, k)
+  }
+
   /** Token-coverage / OOV statistics against an INDUCED top-V vocabulary —
     * the tokenizer-evaluation primitive: induce vocab = the `vocabSize`
     * highest-term-frequency tokens (ties broken by token text, so the

@@ -307,6 +307,45 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Fingerprint CONTAINMENT pairs — the ASYMMETRIC near-dup detector
+    * Jaccard misses: a short doc quoted wholesale inside a much longer one
+    * has tiny Jaccard (union is dominated by the long doc) but containment
+    * |fp(A) ∩ fp(B)| / |fp(A)| ≈ 1. Runs over winnowing fingerprints
+    * (`TextOps.fingerprints`, Schleimer et al. SIGMOD'03) with LONG grams
+    * (k=12 chars) so cross-doc collisions mean real shared substrings,
+    * not common words. Emits BOTH directions of each overlapping pair
+    * (containment is directional; exact dups score 100 both ways).
+    * Integer-only output: containment_pct = (n_shared·100) div n_fp.
+    *
+    * Scale shape = `exactJaccardPairs`: only (doc_id, 8-byte fp) rows
+    * reach the self-join, fan-out is Σ df² over fingerprint keys and
+    * `maxDf` caps it for the production path (winnowing prefers globally
+    * small hashes, so without a cap a handful of low-hash boilerplate
+    * grams pair everything with everything). n_fp comes from the
+    * UNCAPPED set, so the cap can only undercount n_shared — the same
+    * documented recall trade as the capped Jaccard path. */
+  def containmentPairs(df: DataFrame, minPct: Int = 50, k: Int = 12,
+                       window: Int = 8,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val fps = TextOps.fingerprints(df, k, window) // distinct (doc_id, fp)
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val indexed = maxDf.fold(fps) { cap =>
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("fp"))
+      fps.join(rare, Seq("fp"), "left_semi")
+    }
+    indexed.as("a").join(indexed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"),
+               col("b.doc_id").as("container_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id") // n_fp of the CONTAINED side
+      .withColumn("containment_pct", expr("(n_shared * 100) div n_fp"))
+      .where(col("containment_pct") >= minPct)
+      .select(col("doc_id"), col("container_id"), col("n_shared"),
+        col("n_fp"), col("containment_pct"))
+  }
+
   /** MinHash signature-ACCURACY validation (p49) — the estimator-error
     * counterpart of p46's candidate-recall measurement: for every exact
     * near-dup pair, compare the k-component signature-agreement estimate

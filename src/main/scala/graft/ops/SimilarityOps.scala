@@ -148,6 +148,67 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Symmetric per-dimension int8 scalar quantization of the embedding
+    * column — the 4× compression (float32 → int8) serving stacks apply
+    * before ANN search. Fully integer contract so both engines quantize
+    * bit-identically: coordinates enter the p60 grid (fq = floor(x·1000),
+    * exact after float32→float64 widening), the per-dim scale is
+    * max(|min_q|, |max_q|, 1) from `dimensionStats`, and
+    * qv = round-half-away-from-zero(fq · 127 / scale)
+    *    = sign(fq) · ((|fq| · 254 + scale) div (2 · scale)) ∈ [-127, 127]
+    * — division only ever on non-negative operands, where Spark `div`
+    * and DuckDB `//` agree (they differ on negatives: truncate vs floor).
+    * Scale shape: stats are one narrow pass with d-row partial state
+    * (`dimensionStats`); the d scales (a few hundred bytes) ride into a
+    * single codegen'd `transform` over the column — the quantization
+    * itself never shuffles. */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val scales = dimensionStats(emb)
+      .select(col("dim"), col("min_q"), col("max_q")).collect()
+      .sortBy(_.getInt(0))
+      .map(r => math.max(math.max(r.getLong(2), -r.getLong(1)), 1L))
+    val scArr = scales.mkString("array(", "L,", "L)")
+    emb.select(col("vec_id"), expr(
+      s"""transform(cast(embedding as array<double>), (x, i) -> cast(
+         |  if(floor(x * 1000) >= 0,
+         |     (cast(floor(x * 1000) as bigint) * 254
+         |        + element_at($scArr, i + 1))
+         |       div (2 * element_at($scArr, i + 1)),
+         |     -((-cast(floor(x * 1000) as bigint) * 254
+         |          + element_at($scArr, i + 1))
+         |        div (2 * element_at($scArr, i + 1))))
+         |  as bigint))""".stripMargin).as("q_emb"))
+  }
+
+  /** Quantization-fidelity validation: recall@k of the int8-quantized
+    * cosine ranking against the exact float ranking, per query — the
+    * check a pipeline runs before switching its ANN fleet to compressed
+    * vectors. Both rankings are the brute exactness baseline (the
+    * compressed scale path is quantize → `lshTopK`/IVF, same as the
+    * float family); quantized dots/norms are sums of |q|≤127 integer
+    * products (≪ 2^53), so the cosine of quantized vectors is
+    * bit-deterministic in BOTH engines despite the float division.
+    * Output: (query_id, n_overlap, recall_pct) — integer-only. */
+  def quantizedRecall(emb: DataFrame, numQueries: Int = 10,
+                      k: Int = 10): DataFrame = {
+    val q = quantizeEmbeddings(emb)
+      .select(col("vec_id"), col("q_emb").as("embedding"))
+    val qRank = bruteTopK(q, numQueries, k)
+    val eRank = bruteTopK(emb, numQueries, k)
+    val overlap = qRank.as("q").join(eRank.as("e"),
+        col("q.query_id") === col("e.query_id") &&
+          col("q.neighbor_id") === col("e.neighbor_id"))
+      .groupBy(col("q.query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    emb.orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_pct", expr(s"(n_overlap * 100) div $k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rng = new graft.io.Corpus.Rng(seed)

@@ -181,6 +181,76 @@ class OpsSpec extends AnyFunSuite {
     assert(base.count() == 4) // the slices really overlap nothing
   }
 
+  test("rrf fusion: integer contributions sum per candidate, single-list " +
+    "candidates keep their one term, ties break by neighbor id") {
+    val a = Seq((0L, 1, 100L), (0L, 2, 101L), (1L, 1, 200L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((0L, 1, 103L), (0L, 2, 101L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = graft.ops.CorpusOps.rrfFuse(Seq(a, b))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // 1000000 div 61 = 16393 (rank 1), div 62 = 16129 (rank 2):
+    // q0: 101 in both lists at rank 2 -> 32258 wins; 100 and 103 tie at
+    // 16393 -> neighbor-id ascending; q1: only ranking a has it
+    assert(got === Seq((0L, 1, 101L), (0L, 2, 100L), (0L, 3, 103L),
+      (1L, 1, 200L)))
+  }
+
+  test("int8 quantization: engine grid matches a driver recompute " +
+    "(negative branch, all-zero-dim scale guard); recall is exact on " +
+    "well-separated directions") {
+    val vv = (0 until 12).map { i =>
+      val sign = if (i % 4 == 3) -1.0f else 1.0f
+      (i.toLong, Array.tabulate(5)(d =>
+        if (d == i % 4) sign * (1.0f + 0.25f * (i / 4)) else 0.0f))
+    }
+    val df = vv.toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeEmbeddings(df).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val mat = vv.map(_._2.map(x => math.floor(x.toDouble * 1000).toLong))
+    val scales = (0 until 5).map(d =>
+      math.max(math.max(mat.map(_(d)).max, -mat.map(_(d)).min), 1L))
+    def qv(fq: Long, sc: Long): Long =
+      if (fq >= 0) (fq * 254 + sc) / (2 * sc)
+      else -(((-fq) * 254 + sc) / (2 * sc))
+    val expected = vv.map { case (id, _) =>
+      (id, mat(id.toInt).zip(scales).map { case (fq, sc) => qv(fq, sc) })
+    }
+    got.zip(expected).foreach { case ((gi, gq), (ei, eq)) =>
+      assert(gi === ei); assert(gq.toSeq === eq.toSeq)
+    }
+    assert(got.forall(_._2.forall(q => q >= -127L && q <= 127L)))
+    // same-direction vectors have cosine exactly 1 before AND after
+    // quantization (one nonzero dim), so recall@2 over 3 queries is 100
+    val rec = SimilarityOps.quantizedRecall(df, numQueries = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rec === Seq((0L, 2L, 100L), (1L, 2L, 100L), (2L, 2L, 100L)))
+  }
+
+  test("containment pairs: exact dup scores 100 both ways, prefix doc is " +
+    "contained in its extension but not vice versa; matches a driver " +
+    "recompute over the fingerprint sets") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val ext = base + " " + (100 to 160).map(i => s"extra$i").mkString(" ")
+    val other = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = docsDf(1L -> base, 2L -> base, 3L -> ext, 4L -> other)
+    val got = DedupOps.containmentPairs(df, minPct = 50).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(got((1L, 2L)) === 100L)
+    assert(got((2L, 1L)) === 100L)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) >= 60L)
+    assert(!got.contains((3L, 1L))) // asymmetry: the extension is NOT contained
+    assert(!got.keys.exists { case (x, y) => x == 4L || y == 4L })
+    val byDoc = TextOps.fingerprints(df, k = 12, window = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val expected = (for {
+      (a, sa) <- byDoc.toSeq; (b, sb) <- byDoc.toSeq if a != b
+      sh = (sa intersect sb).size if sh * 100 / sa.size >= 50
+    } yield (a, b) -> (sh * 100 / sa.size).toLong).toMap
+    assert(got === expected)
+  }
+
   test("bm25: integer-quantized okapi ranking matches a driver-side " +
     "recompute; shorter doc with equal tf outranks the padded one") {
     val docs = Seq(
