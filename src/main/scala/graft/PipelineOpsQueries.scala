@@ -410,6 +410,19 @@ object PipelineOpsQueries {
       DedupOps.containmentPairs(docs(s, dir))
         .orderBy("doc_id", "container_id")),
 
+    // DSIR importance scoring: docs with doc_id % 20 == 0 stand in as the
+    // target/exemplar distribution (p27/p30's eval-split convention), the
+    // rest are the raw corpus ranked by smoothed target-vs-corpus unigram
+    // ratio — integer grid, full SQL replica
+    "p66_dsir" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      graft.ops.CorpusOps.dsirScores(
+        d.where(col("doc_id") % 20 =!= 0),
+        d.where(col("doc_id") % 20 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: k-means-cell-bounded semantic dedup. The quantizer is
     // engine code, so the cell assignment is dumped and the oracle
     // recomputes the within-cell pairwise-cosine prune from it.
@@ -1558,6 +1571,33 @@ object PipelineOpsQueries {
          FROM pr JOIN sz ON pr.doc_id = sz.doc_id
          WHERE (pr.n_shared * 100) // sz.n_fp >= 50
          ORDER BY pr.doc_id, pr.container_id""",
+
+    // DSIR replica: Laplace-smoothed target-vs-corpus unigram ratio on the
+    // 10000 grid, length-normalized integer score per corpus doc
+    "p66_dsir" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+         tgt AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+         tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM corpus),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+                  FROM tf GROUP BY 1),
+         cc AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cc
+                FROM tf GROUP BY token),
+         ttok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                    AS token
+                  FROM tgt),
+         tc AS (SELECT token, count(*) AS tc FROM ttok GROUP BY token),
+         w AS (SELECT cc.token,
+                 ((coalesce(tc.tc, 0) + 1) * 10000) // (cc.cc + 1) AS w
+               FROM cc LEFT JOIN tc USING (token)),
+         sc AS (SELECT tf.doc_id, CAST(sum(tf.tf * w.w) AS BIGINT)
+                  AS raw_score
+                FROM tf JOIN w USING (token) GROUP BY 1)
+         SELECT sc.doc_id, lens.len, sc.raw_score,
+                sc.raw_score // lens.len AS score
+         FROM sc JOIN lens USING (doc_id) ORDER BY sc.doc_id""",
 
     // SemDeDup replica: same within-cell closed-form prune over the
     // dumped assignment; list_cosine_similarity matches the engine's

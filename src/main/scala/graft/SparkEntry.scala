@@ -22,6 +22,10 @@ object SparkEntry {
   def docCountFor(sfDir: String): Long = {
     val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
     val scale = m.map(_.group(1).toDouble).getOrElse(0.01)
+    // CAUTION: this count also keys every /tmp dump path — a dir WITHOUT
+    // an sf token falls back to 0.01's count and its dumps would clobber
+    // the driver's sf0.01 dumps. Tests that run dump-writing queries must
+    // embed a unique sf token in their temp dir (see the x13 spec).
     math.max((scale * 200000).toLong, 200L)
   }
 

@@ -319,6 +319,38 @@ object CorpusOps {
     SimilarityOps.rankTopK(fused, k)
   }
 
+  /** DSIR-style importance scoring (Xie et al., NeurIPS'23 — "Data
+    * Selection for Language Models via Importance Resampling"): rank raw
+    * corpus documents by how target-like their token distribution is. The
+    * per-token importance ratio is Laplace-smoothed target-vs-corpus
+    * unigram frequency on a fixed integer grid
+    *   w(t) = ((tc(t) + 1) · scale) div (cc(t) + 1)
+    * and each doc scores the length-normalized weighted sum
+    *   score = (Σ tf·w) div len
+    * — all integer, so the selection order is engine-exact (the published
+    * method's log-ratio sum only reorders ties differently; the ratio
+    * grid keeps the oracle float-free). Scale shape: both count tables
+    * are vocab-sized; the weight table broadcasts into the per-doc
+    * aggregation keyed on doc_id — raw text tokenizes once
+    * (`tokenTfWithLen`) and never shuffles; the target set is exemplar-
+    * sized (MBs against 100 TB) by construction. */
+  def dsirScores(corpus: DataFrame, target: DataFrame,
+                 scale: Long = 10000L): DataFrame = {
+    val tf = tokenTfWithLen(corpus)
+    val cc = tf.groupBy(col("token")).agg(sum(col("tf")).as("cc"))
+    val tc = tokenTf(target).groupBy(col("token"))
+      .agg(sum(col("tf")).as("tc"))
+    val w = cc.join(tc, Seq("token"), "left")
+      .select(col("token"),
+        expr(s"((coalesce(tc, 0) + 1) * $scale) div (cc + 1)").as("w"))
+    tf.join(broadcast(w), "token")
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("len"), // row-constant per doc
+        sum(col("tf") * col("w")).as("raw_score"))
+      .select(col("doc_id"), col("len"), col("raw_score"),
+        expr("raw_score div len").as("score"))
+  }
+
   /** Token-coverage / OOV statistics against an INDUCED top-V vocabulary —
     * the tokenizer-evaluation primitive: induce vocab = the `vocabSize`
     * highest-term-frequency tokens (ties broken by token text, so the

@@ -270,7 +270,13 @@ class CurationOpsSpec extends AnyFunSuite {
   test("x13 html strip: planted chrome is removed per variant, content " +
     "text survives") {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft_html").toString
+    // the sf token keys this test's dump to _800, NOT the driver's sf0.01
+    // _2000 path — a bare temp dir falls back to docCountFor's 0.01
+    // default and the 8-doc dump written here would clobber the dump the
+    // driver's x13 oracle reads (observed: CORRECTNESS x13 rows 500 != 8
+    // whenever the suite runs between Verify and the oracle check)
+    val d = java.nio.file.Files.createTempDirectory("graft_html_sf0.004_")
+      .toString
     (0 until 8).map(i => (i.toLong, s"content line $i", "en", "src", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")

@@ -251,6 +251,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("dsir importance scores: smoothed target/corpus ratio matches a " +
+    "driver recompute; target-like docs outrank unrelated ones") {
+    val corpusRows = Seq(1L -> "ml training data quality",
+      2L -> "ml data data pipeline", 3L -> "cats dogs birds fish",
+      4L -> "quantum flux capacitor hum")
+    val targetRows = Seq(100L -> "ml data quality", 101L -> "training data")
+    val got = graft.ops.CorpusOps
+      .dsirScores(docsDf(corpusRows: _*), docsDf(targetRows: _*))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def toks(s: String) = s.trim.split("\\s+").toSeq
+    val cc = corpusRows.flatMap(r => toks(r._2)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val tc = targetRows.flatMap(r => toks(r._2)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val w = cc.map { case (t, c) =>
+      t -> ((tc.getOrElse(t, 0L) + 1L) * 10000L) / (c + 1L) }
+    val expected = corpusRows.map { case (id, text) =>
+      val ts = toks(text)
+      val raw = ts.map(w).sum
+      id -> ((ts.size.toLong, raw, raw / ts.size))
+    }.toMap
+    assert(got === expected)
+    assert(got(1L)._3 > got(3L)._3 && got(1L)._3 > got(4L)._3)
+  }
+
   test("bm25: integer-quantized okapi ranking matches a driver-side " +
     "recompute; shorter doc with equal tf outranks the padded one") {
     val docs = Seq(

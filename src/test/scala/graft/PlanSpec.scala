@@ -91,6 +91,16 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("p65 containment: raw text never reaches an exchange — only " +
+    "(doc_id, fp) rows and small aggregates shuffle") {
+    val df = PipelineOpsQueries.queries("p65_containment")(spark, dir)
+    val plan = staticPlan(df)
+    val textThroughShuffle = plan.collect { case e: ShuffleExchangeExec
+      if e.child.output.exists(_.name == "text") => e }
+    assert(textThroughShuffle.isEmpty, s"text column shuffled:\n$plan")
+    assert(df.count() > 0) // the near-identical miniature docs must pair
+  }
+
   test("q42 latest-wins: max_by aggregation — one shuffle, never a " +
     "per-key window sort") {
     val df = RelationalQueries.queries("q42_latest_wins")(spark, dir)
