@@ -405,9 +405,12 @@ object PipelineOpsQueries {
       SimilarityOps.quantizedRecall(emb(s, dir))),
 
     // asymmetric containment dedup (quote/subset detection) over
-    // long-gram winnowing fingerprints
+    // long-gram winnowing fingerprints — runs the PRODUCTION path
+    // (df-capped index + materialized fingerprint table); the oracle
+    // replicates the cap, so the hash stays exact
     "p65_containment" -> ((s, dir) =>
-      DedupOps.containmentPairs(docs(s, dir))
+      DedupOps.containmentPairs(docs(s, dir), maxDf = Some(64),
+          materialize = true)
         .orderBy("doc_id", "container_id")),
 
     // DSIR importance scoring: docs with doc_id % 20 == 0 stand in as the
@@ -1561,9 +1564,11 @@ object PipelineOpsQueries {
               FROM h),
          fp AS (SELECT doc_id, unnest(fp) AS fp FROM f),
          sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+         fpk AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64),
+         fpc AS (SELECT f2.doc_id, f2.fp FROM fp f2 JOIN fpk USING (fp)),
          pr AS (SELECT a.doc_id AS doc_id, b.doc_id AS container_id,
                   count(*) AS n_shared
-                FROM fp a JOIN fp b
+                FROM fpc a JOIN fpc b
                   ON a.fp = b.fp AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2)
          SELECT pr.doc_id, pr.container_id, pr.n_shared, sz.n_fp,

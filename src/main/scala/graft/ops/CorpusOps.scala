@@ -226,7 +226,7 @@ object CorpusOps {
     val tf = tokenTf(df)
     val idf = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
-      .select(col("token"), expr(s"($n * $idfScale) div df").as("idf"))
+      .select(col("token"), expr(s"(${n}L * ${idfScale}L) div df").as("idf"))
     // vocabulary is ≪ corpus: broadcast the idf table into the weight join
     val w = tf.join(broadcast(idf), "token")
       .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("wt"))
@@ -281,12 +281,15 @@ object CorpusOps {
     val bigL = tf.agg(sum(col("tf"))).collect()(0).getLong(0)
     val idf = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
-      .select(col("token"), expr(s"($n * 100) div df").as("idf"))
+      // L-suffixed literals: under ANSI mode a bare interpolated count
+      // parses as INT32 and 22000 * L overflows once L > ~97k (hit at
+      // sf0.1, L = 270704) — every factor must enter as BIGINT
+      .select(col("token"), expr(s"(${n}L * 100L) div df").as("idf"))
     val w = tf.join(broadcast(idf), "token")
       .select(col("doc_id"),
         col("token"),
-        expr(s"idf * ((22000 * $bigL * tf) div " +
-          s"(10 * $bigL * tf + 3 * $bigL + 9 * $n * len))").as("wt"))
+        expr(s"idf * ((22000L * ${bigL}L * tf) div " +
+          s"(10L * ${bigL}L * tf + 3L * ${bigL}L + 9L * ${n}L * len))").as("wt"))
     val q = tf.where(col("doc_id") < numQueries)
       .select(col("doc_id").as("query_id"), col("token").as("q_token"))
     val scored = w.join(broadcast(q),

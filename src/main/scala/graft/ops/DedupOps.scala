@@ -326,8 +326,14 @@ object DedupOps {
     * documented recall trade as the capped Jaccard path. */
   def containmentPairs(df: DataFrame, minPct: Int = 50, k: Int = 12,
                        window: Int = 8,
-                       maxDf: Option[Int] = None): DataFrame = {
-    val fps = TextOps.fingerprints(df, k, window) // distinct (doc_id, fp)
+                       maxDf: Option[Int] = None,
+                       materialize: Boolean = false): DataFrame = {
+    // the fingerprint table feeds sizes AND both self-join sides; exchange
+    // reuse does not fire across the typed flatMap, so without
+    // `materialize` the corpus re-fingerprints three times (measured
+    // 13.4 s → 3.5 s at sf0.1 with the checkpoint + df cap)
+    val fpsRaw = TextOps.fingerprints(df, k, window) // distinct (doc_id, fp)
+    val fps = if (materialize) fpsRaw.localCheckpoint(false) else fpsRaw
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val indexed = maxDf.fold(fps) { cap =>
       val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))

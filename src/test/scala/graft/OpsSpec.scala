@@ -249,6 +249,12 @@ class OpsSpec extends AnyFunSuite {
       sh = (sa intersect sb).size if sh * 100 / sa.size >= 50
     } yield (a, b) -> (sh * 100 / sa.size).toLong).toMap
     assert(got === expected)
+    // the capped + materialized production path (the driver query's
+    // configuration) is output-identical here — every df is far below 64
+    val capped = DedupOps.containmentPairs(df, minPct = 50,
+        maxDf = Some(64), materialize = true).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(capped === got)
   }
 
   test("dsir importance scores: smoothed target/corpus ratio matches a " +
