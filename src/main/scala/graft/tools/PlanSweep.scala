@@ -23,7 +23,12 @@ object PlanSweep {
       // broadcasts the 1-row stream total (the n div (k+1) bound) — same
       // keyless-constant-build-side class as p47/p50/x14
       "q51_funnel" -> Set("BroadcastNestedLoop"),
-      "p57_heavy_hitters" -> Set("BroadcastNestedLoop"))
+      "p57_heavy_hitters" -> Set("BroadcastNestedLoop"),
+      // p64 runs bruteTopK twice (quantized + exact rankings) — p07's
+      // documented broadcast-query-set plan; q57's rows_before ×
+      // rows_deleted is a 1-row-aggregate cross per table
+      "p64_quant_recall" -> Set("BroadcastNestedLoop"),
+      "q57_cascade_delete" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
