@@ -166,8 +166,9 @@ object StreamingExtraction {
     * passes through, every later duplicate (within or across micro-batches)
     * is dropped. At 10^12 docs the state store shards by the same hash key
     * the batch dedup groups on, so memory per task is bounded by distinct
-    * keys per shard; a TTL (`GroupStateTimeout`) would bound it further for
-    * windows where re-crawl dedup only needs recent history. */
+    * keys per shard; [[dedupStreamTtl]] bounds it further to a sliding
+    * event-time horizon for re-crawl dedup that only needs recent
+    * history. */
   def dedupStream(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
@@ -184,6 +185,48 @@ object StreamingExtraction {
             // keeper = min doc_id within this batch for the key (matches
             // the batch dedup's min-keeper rule)
             rows.toSeq.sortBy(_._1).headOption.iterator
+          }
+      }
+  }
+
+  /** [[dedupStream]] with a BOUNDED state horizon — the 10^12-doc form.
+    * Keyed state carries an event-time timeout at last_seen + ttl: while
+    * a content hash keeps re-arriving the horizon slides forward and
+    * duplicates stay suppressed; once the watermark passes the horizon
+    * the key evicts, and a later re-arrival passes through again — the
+    * re-crawl contract, where dup suppression only needs recent history
+    * and state per shard is bounded by the keys seen within the TTL
+    * window, never by corpus history. Rows older than the watermark are
+    * dropped by the engine before the stateful operator, so the timeout
+    * timestamp is always ahead of the watermark. */
+  def dedupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
+                     watermarkDelay: String = "10 minutes",
+                     ttlMs: Long = 30L * 60 * 1000)
+      : Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("_3", watermarkDelay)
+      .groupByKey { case (_, text, _) => graft.ops.Corpus64.md5Low64(text) }
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { // watermark passed last_seen + ttl
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val lastSeen = batch.map(_._3.getTime).max
+            val out =
+              if (state.exists) Iterator.empty // suppressed duplicate
+              else {
+                state.update(true)
+                batch.sortBy(_._1).headOption
+                  .map(r => (r._1, r._2)).iterator // min-keeper rule
+              }
+            state.setTimeoutTimestamp(lastSeen + ttlMs) // slide the horizon
+            out
           }
       }
   }

@@ -218,6 +218,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(1L -> "alpha beta", 2L -> "unique one", 4L -> "brand new"))
   }
 
+  test("streaming dedup with event-time TTL: duplicates suppress inside " +
+    "the horizon, the key evicts once the watermark passes last_seen + " +
+    "ttl, and a later re-arrival passes through again") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // watermark delay 10 min, ttl 30 min
+    val q = StreamingExtraction
+      .dedupStreamTtl(stream.toDS(), "10 minutes", 30L * 60 * 1000)
+      .toDF("doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+    stream.addData(Seq((1L, "dup text", ts("10:00")))) // first arrival
+    q.processAllAvailable()
+    // in-horizon duplicate (10:05 < 10:00 + 30min) — suppressed; the
+    // horizon slides to 10:35
+    stream.addData(Seq((2L, "dup text", ts("10:05"))))
+    q.processAllAvailable()
+    // advance the watermark past the horizon: 11:00 - 10min = 10:50 > 10:35
+    stream.addData(Seq((3L, "other a", ts("11:00"))))
+    q.processAllAvailable()
+    // timeout processing fires in the batch AFTER the watermark advanced;
+    // this batch evicts the key's state
+    stream.addData(Seq((4L, "other b", ts("11:01"))))
+    q.processAllAvailable()
+    // re-arrival after eviction (10:55 is still above the 10:51 watermark)
+    stream.addData(Seq((5L, "dup text", ts("10:55"))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_ttl_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got === Set(1L -> "dup text", 3L -> "other a",
+      4L -> "other b", 5L -> "dup text"))
+  }
+
   test("streaming upsert maintains a parquet snapshot across micro-batches " +
     "(last-write-wins in batch, delete wins, insert/update across batches)") {
     import spark.implicits._
