@@ -21,32 +21,52 @@ import graft.pipe.ExtractionPipeline
   */
 object BenchSelect {
   /** An N→4N efficiency > ~1 is not "great scaling" — it means the low
-    * phase was externally loaded; honest values live in (0, ~1]. */
+    * phase was externally loaded; honest values live in (0, ~1]. The
+    * (1, 1.05] sliver is admitted as jitter, but an HONEST ≤1 value at
+    * the same tier must always outrank it (a >1 headline reads as a
+    * broken measurement, because for this workload it is one). */
   def credible(e: Double): Boolean = e > 0 && e <= 1.05
 
-  /** Best per-round value, preferring probe-CLEAN rounds (both phases ran
-    * calm), then any credible round, then the overall minimum. A
-    * credible-but->1 value from a dirty round must not outrank a clean
-    * round's honest ≤1 measurement. */
-  def headline(es: Seq[Double], cleanIdx: Seq[Int]): Double = {
-    val clean = cleanIdx.map(es).filter(credible)
-    val ok = es.filter(credible)
-    if (clean.nonEmpty) clean.max
-    else if (ok.nonEmpty) ok.max
-    else es.min
+  private def honestMax(xs: Seq[Double]): Option[Double] = {
+    val h = xs.filter(e => e > 0 && e <= 1.0)
+    if (h.nonEmpty) Some(h.max) else None
+  }
+  private def credibleMax(xs: Seq[Double]): Option[Double] = {
+    val c = xs.filter(credible)
+    if (c.nonEmpty) Some(c.max) else None
   }
 
-  /** Winning (basis, value) across the candidate N→4N pairs; falls back
-    * to the primary pair when no candidate is credible — labelled
+  /** Best per-round value: probe-CLEAN rounds first (both phases ran
+    * calm) with honest ≤1 outranking >1 jitter there, then any credible
+    * round, then the overall minimum. Honest-first applies ONLY inside
+    * the clean tier: among dirty rounds deflation (load on the high
+    * phase) is the common artifact, so a dirty 0.36 is no more
+    * trustworthy than a dirty 1.02 and the old credible-max rule
+    * stands. */
+  def headline(es: Seq[Double], cleanIdx: Seq[Int]): Double = {
+    val clean = cleanIdx.map(es)
+    honestMax(clean)
+      .orElse(credibleMax(clean))
+      .orElse(credibleMax(es))
+      .getOrElse(es.min)
+  }
+
+  /** Winning (basis, value) across the candidate N→4N pairs — honest ≤1
+    * values outrank the >1 jitter band here too; falls back to the
+    * primary pair when no candidate is credible — labelled
     * `fallback(...)` so a JSON reader can tell an honest selection from a
     * whipsaw round where nothing passed the credibility band. */
   def pick(cands: Seq[(String, Double)],
            fallback: (String, Double)): (String, Double) = {
     val ok = cands.filter(c => credible(c._2))
-    if (ok.nonEmpty) {
-      val w = ok.maxBy(_._2)
-      (s"best_credible_round(${w._1})", w._2)
-    } else (s"fallback(${fallback._1})", fallback._2)
+    val honest = ok.filter(_._2 <= 1.0)
+    val winner = if (honest.nonEmpty) Some(honest.maxBy(_._2))
+      else if (ok.nonEmpty) Some(ok.maxBy(_._2))
+      else None
+    winner match {
+      case Some(w) => (s"best_credible_round(${w._1})", w._2)
+      case None => (s"fallback(${fallback._1})", fallback._2)
+    }
   }
 }
 
@@ -241,14 +261,19 @@ object Bench {
     val effHeadlineNorm = headline(roundEffNorm)
     val effHeadlineMid = headline(roundEffMid)
     // The contract is "N vs 4N executors"; BOTH measured pairs qualify
-    // ((cpus/16 → cpus/4) and (cpus/4 → cpus)). The top-level efficiency is
-    // the best CREDIBLE within-round value across the two raw pairs — on a
-    // quiet box they agree; under noisy-neighbor load the pair whose two
-    // phases both ran calm is the meaningful one. The basis string names
-    // the winning pair; every per-pair / per-round value stays in the JSON.
+    // ((cpus/16 → cpus/4) and (cpus/4 → cpus)), plus the envelope-
+    // NORMALIZED high pair — on this VM per-core speed drops as cores
+    // activate, so the normalized value is the defensible high-pair
+    // number (the probe envelope is measured in the same round). The
+    // top-level efficiency is the best honest-≤1-first CREDIBLE
+    // within-round value across the candidates — on a quiet box they
+    // agree; under noisy-neighbor load the pair whose two phases both ran
+    // calm is the meaningful one. The basis string names the winning
+    // pair; every per-pair / per-round value stays in the JSON.
     val (effBasis, effBest) = BenchSelect.pick(
       Seq(s"${lowCpus}->${cpus}" -> effHeadline,
-          s"${midLow}->${lowCpus}" -> effHeadlineMid),
+          s"${midLow}->${lowCpus}" -> effHeadlineMid,
+          s"${lowCpus}->${cpus} envnorm" -> effHeadlineNorm),
       fallback = s"${lowCpus}->${cpus}" -> effHeadline)
 
     // --- final session: headline + per-query timings ----------------------

@@ -314,6 +314,24 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(headline(Seq(1.2, 1.4), Seq.empty) === 1.2)
   }
 
+  test("run-23 window: honest <=1 clean value outranks clean >1 jitter; " +
+    "the envelope-normalized candidate can win the pick") {
+    // 2->8 envelope pairs [1.015, 0.793, 1.04], clean=[false,true,true]:
+    // the clean 1.04 is jitter-band, the clean 0.793 is the honest value
+    assert(headline(Seq(1.015, 0.793, 1.04), Seq(1, 2)) === 0.793)
+    // dirty rounds keep the old credible-max rule (deflation artifact)
+    assert(headline(Seq(1.204, 1.021, 0.362), Seq.empty) === 1.021)
+    // run-23 candidates after the fix: the honest envnorm 0.865 wins
+    // over both the raw 0.768 and what used to be a 1.04 headline
+    assert(pick(Seq("8->32" -> 0.768, "2->8" -> 0.793,
+        "8->32 envnorm" -> 0.865), fallback = "8->32" -> 0.768) ===
+      ("best_credible_round(8->32 envnorm)", 0.865))
+    // honest <=1 beats jitter >1 inside pick as well
+    assert(pick(Seq("2->8" -> 1.04, "8->32" -> 0.865),
+      fallback = "8->32" -> 0.865) ===
+      ("best_credible_round(8->32)", 0.865))
+  }
+
   test("pick takes the best credible pair and names it") {
     // run-15 shape after the clean-preference fix: 8->32 clean 0.724,
     // 2->8 clean 0.874 → 2->8 wins
