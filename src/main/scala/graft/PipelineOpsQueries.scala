@@ -413,6 +413,16 @@ object PipelineOpsQueries {
           materialize = true)
         .orderBy("doc_id", "container_id")),
 
+    // corpus drift monitor: the even/odd doc_id slices stand in as two
+    // crawl snapshots; top-100 tokens by absolute ppm-rate delta
+    "p67_token_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      graft.ops.CorpusOps.tokenDrift(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1))
+    }),
+
     // DSIR importance scoring: docs with doc_id % 20 == 0 stand in as the
     // target/exemplar distribution (p27/p30's eval-split convention), the
     // rest are the raw corpus ranked by smoothed target-vs-corpus unigram
@@ -1576,6 +1586,35 @@ object PipelineOpsQueries {
          FROM pr JOIN sz ON pr.doc_id = sz.doc_id
          WHERE (pr.n_shared * 100) // sz.n_fp >= 50
          ORDER BY pr.doc_id, pr.container_id""",
+
+    // drift replica: ppm rates per side via integer floor division over
+    // the full-outer token join, top-100 by absolute delta
+    "p67_token_drift" ->
+      """WITH os AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         ns AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         ot AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                  AS token FROM os),
+         nt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                  AS token FROM ns),
+         oc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+                FROM ot GROUP BY token),
+         nc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+                FROM nt GROUP BY token),
+         j AS (SELECT coalesce(oc.token, nc.token) AS token,
+                 coalesce(oc.c, 0) AS c_old, coalesce(nc.c, 0) AS c_new
+               FROM oc FULL OUTER JOIN nc ON oc.token = nc.token),
+         r AS (SELECT token, c_old, c_new,
+                 (c_old * 1000000) //
+                   greatest((SELECT count(*) FROM ot), 1) AS rate_old_ppm,
+                 (c_new * 1000000) //
+                   greatest((SELECT count(*) FROM nt), 1) AS rate_new_ppm
+               FROM j)
+         SELECT token, c_old, c_new,
+                CAST(rate_old_ppm AS BIGINT) AS rate_old_ppm,
+                CAST(rate_new_ppm AS BIGINT) AS rate_new_ppm,
+                CAST(abs(rate_new_ppm - rate_old_ppm) AS BIGINT)
+                  AS drift_ppm
+         FROM r ORDER BY drift_ppm DESC, token LIMIT 100""",
 
     // DSIR replica: Laplace-smoothed target-vs-corpus unigram ratio on the
     // 10000 grid, length-normalized integer score per corpus doc

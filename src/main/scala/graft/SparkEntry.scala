@@ -134,6 +134,32 @@ object SparkEntry {
              sum(when(col("validation_error") =!= "", 1L).otherwise(0L))
                .as("validation_failures"))
         .orderBy(col("document_type"), col("is_valid"))),
+    // validation-error TAXONOMY: the observability rollup an extraction
+    // fleet alerts on — docs per (document_type, error string), with a
+    // deterministic example doc. The error strings are the REAL
+    // pydantic-compatible validator messages (parity-pinned), so the
+    // taxonomy is an engine artifact the oracle only re-aggregates.
+    "x18_error_taxonomy" -> ((s, dir) =>
+      dumpedResults(s, dir)
+        .groupBy(col("document_type"), col("validation_error"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("example_doc"))
+        .orderBy(col("document_type"), col("validation_error"))),
+
+    // OCR-confidence calibration: bucket floor(score·10), per-bucket doc/
+    // valid counts — "is high OCR confidence predictive of a valid
+    // extraction?" — the north_star's OCR-confidence metric as a table.
+    // Both engines floor the identical stored double, so the buckets are
+    // exact.
+    "x19_confidence_calibration" -> ((s, dir) =>
+      dumpedResults(s, dir)
+        .groupBy(floor(col("ocr_accuracy_score") * 10).cast("long")
+          .as("conf_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(col("n_spans")).cast("long").as("sum_spans"))
+        .orderBy(col("conf_bucket"))),
+
     "x03_classify_counts" -> ((s, dir) =>
       dumpedResults(s, dir)
         .groupBy(col("document_type"))
@@ -398,6 +424,20 @@ object SparkEntry {
            CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_count
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY document_type ORDER BY document_type""",
+      "x18_error_taxonomy" ->
+        s"""SELECT document_type, validation_error,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS example_doc
+           FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
+           GROUP BY document_type, validation_error
+           ORDER BY document_type, validation_error""",
+      "x19_confidence_calibration" ->
+        s"""SELECT CAST(floor(ocr_accuracy_score * 10) AS BIGINT) AS conf_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(n_spans) AS BIGINT) AS sum_spans
+           FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
+           GROUP BY 1 ORDER BY conf_bucket""",
       // observe() held to the hash gate: re-aggregate the observed sink's
       // actual bytes — the task-side accumulators must match exactly
       "x16_observed_metrics" ->

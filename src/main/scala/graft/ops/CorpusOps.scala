@@ -322,6 +322,39 @@ object CorpusOps {
     SimilarityOps.rankTopK(fused, k)
   }
 
+  /** Corpus DRIFT monitor between two snapshots — the
+    * distribution-shift alarm a continuously-crawled corpus needs: per
+    * token, occurrence rates in parts-per-million on each side
+    * (integer floor division, engine-exact) and the absolute rate
+    * delta, top-k by drift. A token surging between crawls (spam
+    * template, new boilerplate, seasonal burst) surfaces at the top;
+    * p48's row-level snapshot diff says WHICH docs changed, this says
+    * what the change did to the token distribution. Scale shape: each
+    * side collapses to a vocab-sized count table before the one
+    * full-outer token join; totals are two scalar aggregates (catalog
+    * stats at 10^12 rows); raw text never shuffles. */
+  def tokenDrift(oldSnap: DataFrame, newSnap: DataFrame, k: Int = 100,
+                 scale: Long = 1000000L): DataFrame = {
+    def counts(df: DataFrame) =
+      tokenTf(df).groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val o = counts(oldSnap)
+    val n = counts(newSnap)
+    val totO = math.max(o.agg(sum(col("c"))).collect()(0).getLong(0), 1L)
+    val totN = math.max(n.agg(sum(col("c"))).collect()(0).getLong(0), 1L)
+    o.as("o").join(n.as("n"), col("o.token") === col("n.token"),
+        "full_outer")
+      .select(coalesce(col("o.token"), col("n.token")).as("token"),
+        coalesce(col("o.c"), lit(0L)).as("c_old"),
+        coalesce(col("n.c"), lit(0L)).as("c_new"))
+      .select(col("token"), col("c_old"), col("c_new"),
+        expr(s"(c_old * ${scale}L) div ${totO}L").as("rate_old_ppm"),
+        expr(s"(c_new * ${scale}L) div ${totN}L").as("rate_new_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("rate_new_ppm") - col("rate_old_ppm")))
+      .orderBy(col("drift_ppm").desc, col("token"))
+      .limit(k)
+  }
+
   /** DSIR-style importance scoring (Xie et al., NeurIPS'23 — "Data
     * Selection for Language Models via Importance Resampling"): rank raw
     * corpus documents by how target-like their token distribution is. The

@@ -257,6 +257,22 @@ class OpsSpec extends AnyFunSuite {
     assert(capped === got)
   }
 
+  test("token drift: ppm rates and top-k ordering match the hand-computed " +
+    "values; a token only in the new snapshot surfaces with c_old = 0") {
+    val oldS = docsDf(1L -> "alpha beta alpha", 2L -> "beta gamma")
+    val newS = docsDf(3L -> "alpha spamtoken spamtoken spamtoken",
+      4L -> "beta gamma")
+    val got = graft.ops.CorpusOps.tokenDrift(oldS, newS, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // totals: old 5 tokens, new 6. ppm = (c * 10^6) div total.
+    assert(got === Seq(
+      ("spamtoken", 0L, 3L, 0L, 500000L, 500000L),
+      ("alpha", 2L, 1L, 400000L, 166666L, 233334L), // drift tie ->
+      ("beta", 2L, 1L, 400000L, 166666L, 233334L),  // token ascending
+      ("gamma", 1L, 1L, 200000L, 166666L, 33334L)))
+  }
+
   test("dsir importance scores: smoothed target/corpus ratio matches a " +
     "driver recompute; target-like docs outrank unrelated ones") {
     val corpusRows = Seq(1L -> "ml training data quality",
