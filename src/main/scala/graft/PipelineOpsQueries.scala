@@ -436,6 +436,17 @@ object PipelineOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // contrastive hard-negative mining: top-k most-similar OTHER-label
+    // vectors per anchor (same-label rows are would-be positives and are
+    // excluded, not mined) — the DPR/SimCSE training-pair recipe
+    "p68_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegatives(emb(s, dir))),
+
+    // tokenizer fertility by language: subword-per-word / subword-per-char
+    // expansion per lang class — the multilingual token-budget table
+    "p69_fertility" -> ((s, dir) =>
+      TextOps.fertilityByLang(docs(s, dir))),
+
     // SemDeDup: k-means-cell-bounded semantic dedup. The quantizer is
     // engine code, so the cell assignment is dumped and the oracle
     // recomputes the within-cell pairwise-cosine prune from it.
@@ -563,6 +574,38 @@ object PipelineOpsQueries {
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // hard negatives: p07's ranking with the same-label exclusion — the
+    // cosine is bit-matched between engines (established by p07), so the
+    // rank set is exact
+    "p68_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                    CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+                    FROM embeddings ORDER BY vec_id LIMIT 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS score
+           FROM embeddings e CROSS JOIN q WHERE e.label <> q.q_label),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // fertility replica: p02's tokenizations aggregated per lang; both
+    // floor divisions run on non-negative operands (// ≡ div there)
+    "p69_fertility" ->
+      """WITH t AS (SELECT lang,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bp,
+           length(text) AS ch FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(bp) AS BIGINT) AS sum_bpeish_tokens,
+           CAST(sum(ch) AS BIGINT) AS sum_chars,
+           CAST((sum(bp) * 100) // sum(ws) AS BIGINT) AS fert_per_100_words,
+           CAST((sum(bp) * 1000) // sum(ch) AS BIGINT) AS toks_per_1000_chars
+         FROM t GROUP BY lang ORDER BY lang""",
     "p11_shingle_counts" ->
       """SELECT doc_id,
          len(list_distinct(list_transform(

@@ -584,6 +584,12 @@ object RelationalQueries {
     "q48_triangles" -> ((s, dir) =>
       graft.ops.GraphOps.triangles(t(s, dir, "documents"))),
 
+    // bounded-depth BFS (min-hop reachability) from the doc_id%97 seed
+    // set — the recursive-CTE query shape, unrolled as frontier-only
+    // Pregel rounds (only new nodes ever cross an exchange)
+    "q59_reachability" -> ((s, dir) =>
+      graft.ops.GraphOps.bfsHops(t(s, dir, "documents"))),
+
     // SCD Type-2 dimension build: signup events become half-open version
     // intervals via one lead() window — single shuffle, no self-join
     "q49_scd2_versions" -> ((s, dir) =>
@@ -1020,6 +1026,20 @@ object RelationalQueries {
         pagerankIterCte(1) + "," + pagerankIterCte(2) + "," +
         pagerankIterCte(3) +
         " SELECT node, pr FROM r3 ORDER BY node"),
+    // BFS replica: DuckDB's native WITH RECURSIVE over the identical edge
+    // list — an independent formulation (the engine unrolls Pregel rounds);
+    // min(hops) over the recursion ≡ first-discovery hop
+    "q59_reachability" ->
+      ("WITH RECURSIVE " + graphEdgesCte + """,
+         seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+         reach(node, hops) AS (
+           SELECT node, 0 FROM seeds
+           UNION ALL
+           SELECT e.dst, r.hops + 1
+           FROM reach r JOIN edges e ON e.src = r.node
+           WHERE r.hops < 3)
+         SELECT node, CAST(min(hops) AS BIGINT) AS hops
+         FROM reach GROUP BY node ORDER BY node"""),
     // triangle replica: same canonical (a < b) distinct edges, same
     // oriented 2-path + closing-edge enumeration
     "q48_triangles" ->

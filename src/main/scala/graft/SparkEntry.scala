@@ -102,6 +102,10 @@ object SparkEntry {
     s"/tmp/graft_observed_dump_${docCountFor(dir)}"
   def captionDumpPath(dir: String): String =
     s"/tmp/graft_caption_dump_${docCountFor(dir)}"
+  def lineageRunPath(dir: String): String =
+    s"/tmp/graft_lineage_run_${docCountFor(dir)}"
+  def lineageDumpPath(dir: String): String =
+    s"/tmp/graft_lineage_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -380,6 +384,41 @@ object SparkEntry {
         .toDF("n_docs", "sum_spans", "n_valid")
     }),
 
+    // lineage-vs-sink audit (north_rule: "per-partition lineage + metrics"
+    // driver-verified): a clean CheckpointRunner pass writes its per-group
+    // lineage rows task-side; the audit independently RECOUNTS each group
+    // from the sink bytes and joins the two — every group must agree on
+    // doc/span/failure counts (lineage_ok = 1). Both the per-doc recount
+    // table and the engine's lineage parquet are the oracle's inputs, so
+    // DuckDB re-derives the same audit from identical bytes.
+    "x20_lineage_audit" -> ((s, dir) => {
+      val out = lineageRunPath(dir)
+      new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+      val runner = new graft.pipe.CheckpointRunner(out, buckets = 32,
+        groups = 4)
+      runner.run(docTable(s, dir))
+      s.read.parquet(s"$out/results")
+        .select(col("group"), col("doc_id"),
+          size(col("spans")).as("n_spans"), col("is_valid"))
+        .write.mode("overwrite").parquet(lineageDumpPath(dir))
+      val actual = s.read.parquet(lineageDumpPath(dir))
+        .groupBy(col("group").cast("int").as("bucket_group"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).cast("long").as("sum_spans"),
+          sum(when(col("is_valid"), 0L).otherwise(1L)).as("n_failures"))
+      val lin = runner.lineage(s).toDF()
+        .select(col("partition_id").as("bucket_group"),
+          col("doc_count"), col("span_count"), col("failures"))
+      actual.join(lin, "bucket_group")
+        .select(col("bucket_group"), col("n_docs"), col("sum_spans"),
+          col("n_failures"),
+          when(col("n_docs") === col("doc_count") &&
+               col("sum_spans") === col("span_count") &&
+               col("n_failures") === col("failures"), 1L).otherwise(0L)
+            .as("lineage_ok"))
+        .orderBy(col("bucket_group"))
+    }),
+
     // CLIP-style (media, caption) pair mining over the interleaved payload:
     // a media span's caption is the text span immediately following it in
     // render order — the adjacency heuristic image–text contrastive
@@ -576,6 +615,25 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(cost) AS BIGINT) AS n_tokens
            FROM o GROUP BY off // 1024 ORDER BY pack""",
+      // lineage audit re-derived in SQL: recount each bucket group from
+      // the per-doc sink dump, join the engine's lineage parquet, compare
+      "x20_lineage_audit" ->
+        s"""WITH actual AS (SELECT CAST("group" AS INTEGER) AS bucket_group,
+               count(*) AS n_docs,
+               CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+               CAST(sum(CASE WHEN is_valid THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_failures
+             FROM read_parquet('${lineageDumpPath(dir)}/*.parquet')
+             GROUP BY 1),
+           lin AS (SELECT partition_id AS bucket_group, doc_count,
+               span_count, failures
+             FROM read_parquet('${lineageRunPath(dir)}/lineage/*.parquet'))
+           SELECT bucket_group, n_docs, sum_spans, n_failures,
+             CAST(CASE WHEN n_docs = doc_count AND sum_spans = span_count
+                  AND n_failures = failures THEN 1 ELSE 0 END AS BIGINT)
+               AS lineage_ok
+           FROM actual JOIN lin USING (bucket_group)
+           ORDER BY bucket_group""",
       // caption pairing re-derived with lead() in render order over the
       // full span dump — media span followed by a text span forms a pair
       "x17_caption_pairs" ->

@@ -148,6 +148,30 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Contrastive hard-negative mining (the DPR/SimCSE data recipe): for
+    * each anchor vector, the top-k most cosine-similar vectors whose
+    * `label` DIFFERS — near-misses a contrastive trainer pairs with the
+    * anchor, where same-label rows are (would-be) positives and must be
+    * excluded rather than mined. Same broadcast-anchor + bounded-heap
+    * shape as [[bruteTopK]] (exactness contract); the 10^12-row path swaps
+    * the candidate generator for the LSH/IVF bucket families and keeps
+    * the label exclusion as a post-candidate filter. Integer-only output
+    * (query_id, rank, neighbor_id); ties break by neighbor_id. */
+  def hardNegatives(emb: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val queries = emb.orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("n_emb"), col("label"))
+      .crossJoin(broadcast(queries))
+      .where(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Symmetric per-dimension int8 scalar quantization of the embedding
     * column — the 4× compression (float32 → int8) serving stacks apply
     * before ANN search. Fully integer contract so both engines quantize

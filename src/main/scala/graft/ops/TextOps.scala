@@ -29,6 +29,28 @@ object TextOps {
   // driver compare is sort-insensitive and a full-table sort is a gratuitous
   // extra shuffle at 10^12 rows.
 
+  /** Tokenizer fertility by language — subword-per-word and subword-per-
+    * char expansion per lang class, the table a pipeline consults when
+    * budgeting a multilingual mixture (a language whose BPE-ish fertility
+    * is 2× pays 2× the context window per word; per-language token budgets
+    * must be set off THIS, not raw document counts). Ratios are integer
+    * floor-division over corpus-level sums (both operands non-negative, so
+    * Spark `div` ≡ DuckDB `//`); the tokenizations are the same codegen'd
+    * expressions as [[tokenCounts]], one partial+final hash agg keyed by
+    * the handful of lang values — per-doc token streams never shuffle. */
+  def fertilityByLang(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(wsTokens(col("text"))).cast("long")).as("sum_ws_tokens"),
+        sum(bpeishCount(col("text")).cast("long")).as("sum_bpeish_tokens"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .withColumn("fert_per_100_words",
+        expr("(sum_bpeish_tokens * 100) div sum_ws_tokens"))
+      .withColumn("toks_per_1000_chars",
+        expr("(sum_bpeish_tokens * 1000) div sum_chars"))
+      .orderBy(col("lang"))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality signals as exact integer counts (ratios derive downstream —

@@ -28,7 +28,10 @@ object PlanSweep {
       // documented broadcast-query-set plan; q57's rows_before ×
       // rows_deleted is a 1-row-aggregate cross per table
       "p64_quant_recall" -> Set("BroadcastNestedLoop"),
-      "q57_cascade_delete" -> Set("BroadcastNestedLoop"))
+      "q57_cascade_delete" -> Set("BroadcastNestedLoop"),
+      // p68 is bruteTopK's documented broadcast-anchor plan with a label
+      // exclusion — same keyless small-build-side class as p07
+      "p68_hard_negatives" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

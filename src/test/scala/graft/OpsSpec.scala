@@ -470,6 +470,64 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum > 0, "ring structure must yield triangles")
   }
 
+  test("bfsHops: distributed frontier rounds equal a driver-side BFS replay; " +
+    "seeds sit at hop 0 and every reported hop is the minimum") {
+    val df = docsDf((0L until 12L).map(i => i -> s"doc $i text"): _*)
+    val edges = graft.ops.GraphOps.linkEdges(df, 12L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    // brute BFS from seeds {0, 5, 10} (seedMod = 5 over 12 nodes)
+    var dist = Map(0L -> 0L, 5L -> 0L, 10L -> 0L)
+    var frontier = Set(0L, 5L, 10L)
+    (1 to 3).foreach { h =>
+      val next = frontier.flatMap(n => edges.get(n).toSeq.flatten)
+        .filterNot(n => dist.contains(n))
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = graft.ops.GraphOps.bfsHops(df, maxHops = 3, seedMod = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    assert(got(0L) === 0L && got(5L) === 0L)
+  }
+
+  test("hardNegatives: every mined neighbor has a different label and the " +
+    "ranking is the cosine order over the other-label candidate set") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), // anchor, label 0
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0), // same label — must be excluded
+      (2L, Array(0.8f, 0.2f, 0f, 0f), 1), // closest other-label
+      (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(vecs, numQueries = 1, k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq === Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("fertilityByLang: per-lang sums equal the tokenCounts aggregation " +
+    "and the ratios are the integer floor divisions") {
+    val df = Seq(
+      (1L, "hello world!", "en"),
+      (2L, "a b c d", "en"),
+      (3L, "bonjour le monde", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val perDoc = TextOps.tokenCounts(df.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int](1).toLong, r.getAs[Int](2).toLong, r.getAs[Int](3).toLong)).toMap
+    val en = Seq(perDoc(1L), perDoc(2L))
+    val got = TextOps.fertilityByLang(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("en").getAs[Long]("sum_ws_tokens") === en.map(_._1).sum)
+    assert(got("en").getAs[Long]("sum_bpeish_tokens") === en.map(_._2).sum)
+    assert(got("en").getAs[Long]("sum_chars") === en.map(_._3).sum)
+    assert(got("en").getAs[Long]("fert_per_100_words") ===
+      en.map(_._2).sum * 100 / en.map(_._1).sum)
+    assert(got("fr").getAs[Long]("n_docs") === 1L)
+    assert(got("fr").getAs[Long]("toks_per_1000_chars") ===
+      perDoc(3L)._2 * 1000 / perDoc(3L)._3)
+  }
+
   test("simhash pairs: identical docs at hamming 0, unrelated docs unpaired") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val other = (200 to 260).map(i => s"zzz$i").mkString(" ")
