@@ -447,6 +447,49 @@ object PipelineOpsQueries {
     "p69_fertility" -> ((s, dir) =>
       TextOps.fertilityByLang(docs(s, dir))),
 
+    // truncation-duplicate detection: crawl re-fetches cut off mid-page are
+    // planted (doc_id % 9 == 4 → a 120-char truncated copy under a new id)
+    // and recovered as (prefix_id, full_id) pairs — short side broadcast,
+    // blocked on the first-64-char key, exact startsWith verify
+    "p70_prefix_dups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = d
+        .where(col("doc_id") % 9 === 4 && length(col("text")) >= 200)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          col("text").substr(1, 120).as("text"))
+      DedupOps.prefixDups(d.unionByName(variants))
+        .orderBy("prefix_id", "full_id")
+    }),
+
+    // tokenizer-vocab coverage curve: corpus coverage ppm at vocab ranks
+    // 10/100/1000/10000 — bounded TakeOrdered feeds a constant-size window
+    "p71_vocab_coverage" -> ((s, dir) =>
+      graft.ops.CorpusOps.vocabCoverage(docs(s, dir))),
+
+    // integer-exact two-sample KS statistic between the even/odd doc_id
+    // slices' length distributions (p67's two-snapshot convention) —
+    // sup scaled by n_a*n_b so no division ever happens
+    "p72_ks_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      graft.ops.CorpusOps.ksDrift(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1))
+    }),
+
+    // leakage-safe splits: trivial variants (doc_id % 11 == 5 → upper-cased
+    // double-spaced copy) must land in the SAME split as their original;
+    // census counts the clusters a naive per-doc split would tear apart
+    "p73_split_leakage" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = d.where(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          upper(expr("replace(text, ' ', '  ')")).as("text"))
+      graft.ops.CorpusOps.splitLeakage(d.unionByName(variants))
+    }),
+
     // SemDeDup: k-means-cell-bounded semantic dedup. The quantizer is
     // engine code, so the cell assignment is dumped and the oracle
     // recomputes the within-cell pairwise-cosine prune from it.
@@ -606,6 +649,86 @@ object PipelineOpsQueries {
            CAST((sum(bp) * 100) // sum(ws) AS BIGINT) AS fert_per_100_words,
            CAST((sum(bp) * 1000) // sum(ch) AS BIGINT) AS toks_per_1000_chars
          FROM t GROUP BY lang ORDER BY lang""",
+    // truncation dups: identical plant (120-char copies of doc_id%9==4),
+    // identical blocking key + strict-prefix predicate
+    "p70_prefix_dups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000000, substr(text, 1, 120) FROM documents
+           WHERE doc_id % 9 = 4 AND length(text) >= 200),
+         shorts AS (SELECT doc_id AS prefix_id, text AS p_text,
+                    length(text) AS prefix_len, substr(text, 1, 64) AS k
+                    FROM corpus WHERE length(text) BETWEEN 64 AND 150),
+         fulls AS (SELECT doc_id AS full_id, text, length(text) AS len,
+                   substr(text, 1, 64) AS k FROM corpus)
+         SELECT prefix_id, full_id, CAST(prefix_len AS BIGINT) AS prefix_len
+         FROM fulls JOIN shorts USING (k)
+         WHERE len > prefix_len AND substr(text, 1, prefix_len) = p_text
+         ORDER BY prefix_id, full_id""",
+    // vocab coverage: p14's whitespace tokenization with multiplicity,
+    // rank ties broken by token string, integer ppm (// ≡ div, operands
+    // non-negative)
+    "p71_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                       FROM documents),
+         tf AS (SELECT token, count(*) AS term_freq FROM toks GROUP BY token),
+         tot AS (SELECT CAST(sum(term_freq) AS BIGINT) AS total_tokens FROM tf),
+         ranked AS (SELECT token, CAST(term_freq AS BIGINT) AS term_freq,
+           row_number() OVER (ORDER BY term_freq DESC, token ASC) AS rank,
+           CAST(sum(term_freq) OVER (ORDER BY term_freq DESC, token ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM tf)
+         SELECT CAST(rank AS BIGINT) AS rank, token, term_freq, cum_tokens,
+           CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
+         FROM ranked, tot WHERE rank IN (3, 10, 30, 100, 1000, 10000)
+         ORDER BY rank""",
+    // KS drift: identical even/odd slices, cumulative conditional counts
+    // over distinct lengths, sup of |F_a - F_b| scaled by n_a*n_b
+    "p72_ks_drift" ->
+      """WITH b AS (SELECT n_chars AS v,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+           CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib FROM documents),
+         byval AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM b GROUP BY v),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                        CAST(sum(cb) AS BIGINT) AS n_b FROM byval),
+         cum AS (SELECT v,
+           sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+           sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+           FROM byval)
+         SELECT CAST(v AS BIGINT) AS at_value, n_a, n_b,
+           CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_scaled
+         FROM cum, tot ORDER BY ks_scaled DESC, at_value ASC LIMIT 1""",
+    // split leakage: identical variant plant + normalization, cluster split
+    // by md5-low63 of the representative (md5_number_lower & mask ≡ engine
+    // md5Low63 — established), naive per-doc split recomputed per member
+    "p73_split_leakage" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 30000000, upper(replace(text, ' ', '  '))
+           FROM documents WHERE doc_id % 11 = 5),
+         keyed AS (SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nkey
+           FROM corpus),
+         docb AS (SELECT doc_id, nkey,
+           (md5_number_lower(CAST(doc_id AS VARCHAR) || '|spl')
+            & 9223372036854775807) % 100 AS b FROM keyed),
+         clus AS (SELECT nkey, min(doc_id) AS rep, count(*) AS n,
+           count(DISTINCT CASE WHEN b < 90 THEN 'train'
+                 WHEN b < 95 THEN 'val' ELSE 'test' END) AS nsplits
+           FROM docb GROUP BY nkey),
+         asg AS (SELECT
+           CASE WHEN rb < 90 THEN 'train' WHEN rb < 95 THEN 'val'
+                ELSE 'test' END AS split, n,
+           CASE WHEN n > 1 AND nsplits > 1 THEN 1 ELSE 0 END AS leaky
+           FROM (SELECT clus.*,
+             (md5_number_lower(CAST(rep AS VARCHAR) || '|spl')
+              & 9223372036854775807) % 100 AS rb FROM clus))
+         SELECT split, count(*) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(leaky) AS BIGINT) AS n_leaky_naive
+         FROM asg GROUP BY split ORDER BY split""",
     "p11_shingle_counts" ->
       """SELECT doc_id,
          len(list_distinct(list_transform(

@@ -1114,4 +1114,100 @@ object CorpusOps {
           .cast("int").as("ok"))
       .orderBy(col("token"))
   }
+
+  /** Tokenizer-vocabulary coverage curve: what fraction of all corpus token
+    * occurrences the top-`rank` vocabulary entries cover, reported at each
+    * rank in `grid` (the vocab-size-vs-OOV trade-off table tokenizer
+    * training reads). Term frequencies come from the explode-free typed
+    * pass (tokenTf) + one keyed aggregation; the ranking never sorts the
+    * full vocabulary globally — a bounded top-max(grid) TakeOrdered feeds
+    * a single-partition window over at most max(grid) rows, which is
+    * constant-size regardless of corpus size. Ties rank by token string.
+    * Integer ppm (non-negative operands, so Spark div ≡ DuckDB //). */
+  def vocabCoverage(df: DataFrame,
+                    grid: Seq[Int] = Seq(3, 10, 30, 100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topN = grid.max
+    val tf = tokenTf(df).groupBy(col("token"))
+      .agg(sum(col("tf")).as("term_freq"))
+    val total = tf.agg(sum(col("term_freq")).as("total_tokens"))
+    val top = tf.orderBy(col("term_freq").desc, col("token").asc).limit(topN)
+    val w = Window.orderBy(col("term_freq").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.select(col("token"), col("term_freq"),
+        row_number().over(
+          Window.orderBy(col("term_freq").desc, col("token").asc)).as("rank"),
+        sum(col("term_freq")).over(w).as("cum_tokens"))
+      .where(col("rank").isin(grid.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("term_freq"), col("cum_tokens"),
+        expr("cum_tokens * 1000000L div total_tokens").as("coverage_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the doc-length
+    * distributions of two corpus slices, kept exactly integer: the sup of
+    * |F_a(v) − F_b(v)| is reported scaled by n_a·n_b, i.e.
+    * max over v of |cnt_a(≤v)·n_b − cnt_b(≤v)·n_a| — no floating-point
+    * division anywhere, so the oracle hash is exact. One conditional
+    * aggregation keyed by the value, then a window over the DISTINCT
+    * values (bounded by the value domain — doc lengths — not corpus size).
+    * The drift monitor a crawl pipeline runs between snapshots. (The
+    * scaled sup needs n_a·n_b < 2^63: exact below ~3e9 rows per slice;
+    * beyond that pre-aggregate counts to ppm before the sweep.) */
+  def ksDrift(a: DataFrame, b: DataFrame,
+              valueCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long").as("v")
+    val both = a.select(v, lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(b.select(v, lit(0L).as("ia"), lit(1L).as("ib")))
+    val byVal = both.groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byVal.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    byVal.select(col("v"),
+        sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("v").as("at_value"), col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          .as("ks_scaled"))
+      .orderBy(col("ks_scaled").desc, col("at_value").asc)
+      .limit(1)
+  }
+
+  /** Leakage-safe train/val/test split: documents are clustered by
+    * normalized-text identity (lowercase + whitespace-collapse — the
+    * trivial-variant net), every cluster is assigned WHOLE to one split by
+    * hashing its representative (min doc_id), and the output census
+    * counts, per split, how many of its multi-doc clusters a NAIVE per-doc
+    * hash split would have torn across splits (train/test leakage). Text
+    * leaves the scan only as a 16-byte hash; one shuffle keyed by the
+    * cluster hash, one by (split). 90/5/5 via hash % 100. */
+  def splitLeakage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col("doc_id").cast("long").as("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+        .as("nkey"))
+    val clusters = keyed.groupBy(col("nkey"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"),
+        collect_set(col("doc_id")).as("members"))
+    val assigned = clusters.as[(String, Long, Long, Seq[Long])]
+      .map { case (_, rep, n, members) =>
+        def bucket(s: String) = (TextOps.md5Low63(s) % 100).toInt
+        def splitOf(b: Int) = if (b < 90) "train" else if (b < 95) "val" else "test"
+        val split = splitOf(bucket(rep.toString + "|spl"))
+        val naive = members.map(m => splitOf(bucket(m.toString + "|spl")))
+        val leaky = if (n > 1 && naive.distinct.size > 1) 1L else 0L
+        (split, n, leaky)
+      }
+      .toDF("split", "n_docs", "leaky")
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs"),
+        sum(col("leaky")).as("n_leaky_naive"))
+      .orderBy(col("split"))
+  }
 }

@@ -574,6 +574,33 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
               levenshtein(col("t_a"), col("t_b")).as("edit_dist"))
   }
+
+  /** Truncation-duplicate detection (crawl re-fetches cut off mid-page):
+    * pairs (prefix_id, full_id) where the prefix doc's text is a strict
+    * prefix of the full doc's text. Candidate "prefix" docs are the short
+    * side — length in [keyLen, maxPrefixLen] — which at web scale is a
+    * tiny, broadcastable slice of the corpus (truncations cluster at the
+    * fetcher's cutoff), so the full corpus never shuffles: one broadcast
+    * hash join on the first-`keyLen`-chars blocking key, then an exact
+    * startsWith verify inside codegen. Docs shorter than `keyLen` cannot
+    * form a blocking key and are out of contract (documented, not silent:
+    * the caller picks keyLen below the truncation threshold). */
+  def prefixDups(df: DataFrame, keyLen: Int = 64,
+                 maxPrefixLen: Int = 150): DataFrame = {
+    val t = df.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+      length(col("text")).as("len"),
+      col("text").substr(1, keyLen).as("k"))
+    val shorts = t.where(col("len") >= keyLen && col("len") <= maxPrefixLen)
+      .select(col("doc_id").as("prefix_id"), col("text").as("p_text"),
+        col("len").as("prefix_len"), col("k"))
+    val fulls = t.select(col("doc_id").as("full_id"), col("text"),
+      col("len"), col("k"))
+    fulls.join(broadcast(shorts), Seq("k"))
+      .where(col("len") > col("prefix_len") &&
+        col("text").substr(lit(1), col("prefix_len")) === col("p_text"))
+      .select(col("prefix_id"), col("full_id"),
+        col("prefix_len").cast("long").as("prefix_len"))
+  }
 }
 
 /** Stable 64-bit string hashes (String.hashCode is 32-bit and JVM-pinned).

@@ -451,4 +451,96 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2) === ((2L, md5hex("middle join ok"), 14L,
       "mid\u0007dle\u000b  join\u007f ok".length - 14L)))
   }
+
+  test("prefixDups finds exactly the strict-prefix pairs and broadcasts " +
+    "the short side (no sort-merge join)") {
+    import spark.implicits._
+    val base = "x" * 64 // shared 64-char blocking key
+    val docs = Seq(
+      (0L, base + " tail tail tail " + ("y" * 120)),  // full doc, len 200
+      (1L, (base + " tail tail tail " + ("y" * 120)).substring(0, 100)), // strict prefix of 0
+      (2L, base + " other continuation " + ("z" * 80)), // same key, NOT a prefix
+      (3L, base + " tail"),                            // len 69, prefix of 0 and 1
+      (4L, "short doc under key length")               // len < 64: out of contract
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.prefixDups(docs)
+      .orderBy("prefix_id", "full_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1 (len 100) is a strict prefix of doc0 only; doc3 (len 69)
+    // prefixes doc0 and doc1 (both continue " tail..."); doc2 diverges
+    // after the key for all of them
+    assert(got === Seq((1L, 0L, 100L), (3L, 0L, 69L), (3L, 1L, 69L)))
+    val plan = graft.ops.DedupOps.prefixDups(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("vocabCoverage: exact ranks, string tie-break, integer ppm over a " +
+    "hand-computed corpus") {
+    import spark.implicits._
+    // freqs: a x6, b x3, c x3, d x2 -> total 14; ties b/c rank by token
+    val docs = Seq((0L, "a a a b c d"), (1L, "a a a b b c c d"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.vocabCoverage(docs, grid = Seq(1, 2, 3, 4))
+      .select("rank", "token", "term_freq", "cum_tokens", "coverage_ppm")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 6L, 6L, 6L * 1000000 / 14),
+      (2L, "b", 3L, 9L, 9L * 1000000 / 14),
+      (3L, "c", 3L, 12L, 12L * 1000000 / 14),
+      (4L, "d", 2L, 14L, 1000000L)))
+  }
+
+  test("ksDrift computes the exact scaled KS sup (hand-checked CDFs)") {
+    import spark.implicits._
+    // A lengths {1,2,3}, B lengths {3,4,5,6}: n_a=3, n_b=4
+    // v=1: |1*4-0*3|=4; v=2: 8; v=3: |3*4-1*3|=9 (sup); v=4: 6; v=5: 3; v=6: 0
+    val a = Seq(1L, 2L, 3L).toDF("n_chars")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("n_chars")
+    val got = CorpusOps.ksDrift(a, b)
+      .select("at_value", "n_a", "n_b", "ks_scaled")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 3L, 4L, 9L)))
+  }
+
+  test("ksDrift of a distribution against itself is zero, reported at the " +
+    "smallest value (deterministic tie-break)") {
+    import spark.implicits._
+    val a = Seq(5L, 7L, 9L).toDF("n_chars")
+    val got = CorpusOps.ksDrift(a, a)
+      .select("at_value", "ks_scaled").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((5L, 0L)))
+  }
+
+  test("splitLeakage keeps whole clusters in one split and counts naive " +
+    "leaks exactly") {
+    import spark.implicits._
+    // two clusters: docs {0, 1} identical after normalization (case +
+    // whitespace variants), doc 2 alone
+    val docs = Seq(
+      (0L, "Hello   World"),
+      (1L, "hello world"),
+      (2L, "something else")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.splitLeakage(docs)
+      .select("split", "n_clusters", "n_docs", "n_leaky_naive")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // totals must cover all docs and both clusters
+    assert(got.map(_._3).sum === 3L)
+    assert(got.map(_._2).sum === 2L)
+    // recompute the expected census from the same hash rule
+    def bucket(s: String) = (graft.ops.TextOps.md5Low63(s + "|spl") % 100).toInt
+    def splitOf(b: Int) = if (b < 90) "train" else if (b < 95) "val" else "test"
+    val clusterSplit = splitOf(bucket("0"))   // rep of {0,1} is doc 0
+    val soloSplit = splitOf(bucket("2"))
+    val naiveLeak = if (splitOf(bucket("0")) != splitOf(bucket("1"))) 1L else 0L
+    val expected = Seq(
+      (clusterSplit, 1L, 2L, naiveLeak),
+      (soloSplit, 1L, 1L, 0L))
+      .groupBy(_._1).map { case (s, rows) =>
+        (s, rows.size.toLong, rows.map(_._3).sum, rows.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
 }
