@@ -590,6 +590,33 @@ object RelationalQueries {
     "q59_reachability" -> ((s, dir) =>
       graft.ops.GraphOps.bfsHops(t(s, dir, "documents"))),
 
+    // interval sweep-line: max concurrent sessions per user (+1/−1 deltas,
+    // per-user running sum), reported as a population histogram
+    "q60_max_concurrency" -> ((s, dir) =>
+      graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
+
+    // ratio-to-report: each nation's share of its region's order revenue
+    // (integer ppm) — broadcast dims, one keyed agg, one region window
+    "q61_ratio_to_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders").as("o")
+        .join(t(s, dir, "customer").as("c"),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(t(s, dir, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("rev_c"))
+      val w = Window.partitionBy(col("r_name"))
+      rev.select(col("r_name"), col("n_name"), col("rev_c"),
+          sum(col("rev_c")).over(w).as("region_rev_c"))
+        .withColumn("share_ppm",
+          expr("rev_c * 1000000L div region_rev_c"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // SCD Type-2 dimension build: signup events become half-open version
     // intervals via one lead() window — single shuffle, no self-join
     "q49_scd2_versions" -> ((s, dir) =>
@@ -1040,6 +1067,32 @@ object RelationalQueries {
            WHERE r.hops < 3)
          SELECT node, CAST(min(hops) AS BIGINT) AS hops
          FROM reach GROUP BY node ORDER BY node"""),
+    // +1/−1 sweep with the same (t, delta DESC) peer ordering; default
+    // RANGE frame sums ties identically in both engines
+    "q60_max_concurrency" ->
+      """WITH base AS (SELECT user_id, epoch_us(ts) AS t0,
+           (event_id % 50 + 1) AS dur_min FROM events),
+         pts AS (SELECT user_id, t0 AS t, 1 AS delta FROM base
+                 UNION ALL
+                 SELECT user_id, t0 + dur_min * 60000000, -1 FROM base),
+         run AS (SELECT user_id,
+           sum(delta) OVER (PARTITION BY user_id
+                            ORDER BY t ASC, delta DESC) AS running FROM pts),
+         per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
+         SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
+         FROM per GROUP BY mc ORDER BY max_conc""",
+    "q61_ratio_to_report" ->
+      """WITH rev AS (SELECT r_name, n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT r_name, n_name, rev_c,
+           CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_c,
+           CAST(rev_c * 1000000 // sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+         FROM rev ORDER BY r_name, n_name""",
     // triangle replica: same canonical (a < b) distinct edges, same
     // oriented 2-path + closing-edge enumeration
     "q48_triangles" ->

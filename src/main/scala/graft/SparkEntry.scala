@@ -106,6 +106,8 @@ object SparkEntry {
     s"/tmp/graft_lineage_run_${docCountFor(dir)}"
   def lineageDumpPath(dir: String): String =
     s"/tmp/graft_lineage_dump_${docCountFor(dir)}"
+  def abDumpPath(dir: String): String =
+    s"/tmp/graft_ab_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -431,6 +433,41 @@ object SparkEntry {
         .write.mode("overwrite").parquet(captionDumpPath(dir))
       graft.ops.InterleaveOps.captionPairs(docs)
         .orderBy(col("doc_id"), col("ord"))
+    }),
+
+    // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
+    // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
+    // per plain-mode type: docs whose type changed, validity flips, and the
+    // net span-count delta. The rollout-gate table you read before flipping
+    // a pipeline flag fleet-wide. Both runs' per-doc scalars dump to one
+    // mode-tagged table; the oracle recomputes the pivot + diff from
+    // identical bytes. One shuffle on doc_id, one on the type.
+    "x21_mode_ab_diff" -> ((s, dir) => {
+      def proj(m: String, df: DataFrame): DataFrame = df.select(col("doc_id"),
+        col("document_type"),
+        when(col("is_valid"), 1L).otherwise(0L).as("valid"),
+        size(col("spans")).cast("long").as("n_spans"), lit(m).as("mode"))
+      val plain = proj("plain", ExtractionPipeline.run(docTable(s, dir)).toDF())
+      val donut = proj("donut",
+        ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())
+      plain.unionByName(donut)
+        .write.mode("overwrite").parquet(abDumpPath(dir))
+      val per = s.read.parquet(abDumpPath(dir))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("mode") === "plain", col("document_type"))).as("t_plain"),
+          max(when(col("mode") === "donut", col("document_type"))).as("t_donut"),
+          max(when(col("mode") === "plain", col("valid"))).as("v_plain"),
+          max(when(col("mode") === "donut", col("valid"))).as("v_donut"),
+          max(when(col("mode") === "plain", col("n_spans"))).as("s_plain"),
+          max(when(col("mode") === "donut", col("n_spans"))).as("s_donut"))
+      per.groupBy(col("t_plain").as("document_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t_donut") =!= col("t_plain"), 1L).otherwise(0L))
+            .as("n_type_changed"),
+          sum(when(col("v_donut") =!= col("v_plain"), 1L).otherwise(0L))
+            .as("n_valid_flips"),
+          sum(col("s_donut") - col("s_plain")).as("span_delta"))
+        .orderBy(col("document_type"))
     })
   )
 
@@ -477,6 +514,25 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // A/B diff recomputed from the mode-tagged dump: pivot per doc, then
+      // the same per-type census
+      "x21_mode_ab_diff" ->
+        s"""WITH per AS (SELECT doc_id,
+             max(CASE WHEN mode = 'plain' THEN document_type END) AS t_plain,
+             max(CASE WHEN mode = 'donut' THEN document_type END) AS t_donut,
+             max(CASE WHEN mode = 'plain' THEN valid END) AS v_plain,
+             max(CASE WHEN mode = 'donut' THEN valid END) AS v_donut,
+             max(CASE WHEN mode = 'plain' THEN n_spans END) AS s_plain,
+             max(CASE WHEN mode = 'donut' THEN n_spans END) AS s_donut
+             FROM read_parquet('${abDumpPath(dir)}/*.parquet')
+             GROUP BY doc_id)
+           SELECT t_plain AS document_type, count(*) AS n_docs,
+             CAST(sum(CASE WHEN t_donut <> t_plain THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_type_changed,
+             CAST(sum(CASE WHEN v_donut <> v_plain THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid_flips,
+             CAST(sum(s_donut - s_plain) AS BIGINT) AS span_delta
+           FROM per GROUP BY t_plain ORDER BY t_plain""",
       // observe() held to the hash gate: re-aggregate the observed sink's
       // actual bytes — the task-side accumulators must match exactly
       "x16_observed_metrics" ->

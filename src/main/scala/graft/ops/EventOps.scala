@@ -138,4 +138,29 @@ object EventOps {
         (col("week") - col("cohort_week")).as("offset_weeks"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Max concurrent open intervals per user (the classic +1/−1 sweep), then
+    * a population histogram (max_concurrency → n_users). Each event opens
+    * an interval of (1 + event_id % 50) minutes. Two rows per event (the
+    * boundary deltas) shuffle once on user_id; the running sum is a
+    * per-user window with the default RANGE frame, which sums all peers of
+    * a (t, delta) tie at once — ordering +1 before −1 gives closed-interval
+    * semantics (touching intervals overlap) deterministically in both
+    * engines. Pure integer microsecond arithmetic end to end. */
+  def maxConcurrency(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("t0"),
+      (pmod(col("event_id"), lit(50)) + 1).cast("long").as("dur_min"))
+    val pts = base.select(col("user_id"), col("t0").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(base.select(col("user_id"),
+        (col("t0") + col("dur_min") * 60000000L).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("delta").desc)
+    pts.select(col("user_id"), sum(col("delta")).over(w).as("running"))
+      .groupBy(col("user_id")).agg(max(col("running")).as("max_conc"))
+      .groupBy(col("max_conc")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("max_conc"))
+  }
 }

@@ -98,4 +98,24 @@ class EventOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out === Set((w0, 0L, 1L), (w0, 1L, 1L), (w0 + 1, 0L, 1L)))
   }
+
+  test("maxConcurrency: sweep-line counts overlapping intervals, touching " +
+    "intervals overlap (closed semantics), histogram is exact") {
+    // duration = 1 + event_id % 50 minutes
+    def tsMin(m: Long): Timestamp = Timestamp.from(T0.plusSeconds(m * 60))
+    val rows = Seq(
+      // user 1: [0,10], [2,7], [20,21] minutes → max 2 concurrent
+      (9L, tsMin(0), 1L, "click", 0.0),
+      (4L, tsMin(2), 1L, "click", 0.0),
+      (0L, tsMin(20), 1L, "click", 0.0),
+      // user 2: [0,10] and [10,20] — touch at t=10 counts as overlap → 2
+      (9L, tsMin(0), 2L, "click", 0.0),
+      (59L, tsMin(10), 2L, "click", 0.0), // 59 % 50 + 1 = 10 min
+      // user 3: a single interval → 1
+      (7L, tsMin(0), 3L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.maxConcurrency(rows)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L)))
+  }
 }
