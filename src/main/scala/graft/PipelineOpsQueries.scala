@@ -478,6 +478,17 @@ object PipelineOpsQueries {
         d.where(col("doc_id") % 2 === 1))
     }),
 
+    // feature-hashing doc vectors (signed hashing trick): integer L1/L2²/
+    // nnz summary of the 64-bucket vector, md5-low63 bucket + sign hashes
+    // shared with the oracle
+    "p74_hash_vectors" -> ((s, dir) =>
+      graft.ops.CorpusOps.hashVectorStats(docs(s, dir))),
+
+    // integer Flesch-style readability: words/sentences/vowel-groups and
+    // the milli-scaled reading-ease score, all codegen'd regexp counts
+    "p75_readability" -> ((s, dir) =>
+      TextOps.readability(docs(s, dir))),
+
     // leakage-safe splits: trivial variants (doc_id % 11 == 5 → upper-cased
     // double-spaced copy) must land in the SAME split as their original;
     // census counts the clusters a naive per-doc split would tear apart
@@ -683,6 +694,39 @@ object PipelineOpsQueries {
            CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
          FROM ranked, tot WHERE rank IN (3, 10, 30, 100, 1000, 10000)
          ORDER BY rank""",
+    // feature-hashing vectors rebuilt in SQL from the raw corpus: same
+    // salted md5-low63 bucket/sign hashes, same integer summaries
+    "p74_hash_vectors" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         b AS (SELECT doc_id,
+           (md5_number_lower(t || '|fh') & 9223372036854775807) % 64 AS bucket,
+           CASE WHEN (md5_number_lower(t || '|fhs') & 9223372036854775807) % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+           FROM toks),
+         vec AS (SELECT doc_id, bucket, sum(sgn) AS v
+                 FROM b GROUP BY doc_id, bucket)
+         SELECT doc_id, CAST(sum(abs(v)) AS BIGINT) AS l1_norm,
+           CAST(sum(v * v) AS BIGINT) AS l2sq_norm,
+           CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+         FROM vec GROUP BY doc_id ORDER BY doc_id""",
+    // readability replica: same tokenization/sentence/vowel-group counts,
+    // floor divisions on non-negative operands only
+    "p75_readability" ->
+      """WITH c AS (SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+           FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_vowel_groups,
+           CAST(w * 1000 // s AS BIGINT) AS wps_milli,
+           CAST(y * 1000 // w AS BIGINT) AS spw_milli,
+           CAST(206835 - (1015 * w) // s - (84600 * y) // w AS BIGINT)
+             AS flesch_milli
+         FROM c ORDER BY doc_id""",
     // KS drift: identical even/odd slices, cumulative conditional counts
     // over distinct lengths, sup of |F_a - F_b| scaled by n_a*n_b
     "p72_ks_drift" ->

@@ -595,6 +595,12 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // hierarchical subtree rollup (BOM explosion shape): ancestor-chain
+    // explode + one keyed agg — the non-iterative formulation of a
+    // recursive-CTE aggregate
+    "q62_tree_rollup" -> ((s, dir) =>
+      graft.ops.GraphOps.treeRollup(t(s, dir, "documents"))),
+
     // ratio-to-report: each nation's share of its region's order revenue
     // (integer ppm) — broadcast dims, one keyed agg, one region window
     "q61_ratio_to_report" -> ((s, dir) => {
@@ -1081,6 +1087,15 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // independent recursive-CTE formulation of the same subtree rollup
+    "q62_tree_rollup" ->
+      """WITH RECURSIVE anc(node, nc, a) AS (
+           SELECT doc_id, n_chars, doc_id FROM documents
+           UNION ALL
+           SELECT node, nc, a // 10 FROM anc WHERE a >= 10)
+         SELECT a AS node, count(*) AS subtree_docs,
+           CAST(sum(nc) AS BIGINT) AS subtree_chars
+         FROM anc GROUP BY a ORDER BY node""",
     "q61_ratio_to_report" ->
       """WITH rev AS (SELECT r_name, n_name,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c

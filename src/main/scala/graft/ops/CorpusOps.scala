@@ -1178,6 +1178,41 @@ object CorpusOps {
       .limit(1)
   }
 
+  /** Feature-hashing doc vectors (the hashing trick, Weinberger et al.
+    * 2009): each token occurrence lands in one of `d` signed buckets via
+    * two salted md5-low63 hashes (bucket + sign) — the cheap fixed-width
+    * document representation classifiers/cluster-prep consume when
+    * embeddings are too expensive. One explode-free typed pass builds the
+    * d-int vector per doc row-locally and emits integer summary scalars
+    * (L1, squared L2, nnz) so the driver hash is exact; raw text never
+    * shuffles and the op is embarrassingly parallel. The md5-low63 hashes
+    * are shared with DuckDB's `md5_number_lower`, so the oracle rebuilds
+    * the identical vectors from the raw corpus. */
+  def hashVectorStats(df: DataFrame, d: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = d
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val v = new Array[Long](dim)
+        wsPat.split(text.trim).foreach { t =>
+          val b = (TextOps.md5Low63(t + "|fh") % dim).toInt
+          val s = if (TextOps.md5Low63(t + "|fhs") % 2 == 0) 1L else -1L
+          v(b) += s
+        }
+        var l1 = 0L; var l2 = 0L; var nnz = 0L
+        var i = 0
+        while (i < dim) {
+          val x = v(i)
+          l1 += math.abs(x); l2 += x * x; if (x != 0) nnz += 1
+          i += 1
+        }
+        (id, l1, l2, nnz)
+      }
+      .toDF("doc_id", "l1_norm", "l2sq_norm", "nnz")
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe train/val/test split: documents are clustered by
     * normalized-text identity (lowercase + whitespace-collapse — the
     * trivial-variant net), every cluster is assigned WHOLE to one split by

@@ -129,4 +129,23 @@ object GraphOps {
     }
     visited.orderBy(col("node"))
   }
+
+  /** Hierarchical (BOM-style) subtree rollup over the synthetic decimal
+    * forest parent(n) = n div 10 (roots: n < 10): every doc contributes
+    * to each of its ancestors (≤ log10(max id) of them), so the whole
+    * rollup is ONE bounded explode + ONE keyed aggregation — no
+    * iteration, no recursion; the fan-out is bounded by the id domain's
+    * depth, never by corpus size. The recursive-CTE answer (DuckDB
+    * `WITH RECURSIVE` climbing a//10) is the oracle's independent
+    * formulation. */
+  def treeRollup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .select(col("n_chars"), explode(expr(
+        "transform(filter(array(1L,10L,100L,1000L,10000L,100000L,1000000L)," +
+          " d -> d = 1L OR doc_id >= d), d -> doc_id div d)")).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("subtree_docs"),
+        sum(col("n_chars")).as("subtree_chars"))
+      .orderBy(col("node"))
 }

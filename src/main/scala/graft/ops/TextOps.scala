@@ -51,6 +51,30 @@ object TextOps {
         expr("(sum_bpeish_tokens * 1000) div sum_chars"))
       .orderBy(col("lang"))
 
+  /** Integer Flesch-style readability: words (whitespace tokens, the p02
+    * convention), sentences (runs of [.!?], min 1), vowel-group count as
+    * the syllable surrogate. `flesch_milli` is the Flesch reading-ease
+    * formula with both ratios floor-divided on non-negative operands
+    * (Spark `div` ≡ DuckDB `//` there), so the score is an exact integer
+    * in both engines. Pure codegen'd regexp counts inside the scan —
+    * zero shuffles, the cheapest quality gate in the filter chain. */
+  def readability(df: DataFrame): DataFrame = {
+    val w = size(wsTokens(col("text"))).cast("long")
+    val s = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val y = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    df.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_vowel_groups"))
+      .withColumn("wps_milli", expr("n_words * 1000L div n_sentences"))
+      .withColumn("spw_milli", expr("n_vowel_groups * 1000L div n_words"))
+      .withColumn("flesch_milli", expr(
+        "206835L - (1015L * n_words) div n_sentences" +
+        " - (84600L * n_vowel_groups) div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality signals as exact integer counts (ratios derive downstream —

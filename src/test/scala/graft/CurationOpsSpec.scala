@@ -543,4 +543,69 @@ class CurationOpsSpec extends AnyFunSuite {
       }.toSeq.sortBy(_._1)
     assert(got === expected)
   }
+
+  test("readability: hand-computed words/sentences/vowel-groups and exact " +
+    "integer Flesch score") {
+    import spark.implicits._
+    val docs = Seq((0L, "The cat sat. It ran! Done?")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.readability(docs)
+      .select("doc_id", "n_words", "n_sentences", "n_vowel_groups",
+        "wps_milli", "spw_milli", "flesch_milli")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // W=6, S=3, Y=7: wps=2000, spw=7000/6=1166,
+    // flesch = 206835 - 1015*6/3 - 84600*7/6 = 206835 - 2030 - 98700
+    assert(got === Seq((0L, 6L, 3L, 7L, 2000L, 1166L, 106105L)))
+  }
+
+  test("readability floors the sentence count at 1 (no division by zero)") {
+    import spark.implicits._
+    val docs = Seq((0L, "no terminal punctuation here")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.readability(docs)
+      .select("n_sentences").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("hashVectorStats matches a direct per-token replay of the same " +
+    "salted hashes; L1 parity equals token-count parity") {
+    import spark.implicits._
+    val texts = Seq((0L, "alpha beta alpha gamma"), (1L, "delta"), (2L, ""))
+    val docs = texts.toDF("doc_id", "text")
+    val got = CorpusOps.hashVectorStats(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    texts.foreach { case (id, text) =>
+      val v = new Array[Long](64)
+      "\\s+".r.split(text.trim).foreach { t =>
+        val b = (graft.ops.TextOps.md5Low63(t + "|fh") % 64).toInt
+        v(b) += (if (graft.ops.TextOps.md5Low63(t + "|fhs") % 2 == 0) 1L else -1L)
+      }
+      val exp = (v.map(math.abs).sum, v.map(x => x * x).sum,
+        v.count(_ != 0).toLong)
+      assert(got(id) === exp, s"doc $id")
+      // each token contributes +-1 to exactly one bucket
+      val nTok = "\\s+".r.split(text.trim).length
+      assert((got(id)._1 - nTok) % 2 === 0)
+    }
+  }
+
+  test("treeRollup aggregates every doc into each of its decimal ancestors " +
+    "(non-doc interior nodes included)") {
+    import spark.implicits._
+    // n_chars = doc_id + 1 for easy sums
+    val docs = Seq(0L, 5L, 12L, 123L, 1005L)
+      .map(id => (id, id + 1)).toDF("doc_id", "n_chars")
+    val got = graft.ops.GraphOps.treeRollup(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // ancestors: 0->{0}; 5->{5}; 12->{12,1}; 123->{123,12,1};
+    // 1005->{1005,100,10,1}
+    assert(got === Seq(
+      (0L, 1L, 1L),                       // doc 0
+      (1L, 3L, 13L + 124L + 1006L),       // 12, 123, 1005
+      (5L, 1L, 6L),
+      (10L, 1L, 1006L),                   // interior node (not a doc)
+      (12L, 2L, 13L + 124L),
+      (100L, 1L, 1006L),
+      (123L, 1L, 124L),
+      (1005L, 1L, 1006L)))
+  }
 }
