@@ -31,7 +31,12 @@ object PlanSweep {
       "q57_cascade_delete" -> Set("BroadcastNestedLoop"),
       // p68 is bruteTopK's documented broadcast-anchor plan with a label
       // exclusion — same keyless small-build-side class as p07
-      "p68_hard_negatives" -> Set("BroadcastNestedLoop"))
+      "p68_hard_negatives" -> Set("BroadcastNestedLoop"),
+      // p71 crosses the 1-row total-tokens aggregate into the ranked top-N
+      // (coverage ppm); p72 crosses the 1-row (n_a, n_b) totals into the
+      // per-value CDF rows — the p47/p50 1-row-aggregate class again
+      "p71_vocab_coverage" -> Set("BroadcastNestedLoop"),
+      "p72_ks_drift" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
