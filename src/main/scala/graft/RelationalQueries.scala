@@ -595,6 +595,31 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // bidirectional nearest-event join (as-of generalized to both
+    // directions): every click matched to its temporally nearest purchase,
+    // one sorted sweep, no self-join
+    "q63_nearest_event" -> ((s, dir) =>
+      graft.ops.EventOps.nearestEventJoin(t(s, dir, "events"))),
+
+    // ORC interchange: write the documents projection to ORC, read it
+    // back, and prove the round trip content-lossless via a rollup the
+    // oracle computes from the parquet source directly (DuckDB never
+    // reads the ORC bytes — equality IS the losslessness proof)
+    "q64_orc_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_orc_${graft.SparkEntry.docCountFor(dir)}"
+      t(s, dir, "documents").select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").format("orc").save(path)
+      s.read.format("orc").load(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text").cast("binary")))
+            .as("n_distinct_texts"),
+          min(md5(col("text").cast("binary"))).as("min_text_md5"),
+          max(md5(col("text").cast("binary"))).as("max_text_md5"))
+        .orderBy(col("source"))
+    }),
+
     // hierarchical subtree rollup (BOM explosion shape): ancestor-chain
     // explode + one keyed agg — the non-iterative formulation of a
     // recursive-CTE aggregate
@@ -1087,6 +1112,44 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // same sweep in SQL: ignore-nulls window passes over the identical
+    // (us, event_id) ordering; ties prefer the earlier purchase
+    "q63_nearest_event" ->
+      """WITH tagged AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+           event_type = 'purchase' AS is_right
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT user_id, event_id, us, is_right,
+           last_value(CASE WHEN is_right THEN us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+           last_value(CASE WHEN is_right THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+           first_value(CASE WHEN is_right THEN us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us,
+           first_value(CASE WHEN is_right THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id
+           FROM tagged)
+         SELECT user_id, event_id AS click_id,
+           CASE WHEN prev_us IS NULL THEN next_id
+                WHEN next_us IS NULL THEN prev_id
+                WHEN us - prev_us <= next_us - us THEN prev_id
+                ELSE next_id END AS matched_id,
+           CASE WHEN prev_us IS NULL THEN next_us - us
+                WHEN next_us IS NULL THEN us - prev_us
+                ELSE least(us - prev_us, next_us - us) END AS abs_delta_us
+         FROM w WHERE NOT is_right ORDER BY click_id""",
+    // rollup recomputed straight from the parquet source — ORC bytes only
+    // exist engine-side; hash equality proves the round trip lossless
+    "q64_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+         FROM documents GROUP BY source ORDER BY source""",
     // independent recursive-CTE formulation of the same subtree rollup
     "q62_tree_rollup" ->
       """WITH RECURSIVE anc(node, nc, a) AS (

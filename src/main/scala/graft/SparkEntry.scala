@@ -108,6 +108,8 @@ object SparkEntry {
     s"/tmp/graft_lineage_dump_${docCountFor(dir)}"
   def abDumpPath(dir: String): String =
     s"/tmp/graft_ab_dump_${docCountFor(dir)}"
+  def kindDumpPath(dir: String): String =
+    s"/tmp/graft_kind_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -435,6 +437,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("ord"))
     }),
 
+    // span-kind transition matrix (the Markov structure of the interleaved
+    // payload, corpus-level): row-local consecutive-pair counts + a '^'
+    // start marker per doc; only the few (from, to) rows ever shuffle. The
+    // oracle rebuilds the matrix with lag() windows over the exploded kind
+    // dump — independent formulation over identical bytes.
+    "x22_kind_transitions" -> ((s, dir) => {
+      val docs = docTable(s, dir)
+      graft.ops.InterleaveOps.spanKindDump(docs)
+        .write.mode("overwrite").parquet(kindDumpPath(dir))
+      graft.ops.InterleaveOps.kindTransitions(docs)
+    }),
+
     // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
     // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
     // per plain-mode type: docs whose type changed, validity flips, and the
@@ -514,6 +528,16 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // transition matrix rebuilt with lag() windows over the kind dump
+      "x22_kind_transitions" ->
+        s"""WITH s AS (SELECT doc_id, ord, kind
+               FROM read_parquet('${kindDumpPath(dir)}/*.parquet')),
+           t AS (SELECT COALESCE(lag(kind)
+                 OVER (PARTITION BY doc_id ORDER BY ord), '^') AS from_kind,
+               kind AS to_kind FROM s)
+           SELECT from_kind, to_kind, count(*) AS n_transitions
+           FROM t GROUP BY from_kind, to_kind
+           ORDER BY from_kind, to_kind""",
       // A/B diff recomputed from the mode-tagged dump: pivot per doc, then
       // the same per-type census
       "x21_mode_ab_diff" ->

@@ -147,6 +147,49 @@ object EventOps {
     * a (t, delta) tie at once — ordering +1 before −1 gives closed-interval
     * semantics (touching intervals overlap) deterministically in both
     * engines. Pure integer microsecond arithmetic end to end. */
+  /** Bidirectional nearest-event join (sensor-alignment shape): each
+    * `leftType` event matches the temporally NEAREST `rightType` event of
+    * the same user, in either direction — the generalization of the
+    * backward-only as-of join (q20). Formulated as one sorted sweep over
+    * the union: last-right-before and first-right-after come from two
+    * ignore-nulls window passes over the same (us, event_id) ordering, so
+    * there is exactly one shuffle (user_id) and no self-join. Ties at
+    * equal distance resolve to the earlier right event; same-timestamp
+    * rows order by event_id — fully deterministic. Unmatched left events
+    * (users with no right event) keep null matches. */
+  def nearestEventJoin(events: DataFrame, leftType: String = "click",
+                       rightType: String = "purchase"): DataFrame = {
+    val tagged = events
+      .where(col("event_type").isin(leftType, rightType))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        (col("event_type") === rightType).as("is_right"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightUs = when(col("is_right"), col("us"))
+    val rightId = when(col("is_right"), col("event_id"))
+    tagged.select(col("user_id"), col("event_id"), col("us"), col("is_right"),
+        last(rightUs, ignoreNulls = true).over(before).as("prev_us"),
+        last(rightId, ignoreNulls = true).over(before).as("prev_id"),
+        first(rightUs, ignoreNulls = true).over(after).as("next_us"),
+        first(rightId, ignoreNulls = true).over(after).as("next_id"))
+      .where(!col("is_right"))
+      .select(col("user_id"), col("event_id").as("click_id"),
+        when(col("prev_us").isNull, col("next_id"))
+          .when(col("next_us").isNull, col("prev_id"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            col("prev_id"))
+          .otherwise(col("next_id")).as("matched_id"),
+        when(col("prev_us").isNull, col("next_us") - col("us"))
+          .when(col("next_us").isNull, col("us") - col("prev_us"))
+          .otherwise(least(col("us") - col("prev_us"),
+            col("next_us") - col("us"))).as("abs_delta_us"))
+      .orderBy(col("click_id"))
+  }
+
   def maxConcurrency(events: DataFrame): DataFrame = {
     val base = events.select(col("user_id").cast("long").as("user_id"),
       unix_micros(col("ts").cast("timestamp")).as("t0"),

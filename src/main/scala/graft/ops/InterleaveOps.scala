@@ -192,4 +192,25 @@ object InterleaveOps {
       (d.doc_id.stripPrefix("doc-").toLong, cost)
     }.toDF("doc_id", "cost")
   }
+
+  /** Corpus-level span-kind transition matrix (the Markov structure of the
+    * interleaved payload): counts of each consecutive (from_kind, to_kind)
+    * pair across all docs, plus one '^' start row per doc — what a layout
+    * model or packing policy reads to know how media and text actually
+    * alternate. Transitions are row-local (the span array is in the row),
+    * so the only shuffle is the final few-row (from, to) aggregation;
+    * the oracle recomputes the matrix with lag() windows over the
+    * exploded kind dump. */
+  def kindTransitions(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val kinds = d.spans.iterator.map(_.kind)
+      var prev = "^"
+      kinds.map { k => val p = prev; prev = k; (p, k) }
+    }.toDF("from_kind", "to_kind")
+      .groupBy(col("from_kind"), col("to_kind"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_kind"), col("to_kind"))
+  }
 }

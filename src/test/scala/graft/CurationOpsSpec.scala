@@ -608,4 +608,20 @@ class CurationOpsSpec extends AnyFunSuite {
       (123L, 1L, 124L),
       (1005L, 1L, 1006L)))
   }
+
+  test("kindTransitions equals a brute-force transition count with '^' " +
+    "start markers over the synthesized corpus") {
+    import spark.implicits._
+    val docs = graft.io.Synthesizer.docs(spark, 300, seed = 42L)
+    val got = graft.ops.InterleaveOps.kindTransitions(docs)
+      .as[(String, String, Long)].collect().toSeq
+    val expected = docs.collect().toSeq
+      .flatMap { d =>
+        val kinds = d.spans.map(_.kind)
+        ("^" +: kinds).zip(kinds)
+      }
+      .groupBy(identity).map { case ((f, t), xs) => (f, t, xs.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(got === expected)
+  }
 }

@@ -118,4 +118,30 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L), (2L, 2L)))
   }
+
+  test("nearestEventJoin matches each click to the temporally nearest " +
+    "purchase in either direction; equidistant ties prefer the earlier; " +
+    "users without purchases keep null matches") {
+    val df = eventsDf(
+      // user 1: purchase at h=10 (id 50)
+      (50L, 1L, 10L, "purchase", 0.0),
+      (1L, 1L, 8L, "click", 0.0),    // nearest = 50, delta 2h
+      (2L, 1L, 11L, "click", 0.0),   // nearest = 50, delta 1h
+      // user 2: purchases at h=0 (id 60) and h=4 (id 61); click at h=2 is
+      // equidistant → earlier purchase 60 wins
+      (60L, 2L, 0L, "purchase", 0.0),
+      (61L, 2L, 4L, "purchase", 0.0),
+      (3L, 2L, 2L, "click", 0.0),
+      // user 3: click, no purchase → null match
+      (4L, 3L, 5L, "click", 0.0),
+      // noise the filter must drop
+      (90L, 1L, 9L, "view", 0.0))
+    val got = EventOps.nearestEventJoin(df).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val h = 3600L * 1000000L
+    assert(got === Seq(
+      (1L, 50L, 2 * h), (2L, 50L, 1 * h), (3L, 60L, 2 * h), (4L, -1L, -1L)))
+  }
 }

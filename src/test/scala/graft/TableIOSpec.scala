@@ -233,6 +233,27 @@ class TableIOSpec extends AnyFunSuite {
     assert(latest.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 11L), (3L, 31L)))
   }
+
+  test("ORC interchange: lossless round trip and predicate pushdown into " +
+    "the ORC scan") {
+    import spark.implicits._
+    val base = "/tmp/graft_test_orc_sfNONE_roundtrip"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    val rows = (0L until 500L).map(i => (i, s"text-$i", i % 7))
+    val df = rows.toDF("id", "payload", "bucket")
+    df.write.mode("overwrite").format("orc").save(base)
+    val back = spark.read.format("orc").load(base)
+    assert(back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet === rows.toSet)
+    val filtered = back.where(col("bucket") === 3L)
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec over ORC")
+    assert(scan.head.metadata("PushedFilters").contains("bucket"),
+      s"filter not pushed: ${scan.head.metadata("PushedFilters")}")
+    assert(filtered.count() === rows.count(_._3 == 3))
+  }
 }
 
 /** The driver's smoke check: SparkEntry.entry must return rows. */
