@@ -478,6 +478,19 @@ object PipelineOpsQueries {
         d.where(col("doc_id") % 2 === 1))
     }),
 
+    // lang-ID confusion matrix: the classifier-eval table — p04's
+    // prediction against the stored lang label, (label, pred) census.
+    // Only (doc_id, pred)/(doc_id, lang) pairs cross the join shuffle.
+    "p76_langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      TextOps.langId(d).select(col("doc_id"), col("lang_pred"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // feature-hashing doc vectors (signed hashing trick): integer L1/L2²/
     // nnz summary of the 64-bucket vector, md5-low63 bucket + sign hashes
     // shared with the oracle
@@ -694,6 +707,28 @@ object PipelineOpsQueries {
            CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
          FROM ranked, tot WHERE rank IN (3, 10, 30, 100, 1000, 10000)
          ORDER BY rank""",
+    // p04's prediction chain joined back to the stored label
+    "p76_langid_confusion" ->
+      """WITH hits AS (SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t IN ('the','a','of','and','is'))) AS en_hits,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t IN ('le','la','et','les','des'))) AS fr_hits,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t IN ('el','los','y','las','una'))) AS es_hits,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t IN ('der','die','und','das','ein'))) AS de_hits
+         FROM documents),
+         pred AS (SELECT lang,
+         CASE
+           WHEN en_hits > 0 AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+           WHEN fr_hits > 0 AND fr_hits >= en_hits AND fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+           WHEN es_hits > 0 AND es_hits >= en_hits AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+           WHEN de_hits > 0 AND de_hits >= en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+           ELSE 'und' END AS lang_pred
+         FROM hits)
+         SELECT lang, lang_pred, count(*) AS n_docs
+         FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     // feature-hashing vectors rebuilt in SQL from the raw corpus: same
     // salted md5-low63 bucket/sign hashes, same integer summaries
     "p74_hash_vectors" ->

@@ -595,6 +595,44 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // CDC ops-log apply: orders become a deterministic I/U/D change feed
+    // against the customer balance snapshot — last op per key wins, one
+    // window + one full-outer join
+    "q65_cdc_apply" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        (c.cast("decimal(18,2)") * 100).cast("long")
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("key"),
+          cents(col("c_acctbal")).as("value"))
+      val m = pmod(col("o_orderkey"), lit(10))
+      val ops = t(s, dir, "orders").select(
+        when(m <= 3, col("o_custkey"))
+          .otherwise(col("o_custkey") + 10000000L).cast("long").as("key"),
+        col("o_orderkey").cast("long").as("seq"),
+        when(m === 0, "D").when(m <= 3, "U").otherwise("I").as("op"),
+        cents(col("o_totalprice")).as("value"))
+      graft.ops.MergeOps.cdcApply(snap, ops).orderBy(col("key"))
+    }),
+
+    // NTILE quartiles: equal-height buckets per market segment with a
+    // deterministic (balance, custkey) ordering
+    "q66_ntile_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bal = (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_c").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), bal.as("bal_c"),
+          col("c_custkey").cast("long").as("c_custkey"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("bal_c")).as("min_bal_c"),
+          max(col("bal_c")).as("max_bal_c"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    }),
+
     // bidirectional nearest-event join (as-of generalized to both
     // directions): every click matched to its temporally nearest purchase,
     // one sorted sweep, no self-join
@@ -1112,6 +1150,43 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // same last-wins collapse + full-outer fold in SQL
+    "q65_cdc_apply" ->
+      """WITH snap AS (SELECT c_custkey AS key,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+           FROM customer),
+         ops AS (SELECT
+           CASE WHEN o_orderkey % 10 <= 3 THEN o_custkey
+                ELSE o_custkey + 10000000 END AS key,
+           o_orderkey AS seq,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                WHEN o_orderkey % 10 <= 3 THEN 'U' ELSE 'I' END AS op,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+           FROM orders),
+         last AS (SELECT key, op, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+           FROM ops) WHERE rn = 1),
+         m AS (SELECT COALESCE(s.key, l.key) AS key, s.value AS sval,
+               l.op, l.value AS lval
+               FROM snap s FULL OUTER JOIN last l ON s.key = l.key)
+         SELECT key,
+           CASE WHEN op IS NULL THEN sval ELSE lval END AS value,
+           CASE WHEN op IS NULL THEN 'kept' ELSE 'upserted' END AS origin
+         FROM m WHERE op IS NULL OR op <> 'D' ORDER BY key""",
+    "q66_ntile_quartiles" ->
+      """WITH c AS (SELECT c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+           c_custkey FROM customer),
+         q AS (SELECT c_mktsegment, bal_c,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY bal_c ASC, c_custkey ASC) AS quartile
+           FROM c)
+         SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n_customers,
+           CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+           CAST(max(bal_c) AS BIGINT) AS max_bal_c
+         FROM q GROUP BY c_mktsegment, quartile
+         ORDER BY c_mktsegment, quartile""",
     // same sweep in SQL: ignore-nulls window passes over the identical
     // (us, event_id) ordering; ties prefer the earlier purchase
     "q63_nearest_event" ->

@@ -118,4 +118,28 @@ object MergeOps {
     mv.as("s").join(delta.as("d"), cond, "full_outer")
       .select(keyCols ++ sumCols ++ maxCols ++ minCols: _*)
   }
+
+  /** CDC ops-log apply (Debezium-shape change feed → snapshot): collapse
+    * an (key, seq, op ∈ I/U/D, value) log to the LAST op per key (one
+    * row_number window keyed like the join), then fold into the snapshot
+    * with one full-outer join — last-wins upsert for I/U, removal for D,
+    * untouched keys pass through. `origin` labels each surviving row
+    * kept/upserted for the audit trail. Same scale shape as upsert: with
+    * the snapshot bucketed on key the merge is a narrow zip and only the
+    * (small) collapsed delta shuffles. Ops must carry unique `seq` per
+    * key (the CDC stream's offset) — ties would make last-wins
+    * nondeterministic, so the window orders by seq alone. */
+  def cdcApply(snapshot: DataFrame, ops: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    val last = ops.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select(col("key"), col("op"), col("value"))
+    snapshot.as("s").join(last.as("l"), col("s.key") === col("l.key"),
+        "full_outer")
+      .where(col("l.op").isNull || col("l.op") =!= "D")
+      .select(coalesce(col("s.key"), col("l.key")).as("key"),
+        when(col("l.op").isNull, col("s.value")).otherwise(col("l.value"))
+          .as("value"),
+        when(col("l.op").isNull, "kept").otherwise("upserted").as("origin"))
+  }
 }

@@ -1192,6 +1192,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length === 2)
   }
 
+  test("cdcApply collapses the ops log to last-op-per-key, then folds: " +
+    "U-then-D deletes, D-then-U resurrects, I inserts, untouched kept") {
+    val snapshot = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "value")
+    val ops = Seq(
+      (1L, 1L, "U", 11L), (1L, 2L, "D", 0L),   // last op D → key 1 gone
+      (2L, 1L, "D", 0L), (2L, 2L, "U", 22L),   // last op U → resurrected
+      (4L, 1L, "I", 40L))                      // insert
+      .toDF("key", "seq", "op", "value")
+    val out = graft.ops.MergeOps.cdcApply(snapshot, ops).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((2L, 22L, "upserted"), (3L, 30L, "kept"),
+      (4L, 40L, "upserted")))
+  }
+
   test("dup clusters: chain graph collapses to one component (log rounds)") {
     // a 40-node path is the worst case for naive propagation (diameter 39);
     // large-star/small-star must still land everything on cluster 1 within
