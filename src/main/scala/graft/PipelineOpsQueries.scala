@@ -42,6 +42,12 @@ object PipelineOpsQueries {
   def semDedupAssignPath(dir: String): String =
     s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
 
+  /** p77's banned-phrase list — literal, border-free (no pattern has a
+    * proper prefix that is also a suffix), so Aho–Corasick all-matches ==
+    * regexp non-overlapping matches (BlocklistScan scaladoc). */
+  val blocklistPatterns: Seq[String] =
+    Seq("customer", "data column", "fast key", "scan slow", "spark", "vector")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => DedupOps.exact(docs(s, dir))),
     "p02_token_counts" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -478,6 +484,13 @@ object PipelineOpsQueries {
         d.where(col("doc_id") % 2 === 1))
     }),
 
+    // multi-pattern blocklist census: Aho–Corasick single pass over every
+    // doc (k patterns at once); border-free literal patterns so the count
+    // equals the oracle's per-pattern non-overlapping regexp count
+    "p77_blocklist_scan" -> ((s, dir) =>
+      graft.ops.BlocklistScan.blocklistCensus(docs(s, dir),
+        blocklistPatterns)),
+
     // lang-ID confusion matrix: the classifier-eval table — p04's
     // prediction against the stored lang label, (label, pred) census.
     // Only (doc_id, pred)/(doc_id, lang) pairs cross the join shuffle.
@@ -707,6 +720,18 @@ object PipelineOpsQueries {
            CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
          FROM ranked, tot WHERE rank IN (3, 10, 30, 100, 1000, 10000)
          ORDER BY rank""",
+    // per-pattern non-overlapping regexp counts — equals AC all-matches
+    // for the border-free pattern list
+    "p77_blocklist_scan" ->
+      """WITH pats(p) AS (VALUES ('customer'), ('data column'),
+           ('fast key'), ('scan slow'), ('spark'), ('vector')),
+         m AS (SELECT d.doc_id, p,
+           len(regexp_extract_all(d.text, p)) AS c
+           FROM documents d CROSS JOIN pats)
+         SELECT p AS pattern,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_matches
+         FROM m GROUP BY p HAVING sum(c) > 0 ORDER BY pattern""",
     // p04's prediction chain joined back to the stored label
     "p76_langid_confusion" ->
       """WITH hits AS (SELECT doc_id, lang,

@@ -595,6 +595,11 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // interval-union coverage per user (active-time metric): cummax sweep,
+    // integer microseconds, overlapping intervals counted once
+    "q67_interval_union" -> ((s, dir) =>
+      graft.ops.EventOps.intervalUnion(t(s, dir, "events"))),
+
     // CDC ops-log apply: orders become a deterministic I/U/D change feed
     // against the customer balance snapshot — last op per key wins, one
     // window + one full-outer join
@@ -1150,6 +1155,20 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // same cummax sweep in SQL over the identical interval derivation
+    "q67_interval_union" ->
+      """WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS t0,
+           epoch_us(ts) + (event_id % 50 + 1) * 60000000 AS t1 FROM events),
+         c AS (SELECT user_id, t0, t1,
+           COALESCE(max(t1) OVER (PARTITION BY user_id
+             ORDER BY t0 ASC, t1 ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t0)
+             AS prev_max_end
+           FROM base)
+         SELECT user_id, count(*) AS n_intervals,
+           CAST(sum(greatest(0, t1 - greatest(t0, prev_max_end)))
+                AS BIGINT) AS covered_us
+         FROM c GROUP BY user_id ORDER BY user_id""",
     // same last-wins collapse + full-outer fold in SQL
     "q65_cdc_apply" ->
       """WITH snap AS (SELECT c_custkey AS key,

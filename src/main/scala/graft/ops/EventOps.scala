@@ -147,6 +147,34 @@ object EventOps {
     * a (t, delta) tie at once — ordering +1 before −1 gives closed-interval
     * semantics (touching intervals overlap) deterministically in both
     * engines. Pure integer microsecond arithmetic end to end. */
+  /** Per-user interval-UNION coverage: total microseconds covered by the
+    * union of the user's (possibly overlapping) event intervals — the
+    * active-time metric double-counting naive sums get wrong. Classic
+    * cummax formulation: order intervals by (start, end, event_id); each
+    * contributes max(0, end − max(start, max_prev_end)) where
+    * max_prev_end is the running max of earlier ends — one window over
+    * the per-user ordering, one aggregation, all integer microseconds.
+    * Same interval derivation as maxConcurrency (1 + event_id % 50 min). */
+  def intervalUnion(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("t0"),
+      col("event_id").cast("long").as("event_id"))
+      .withColumn("t1",
+        col("t0") + (pmod(col("event_id"), lit(50)) + 1) * 60000000L)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t0").asc, col("t1").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.select(col("user_id"), col("t0"), col("t1"),
+        coalesce(max(col("t1")).over(w), col("t0")).as("prev_max_end"))
+      .select(col("user_id"),
+        greatest(lit(0L),
+          col("t1") - greatest(col("t0"), col("prev_max_end"))).as("contrib"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("contrib")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Bidirectional nearest-event join (sensor-alignment shape): each
     * `leftType` event matches the temporally NEAREST `rightType` event of
     * the same user, in either direction — the generalization of the

@@ -624,4 +624,34 @@ class CurationOpsSpec extends AnyFunSuite {
       .toSeq.sortBy(x => (x._1, x._2))
     assert(got === expected)
   }
+
+  test("Aho-Corasick blocklist census equals a brute-force indexOf replay, " +
+    "including substring patterns and cross-pattern overlap") {
+    import spark.implicits._
+    val pats = Seq("the", "the quick", "quick", "fox box")
+    val docs = Seq(
+      (0L, "the quick brown fox the quick"),  // the x2, the quick x2, quick x2
+      (1L, "a fox box inside the fox box"),   // fox box x2, the x1
+      (2L, "nothing here matches patterns"),  // "the" does NOT appear? "nothing" has no 'the'... it does not
+      (3L, "quick")                            // quick x1
+    ).toDF("doc_id", "text")
+    val got = graft.ops.BlocklistScan.blocklistCensus(docs, pats)
+      .as[(String, Long, Long)].collect().toSeq
+    // brute-force non-overlapping leftmost counts per (pattern, doc)
+    def cnt(text: String, p: String): Long = {
+      var i = 0; var n = 0L
+      while ({ val j = text.indexOf(p, i); if (j >= 0) { n += 1; i = j + p.length; true } else false }) ()
+      n
+    }
+    val texts = Seq("the quick brown fox the quick",
+      "a fox box inside the fox box", "nothing here matches patterns", "quick")
+    val expected = pats.flatMap { p =>
+      val per = texts.map(cnt(_, p)).filter(_ > 0)
+      if (per.isEmpty) None else Some((p, per.size.toLong, per.sum))
+    }.sortBy(_._1)
+    assert(got === expected)
+    // sanity on the interesting rows: "the" matched inside "the quick"
+    assert(got.find(_._1 == "the").get._3 === 3L)
+    assert(got.find(_._1 == "the quick").get._3 === 2L)
+  }
 }

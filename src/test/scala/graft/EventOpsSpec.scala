@@ -144,4 +144,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === Seq(
       (1L, 50L, 2 * h), (2L, 50L, 1 * h), (3L, 60L, 2 * h), (4L, -1L, -1L)))
   }
+
+  test("intervalUnion counts overlapping intervals once (cummax sweep)") {
+    def tsMin(m: Long): Timestamp = Timestamp.from(T0.plusSeconds(m * 60))
+    val min = 60L * 1000000L
+    val rows = Seq(
+      // user 1: [0,10] ∪ [5,12] ∪ [20,21] → 12 + 1 = 13 min covered
+      (9L, tsMin(0), 1L, "click", 0.0),   // dur 10
+      (6L, tsMin(5), 1L, "click", 0.0),   // dur 7 → [5,12]
+      (0L, tsMin(20), 1L, "click", 0.0),  // dur 1
+      // user 2: nested [0,20] ⊇ [5,8] → 20 min
+      (19L, tsMin(0), 2L, "click", 0.0),  // dur 20
+      (2L, tsMin(5), 2L, "click", 0.0)    // dur 3 → fully inside
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.intervalUnion(rows)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 13 * min), (2L, 2L, 20 * min)))
+  }
 }
