@@ -484,6 +484,24 @@ object PipelineOpsQueries {
         d.where(col("doc_id") % 2 === 1))
     }),
 
+    // dedup-detector EVAL: precision of the simhash hamming≤3 candidate
+    // pairs against the exact-Jaccard≥50% ground truth, per hamming
+    // distance — the tuning table that justifies a detector threshold
+    "p78_simhash_precision" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val sim = DedupOps.simhashPairs(d, maxHamming = 3)
+      val exact = DedupOps.exactJaccardPairs(d)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+      sim.join(exact, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("is_true"), lit(0L))).as("n_true_dups"))
+        .withColumn("precision_pct",
+          expr("n_true_dups * 100L div n_pairs"))
+        .orderBy(col("hamming"))
+    }),
+
     // multi-pattern blocklist census: Aho–Corasick single pass over every
     // doc (k patterns at once); border-free literal patterns so the count
     // equals the oracle's per-pattern non-overlapping regexp count
@@ -720,6 +738,57 @@ object PipelineOpsQueries {
            CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
          FROM ranked, tot WHERE rank IN (3, 10, 30, 100, 1000, 10000)
          ORDER BY rank""",
+    // both detector stacks rebuilt from scratch (p39's simhash bands +
+    // p22's exact-Jaccard inverted index), then the same left-join census
+    "p78_simhash_precision" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents),
+         votes AS (SELECT doc_id, b,
+                sum(CASE WHEN ((md5_number_lower(tok) >> b) & 1) = 1
+                    THEN 1 ELSE -1 END) AS v
+              FROM toks, range(64) t(b) GROUP BY doc_id, b),
+         bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+              FROM votes),
+         bands AS (SELECT doc_id,
+           CAST(sum(CASE WHEN b BETWEEN  0 AND 15 THEN bit << b        ELSE 0 END) AS BIGINT) AS band0,
+           CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit << (b - 16) ELSE 0 END) AS BIGINT) AS band1,
+           CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS band2,
+           CAST(sum(CASE WHEN b BETWEEN 48 AND 63 THEN bit << (b - 48) ELSE 0 END) AS BIGINT) AS band3
+         FROM bits GROUP BY doc_id),
+         spairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+           + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+               AS hamming
+           FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+               OR a.band2 = b.band2 OR a.band3 = b.band3)),
+         jtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM jtoks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         jpairs AS (SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.n AS na, b.n AS nb, count(*) AS n_inter
+             FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE n_inter * 100 >= (na + nb - n_inter) * 50),
+         census AS (SELECT s.hamming,
+             CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+           FROM (SELECT * FROM spairs WHERE hamming <= 3) s
+           LEFT JOIN jpairs e ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b)
+         SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_pairs,
+           CAST(sum(is_true) AS BIGINT) AS n_true_dups,
+           CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
+         FROM census GROUP BY hamming ORDER BY hamming""",
     // per-pattern non-overlapping regexp counts — equals AC all-matches
     // for the border-free pattern list
     "p77_blocklist_scan" ->

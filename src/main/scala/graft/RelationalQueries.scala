@@ -595,6 +595,34 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // 2-D skyline (Pareto front) per priority class: orders not dominated
+    // on (price, date) — the sorted-sweep formulation (two RANGE-frame
+    // window minima) instead of the O(n²) self-join; the oracle IS the
+    // O(n²) NOT EXISTS domination query, an independent formulation
+    "q68_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("priority"),
+        col("o_orderkey").cast("long").as("okey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      val cheaper = Window.partitionBy(col("priority"))
+        .orderBy(col("price_c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy(col("priority"))
+        .orderBy(col("price_c")).rangeBetween(0, 0)
+      o.select(col("priority"), col("okey"), col("price_c"), col("day"),
+          min(col("day")).over(cheaper).as("min_day_cheaper"),
+          min(col("day")).over(samePrice).as("min_day_same"))
+        .where((col("min_day_cheaper").isNull ||
+            col("min_day_cheaper") > col("day")) &&
+          col("min_day_same") >= col("day"))
+        .select(col("priority"), col("okey"), col("price_c"), col("day"))
+        .orderBy(col("priority"), col("okey"))
+    }),
+
     // interval-union coverage per user (active-time metric): cummax sweep,
     // integer microseconds, overlapping intervals counted once
     "q67_interval_union" -> ((s, dir) =>
@@ -1155,6 +1183,18 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // the O(n²) NOT EXISTS domination formulation — independent of the
+    // engine's sorted-sweep plan
+    "q68_skyline" ->
+      """WITH o AS (SELECT o_orderpriority AS priority, o_orderkey AS okey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+           epoch_us(o_orderdate) // 86400000000 AS day FROM orders)
+         SELECT priority, okey, price_c, CAST(day AS BIGINT) AS day
+         FROM o b
+         WHERE NOT EXISTS (SELECT 1 FROM o a WHERE a.priority = b.priority
+           AND a.price_c <= b.price_c AND a.day <= b.day
+           AND (a.price_c < b.price_c OR a.day < b.day))
+         ORDER BY priority, okey""",
     // same cummax sweep in SQL over the identical interval derivation
     "q67_interval_union" ->
       """WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS t0,
