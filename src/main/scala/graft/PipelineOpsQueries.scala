@@ -502,6 +502,35 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // corpus-balance concentration census: per language, the
+    // Herfindahl–Hirschman index of token share across sources, in integer
+    // ppm (floor-divided share_ppm, squared, summed, rescaled) — the
+    // dashboard number that says "this language's corpus is 90% one
+    // domain" before a training mix is signed off. The raw corpus is
+    // touched exactly once by the (lang, source) partial+final agg; the
+    // window then runs over the tiny per-source rollup (≤ |sources| rows
+    // per language). toks*1_000_000 stays within long up to ~9e12 tokens
+    // per (lang, source) cell — comfortable at 10^12 docs.
+    "p79_source_hhi" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val perSrc = docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("toks"))
+      val w = Window.partitionBy(col("lang"))
+      perSrc
+        .withColumn("total", sum(col("toks")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .withColumn("share_ppm", expr("toks * 1000000L div total"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_sources")).as("n_sources"),
+          sum(expr("share_ppm * share_ppm")).as("sum_sq"))
+        .select(col("lang"), col("n_sources"),
+          expr("sum_sq div 1000000L").as("hhi_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // multi-pattern blocklist census: Aho–Corasick single pass over every
     // doc (k patterns at once); border-free literal patterns so the count
     // equals the oracle's per-pattern non-overlapping regexp count
@@ -789,6 +818,20 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // same floor-divided integer HHI via window shares over the
+    // (lang, source) rollup
+    "p79_source_hhi" ->
+      """WITH t AS (SELECT lang, source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS toks
+           FROM documents GROUP BY lang, source),
+         s AS (SELECT lang, toks,
+             CAST(sum(toks) OVER (PARTITION BY lang) AS BIGINT) AS total,
+             count(*) OVER (PARTITION BY lang) AS n_sources FROM t)
+         SELECT lang, CAST(max(n_sources) AS BIGINT) AS n_sources,
+           CAST(sum((toks * 1000000 // total) * (toks * 1000000 // total))
+             // 1000000 AS BIGINT) AS hhi_ppm
+         FROM s GROUP BY lang ORDER BY lang""",
     // per-pattern non-overlapping regexp counts — equals AC all-matches
     // for the border-free pattern list
     "p77_blocklist_scan" ->

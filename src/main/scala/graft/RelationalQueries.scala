@@ -595,6 +595,27 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // market-basket co-purchase: top-100 part pairs by the number of
+    // orders containing both ("frequently bought together"). Per-order
+    // distinct item set self-joined within the order key — fan-out is
+    // Σ k² over baskets, bounded by the ≤7-lineitem basket cap (real
+    // carts are similarly capped), so the pair shuffle carries O(rows);
+    // one hash shuffle on okey (exchange reused across both join sides),
+    // one on the pair key, then a bounded TakeOrdered — no global sort
+    "q69_copurchase" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+        .select(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= 2)
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    }),
+
     // 2-D skyline (Pareto front) per priority class: orders not dominated
     // on (price, date) — the sorted-sweep formulation (two RANGE-frame
     // window minima) instead of the O(n²) self-join; the oracle IS the
@@ -1183,6 +1204,14 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // same basket self-join; DuckDB count(*) is BIGINT like the engine's
+    "q69_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+             FROM lineitem)
+         SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS n_orders
+         FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 100""",
     // the O(n²) NOT EXISTS domination formulation — independent of the
     // engine's sorted-sweep plan
     "q68_skyline" ->

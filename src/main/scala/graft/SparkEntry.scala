@@ -110,6 +110,8 @@ object SparkEntry {
     s"/tmp/graft_ab_dump_${docCountFor(dir)}"
   def kindDumpPath(dir: String): String =
     s"/tmp/graft_kind_dump_${docCountFor(dir)}"
+  def mediaSkewDumpPath(dir: String): String =
+    s"/tmp/graft_media_skew_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -449,6 +451,34 @@ object SparkEntry {
       graft.ops.InterleaveOps.kindTransitions(docs)
     }),
 
+    // media-heavy skew census: per-document media-span fraction (ppm)
+    // bucketed into deciles (the last bucket absorbs ppm=1_000_000) —
+    // the distribution that justifies the salted pipeline (north_rule:
+    // "salting for skewed media-heavy documents"): docs / spans / media
+    // mass per fraction bucket quantifies exactly how heavy the heavy
+    // tail is before choosing a salt factor. Writes its own span-kind
+    // dump (never shares x22's — dump paths are 1:1 with queries to keep
+    // clobbering impossible); the oracle re-derives the census from the
+    // identical bytes. Two partial+final hash aggs, no sort until the
+    // 10-row result.
+    "x23_media_skew" -> ((s, dir) => {
+      graft.ops.InterleaveOps.spanKindDump(docTable(s, dir))
+        .write.mode("overwrite").parquet(mediaSkewDumpPath(dir))
+      s.read.parquet(mediaSkewDumpPath(dir))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("kind") === "media", 1L).otherwise(0L)).as("n_media"))
+        .select(
+          expr("least(n_media * 1000000L div n_spans div 100000L, 9L)")
+            .as("decile"),
+          col("n_spans"), col("n_media"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).as("sum_spans"),
+          sum(col("n_media")).as("sum_media"))
+        .orderBy(col("decile"))
+    }),
+
     // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
     // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
     // per plain-mode type: docs whose type changed, validity flips, and the
@@ -528,6 +558,19 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // decile census rebuilt from the dumped span kinds with the same
+      // floor-divide ppm bucketing
+      "x23_media_skew" ->
+        s"""WITH per AS (SELECT doc_id, count(*) AS n_spans,
+               sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media
+             FROM read_parquet('${mediaSkewDumpPath(dir)}/*.parquet')
+             GROUP BY doc_id)
+           SELECT CAST(least(n_media * 1000000 // n_spans // 100000, 9)
+               AS BIGINT) AS decile,
+             count(*) AS n_docs,
+             CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+             CAST(sum(n_media) AS BIGINT) AS sum_media
+           FROM per GROUP BY decile ORDER BY decile""",
       // transition matrix rebuilt with lag() windows over the kind dump
       "x22_kind_transitions" ->
         s"""WITH s AS (SELECT doc_id, ord, kind
