@@ -502,6 +502,28 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // temperature-rebalanced language mixture (T = 2): target share ∝
+    // √n_docs — the standard sublinear rebalancing that up-weights
+    // low-resource languages in a multilingual training mix. Integer
+    // exact: w = ⌊√n⌋ via correctly-rounded double sqrt (exact for
+    // n < 2^52), shares in floor-divided ppm. One partial+final agg over
+    // the corpus; the totals ride a 1-row broadcast cross join (p50's
+    // idiom) so the per-lang rollup never collapses to one partition.
+    "p80_temperature_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val per = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      val tot = per.agg(sum(col("n_docs")).as("total"),
+        sum(col("w")).as("sum_w"))
+      per.crossJoin(tot)
+        .select(col("lang"), col("n_docs"),
+          expr("n_docs * 1000000L div total").as("raw_ppm"),
+          expr("w * 1000000L div sum_w").as("temp_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // corpus-balance concentration census: per language, the
     // Herfindahl–Hirschman index of token share across sources, in integer
     // ppm (floor-divided share_ppm, squared, summed, rescaled) — the
@@ -818,6 +840,16 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // same ⌊√n⌋ weights and floor-divided ppm over the per-lang rollup
+    "p80_temperature_mix" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(sum(w) AS BIGINT) AS sum_w FROM per)
+         SELECT lang, n_docs, n_docs * 1000000 // total AS raw_ppm,
+           w * 1000000 // sum_w AS temp_ppm
+         FROM per, tot ORDER BY lang""",
     // same floor-divided integer HHI via window shares over the
     // (lang, source) rollup
     "p79_source_hhi" ->

@@ -595,6 +595,36 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // monthly revenue trend per brand: exact integer least-squares slope
+    // components over (month index, monthly revenue cents) — numerator and
+    // denominator kept as separate BIGINTs (slope = num/den) so no
+    // division ever happens; trend is sign(num) since den > 0 whenever a
+    // brand spans ≥2 months. x is months since 1995-01 (the data min),
+    // which keeps n·Σxy ≈ 1e15 at sf0.1 and inside long headroom at
+    // 1000×. Broadcast part join, one (brand, month) partial+final agg,
+    // then a tiny per-brand rollup.
+    "q70_trend" -> ((s, dir) => {
+      val monthly = t(s, dir, "lineitem").as("l")
+        .join(broadcast(t(s, dir, "part").as("p")),
+          col("l.l_partkey") === col("p.p_partkey"))
+        .select(col("p.p_brand").as("brand"),
+          (year(col("l.l_shipdate")) * 12 + month(col("l.l_shipdate"))
+            - lit(23941)).cast("long").as("x"),
+          (col("l.l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("brand"), col("x"))
+        .agg(sum(col("cents")).as("y"))
+      monthly.groupBy(col("brand")).agg(
+          count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("brand"), col("n_months"),
+          expr("n_months * sxy - sx * sy").as("slope_num"),
+          expr("n_months * sxx - sx * sx").as("slope_den"),
+          signum(expr("n_months * sxy - sx * sy")).cast("long").as("trend"))
+        .orderBy(col("brand"))
+    }),
+
     // market-basket co-purchase: top-100 part pairs by the number of
     // orders containing both ("frequently bought together"). Per-order
     // distinct item set self-joined within the order key — fan-out is
@@ -1204,6 +1234,25 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // identical integer slope components; per-row cents are exact
+    // integer-valued decimals so sum-then-cast equals cast-then-sum
+    "q70_trend" ->
+      """WITH m AS (SELECT p_brand AS brand,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) - 23941
+               AS BIGINT) AS x,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         agg AS (SELECT brand, count(*) AS n_months,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM m GROUP BY brand)
+         SELECT brand, n_months, n_months * sxy - sx * sy AS slope_num,
+           n_months * sxx - sx * sx AS slope_den,
+           CAST(sign(n_months * sxy - sx * sy) AS BIGINT) AS trend
+         FROM agg ORDER BY brand""",
     // same basket self-join; DuckDB count(*) is BIGINT like the engine's
     "q69_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey

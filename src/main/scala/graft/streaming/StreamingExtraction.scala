@@ -248,23 +248,35 @@ object StreamingExtraction {
     changes.toDF("doc_id", "text", "seq", "is_delete")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val delta = batch.groupBy(col("doc_id"))
-          .agg(max_by(struct(col("text"), col("is_delete")), col("seq"))
-            .as("b"))
-          .select(col("doc_id"), col("b.text").as("text"),
-            col("b.is_delete").as("is_delete"))
-        val snap =
-          if (new java.io.File(snapshotPath).exists)
-            spark.read.parquet(snapshotPath)
-          else delta.select(col("doc_id"), col("text")).limit(0)
-        val merged = graft.ops.MergeOps
-          .upsert(snap, delta, "doc_id", deleteCol = Some("is_delete"))
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(snapshotPath)
-        ()
+        applyUpsertBatch(batch, snapshotPath)
       }
       .start()
+  }
+
+  /** One foreachBatch application of a change-set to the snapshot —
+    * IDEMPOTENT under batch replay: re-applying an already-merged delta
+    * is a no-op (keyed last-write-wins upsert; a replayed update writes
+    * the same value, a replayed delete finds no row). foreachBatch's
+    * delivery contract is at-least-once — after a failure the SAME batch
+    * may be redelivered — so sink idempotence is exactly what upgrades
+    * the end-to-end pipeline to exactly-once snapshots. Asserted by
+    * StreamingSpec's replay test. */
+  def applyUpsertBatch(batch: DataFrame, snapshotPath: String): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("text"), col("is_delete")), col("seq"))
+        .as("b"))
+      .select(col("doc_id"), col("b.text").as("text"),
+        col("b.is_delete").as("is_delete"))
+    val snap =
+      if (new java.io.File(snapshotPath).exists)
+        spark.read.parquet(snapshotPath)
+      else delta.select(col("doc_id"), col("text")).limit(0)
+    val merged = graft.ops.MergeOps
+      .upsert(snap, delta, "doc_id", deleteCol = Some("is_delete"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(snapshotPath)
+    ()
   }
 
   /** STREAM-STREAM interval join — the streaming analogue of the batch

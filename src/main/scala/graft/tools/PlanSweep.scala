@@ -36,7 +36,10 @@ object PlanSweep {
       // (coverage ppm); p72 crosses the 1-row (n_a, n_b) totals into the
       // per-value CDF rows — the p47/p50 1-row-aggregate class again
       "p71_vocab_coverage" -> Set("BroadcastNestedLoop"),
-      "p72_ks_drift" -> Set("BroadcastNestedLoop"))
+      "p72_ks_drift" -> Set("BroadcastNestedLoop"),
+      // p80 crosses the 1-row (total, sum_w) aggregate into the per-lang
+      // ppm arithmetic — the p47/p50 1-row-aggregate class
+      "p80_temperature_mix" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -279,6 +279,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2 === Map(1L -> "one-b", 2L -> "two-v2", 4L -> "four"))
   }
 
+  test("foreachBatch upsert sink is idempotent under batch replay " +
+    "(exactly-once snapshot despite at-least-once delivery)") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_replay").toString + "/snap"
+    val b1 = Seq((1L, "one", 1L, false), (2L, "two", 1L, false),
+      (3L, "three", 1L, false)).toDF("doc_id", "text", "seq", "is_delete")
+    StreamingExtraction.applyUpsertBatch(b1, path)
+    val b2 = Seq((2L, "two-v2", 5L, false), (3L, "", 5L, true),
+      (4L, "four", 5L, false)).toDF("doc_id", "text", "seq", "is_delete")
+    StreamingExtraction.applyUpsertBatch(b2, path)
+    val once = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a failure between the merge and the offset commit redelivers the
+    // SAME batch — the snapshot must not change on the second apply
+    StreamingExtraction.applyUpsertBatch(b2, path)
+    val twice = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once === Map(1L -> "one", 2L -> "two-v2", 4L -> "four"))
+    assert(twice === once)
+  }
+
   test("streaming decontamination flags docs against the static benchmark, " +
        "matching the batch operator") {
     import spark.implicits._
