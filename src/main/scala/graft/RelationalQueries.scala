@@ -595,6 +595,59 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // correlated SCALAR subqueries (q35 covers correlated EXISTS): orders
+    // priced above their own customer's average, rolled up per market
+    // segment. Written as literal correlated subqueries so Catalyst's
+    // decorrelation rewrite (subquery → left join with a grouped
+    // aggregate) is what executes — no hand-decorrelated join. The
+    // above-average test is the integer cross-multiply price·n > total,
+    // so no division/float ever appears; price_c·n stays far inside long
+    // (≤ ~6e7 cents × basket-bounded order count).
+    "q71_above_avg" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g71_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g71_customer")
+      s.sql("""
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_above,
+               sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS sum_above_c
+        FROM g71_orders o JOIN g71_customer c ON o.o_custkey = c.c_custkey
+        WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              * (SELECT count(*) FROM g71_orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT sum(CAST(CAST(o3.o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT))
+               FROM g71_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // exact weighted median (quantity-weighted lineitem price) per return
+    // flag — the weighted generalization of q25's exact percentiles.
+    // Weights pre-aggregate per distinct price so the running sum runs
+    // over unique-ordered rows (ROWS ≡ RANGE, no peer ambiguity); the
+    // median is the least price whose cumulative weight reaches half the
+    // total. All integer: cents × integer-valued quantities.
+    "q72_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("flag"), col("price_c"))
+        .agg(sum(col("qty")).as("w"))
+      val run = Window.partitionBy(col("flag")).orderBy(col("price_c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("flag"))
+      pp.withColumn("cum", sum(col("w")).over(run))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .where(expr("2L * cum >= tw"))
+        .groupBy(col("flag"))
+        .agg(min(col("price_c")).as("wmedian_c"),
+          max(col("tw")).as("total_qty"))
+        .orderBy(col("flag"))
+    }),
+
     // monthly revenue trend per brand: exact integer least-squares slope
     // components over (month index, monthly revenue cents) — numerator and
     // denominator kept as separate BIGINTs (slope = num/den) so no
@@ -1234,6 +1287,35 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // the same correlated scalar subqueries, decorrelated by DuckDB's own
+    // unnesting — an independent execution of the identical semantics
+    "q71_above_avg" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_above,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS sum_above_c
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (SELECT count(*) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey)
+             > (SELECT CAST(sum(CAST(CAST(o3.o_totalprice AS DECIMAL(18,2))
+                     * 100 AS BIGINT)) AS BIGINT)
+                FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    // same pre-aggregated running-sum formulation
+    "q72_weighted_median" ->
+      """WITH pp AS (SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT flag, price_c, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY price_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw FROM pp)
+         SELECT flag, CAST(min(price_c) AS BIGINT) AS wmedian_c,
+           CAST(max(tw) AS BIGINT) AS total_qty
+         FROM c WHERE 2 * cum >= tw GROUP BY flag ORDER BY flag""",
     // identical integer slope components; per-row cents are exact
     // integer-valued decimals so sum-then-cast equals cast-then-sum
     "q70_trend" ->

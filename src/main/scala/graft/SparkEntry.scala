@@ -112,6 +112,8 @@ object SparkEntry {
     s"/tmp/graft_kind_dump_${docCountFor(dir)}"
   def mediaSkewDumpPath(dir: String): String =
     s"/tmp/graft_media_skew_dump_${docCountFor(dir)}"
+  def costTopkDumpPath(dir: String): String =
+    s"/tmp/graft_cost_topk_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -451,6 +453,43 @@ object SparkEntry {
       graft.ops.InterleaveOps.kindTransitions(docs)
     }),
 
+    // operational skew watchlist: the 5 costliest documents per extracted
+    // type under the kernel cost model (text chars + 4096 per media span,
+    // the decode surrogate's unit charge). Grouped top-k rides the
+    // bounded-heap aggregator (map-side partials — no per-type row_number
+    // funnel); the oracle recomputes the ranking from the dumped per-doc
+    // costs. This is the itemized version of x23's heavy tail: the table
+    // a scheduler reads before picking salt factors (north_rule salting).
+    "x24_cost_topk" -> ((s, dir) => {
+      import s.implicits._
+      // doc_id is the pipeline's "doc-%012d" string — carry its numeric
+      // suffix for the long-keyed heap, join back for the display id
+      ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("doc_id"),
+          substring(col("doc_id"), 5, 12).cast("long").as("doc_num"),
+          col("document_type"),
+          expr("aggregate(spans, 0L, (acc, sp) -> acc + " +
+            "CASE WHEN sp.kind = 'media' THEN 4096L " +
+            "ELSE length(coalesce(sp.text, '')) END)").as("cost"))
+        .write.mode("overwrite").parquet(costTopkDumpPath(dir))
+      val d = s.read.parquet(costTopkDumpPath(dir))
+      val top = d.select(col("document_type"), col("doc_num"),
+          col("cost").cast("double"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (0L, r._2, r._3))
+        .agg(new graft.ops.TopK.TopKIds(5).toColumn)
+        .toDF("document_type", "top_ids")
+        .select(col("document_type"),
+          posexplode(col("top_ids")).as(Seq("pos", "doc_num")))
+        .select(col("document_type"),
+          (col("pos") + 1).cast("long").as("rnk"), col("doc_num"))
+      top.join(d.select(col("doc_num"), col("doc_id"), col("cost")),
+          "doc_num")
+        .select(col("document_type"), col("rnk"), col("doc_id"), col("cost"))
+        .orderBy(col("document_type"), col("rnk"))
+    }),
+
     // media-heavy skew census: per-document media-span fraction (ppm)
     // bucketed into deciles (the last bucket absorbs ppm=1_000_000) —
     // the distribution that justifies the salted pipeline (north_rule:
@@ -558,6 +597,16 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // per-type ranking recomputed from the dumped per-doc costs with
+      // the same (cost desc, doc_id asc) total order
+      "x24_cost_topk" ->
+        s"""WITH d AS (SELECT doc_id, document_type, cost
+               FROM read_parquet('${costTopkDumpPath(dir)}/*.parquet')),
+           r AS (SELECT document_type, doc_id, cost,
+               row_number() OVER (PARTITION BY document_type
+                 ORDER BY cost DESC, doc_id) AS rnk FROM d)
+           SELECT document_type, CAST(rnk AS BIGINT) AS rnk, doc_id, cost
+           FROM r WHERE rnk <= 5 ORDER BY document_type, rnk""",
       // decile census rebuilt from the dumped span kinds with the same
       // floor-divide ppm bucketing
       "x23_media_skew" ->
