@@ -502,6 +502,40 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // Heaps'-law vocabulary growth curve: distinct whitespace tokens and
+    // total tokens at 10 corpus prefixes (doc_id deciles) — the curve
+    // that says whether a corpus is still contributing new vocabulary or
+    // has gone asymptotic (stop crawling / stop deduping signal). The
+    // scale trick: NO per-checkpoint rescan — one explode+min computes
+    // each token's FIRST-occurrence doc, then every checkpoint is a
+    // count over that table (a token is in the prefix-k vocabulary iff
+    // first_doc < lim_k). The 10 checkpoint rows broadcast.
+    "p81_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val first = d
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val cps = s.range(1, 11).toDF("k")
+        .crossJoin(d.agg(max(col("doc_id")).as("mx")))
+        .select(col("k"), expr("((mx + 1) * k) div 10").as("lim"))
+      val vocab = first.crossJoin(broadcast(cps))
+        .where(col("first_doc") < col("lim"))
+        .groupBy(col("k")).agg(count(lit(1)).as("distinct_tokens"))
+      val toks = d
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        .crossJoin(broadcast(cps))
+        .where(col("doc_id") < col("lim"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      toks.join(vocab, "k")
+        .select(col("k"), col("n_docs"), col("total_tokens"),
+          col("distinct_tokens"))
+        .orderBy(col("k"))
+    }),
+
     // temperature-rebalanced language mixture (T = 2): target share ∝
     // √n_docs — the standard sublinear rebalancing that up-weights
     // low-resource languages in a multilingual training mix. Integer
@@ -840,6 +874,25 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // same first-occurrence formulation: unnest + min, checkpoint join
+    "p81_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         cps AS (SELECT k, ((mx + 1) * k) // 10 AS lim
+             FROM range(1, 11) t(k), mx),
+         tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         first AS (SELECT tok, min(doc_id) AS first_doc FROM tok
+           GROUP BY tok),
+         vocab AS (SELECT k, count(*) AS distinct_tokens
+           FROM first, cps WHERE first_doc < lim GROUP BY k),
+         toks AS (SELECT k, count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS total_tokens
+           FROM documents, cps WHERE doc_id < lim GROUP BY k)
+         SELECT t.k, t.n_docs, t.total_tokens,
+           CAST(v.distinct_tokens AS BIGINT) AS distinct_tokens
+         FROM toks t JOIN vocab v USING (k) ORDER BY k""",
     // same ⌊√n⌋ weights and floor-divided ppm over the per-lang rollup
     "p80_temperature_mix" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs,

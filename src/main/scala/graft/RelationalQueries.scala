@@ -595,6 +595,65 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // referential-integrity audit across every FK edge of the warehouse in
+    // one result: per relation, child rows and orphans (left join against
+    // the distinct parent keys, conditional count — one pass per edge, no
+    // count-then-anti double scan). The pristine tables must audit to 0
+    // orphans; an eighth row audits a deliberately-corrupted child (every
+    // 17th lineitem's orderkey shifted out of range, deterministically) so
+    // the orphan path itself is exercised with an exact nonzero count.
+    "q73_fk_audit" -> ((s, dir) => {
+      def audit(rel: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame = {
+        val p = parent.select(col(pkey).as("k"), lit(1).as("hit")).distinct()
+        child.select(col(key).as("k")).join(p, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem")
+      val corrupted = li.select(
+        when(col("l_orderkey") % 17 === 0, col("l_orderkey") + 1000000000L)
+          .otherwise(col("l_orderkey")).as("l_orderkey"))
+      Seq(
+        audit("customer->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        audit("lineitem->orders", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        audit("lineitem->orders!corrupted", corrupted, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        audit("lineitem->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        audit("lineitem->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        audit("nation->region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey"),
+        audit("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        audit("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("relation"))
+    }),
+
+    // CUBE with GROUPING flags (q41 covers GROUPING SETS without them):
+    // subtotal rows only — HAVING on the grouping level distinguishes a
+    // real NULL group from a rollup NULL, the thing raw CUBE output can't
+    "q74_grouping_flags" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      li.cube(col("rf"), col("ls"))
+        .agg(grouping(col("rf")).cast("long").as("g_rf"),
+          grouping(col("ls")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .where(expr("g_rf + g_ls > 0"))
+        .select(col("rf"), col("ls"), col("g_rf"), col("g_ls"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+    }),
+
     // correlated SCALAR subqueries (q35 covers correlated EXISTS): orders
     // priced above their own customer's average, rolled up per market
     // segment. Written as literal correlated subqueries so Catalyst's
@@ -1287,6 +1346,71 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // one UNION ALL branch per FK edge, same planted corruption rule
+    "q73_fk_audit" ->
+      """WITH corrupted AS (SELECT CASE WHEN l_orderkey % 17 = 0
+             THEN l_orderkey + 1000000000 ELSE l_orderkey END AS l_orderkey
+           FROM lineitem)
+         SELECT * FROM (
+           SELECT 'customer->nation' AS relation, count(*) AS n_child,
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphans
+           FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey
+             FROM nation) n ON c.c_nationkey = n.n_nationkey
+           UNION ALL
+           SELECT 'lineitem->orders', count(*),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+             FROM orders) o ON l.l_orderkey = o.o_orderkey
+           UNION ALL
+           SELECT 'lineitem->orders!corrupted', count(*),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM corrupted l LEFT JOIN (SELECT DISTINCT o_orderkey
+             FROM orders) o ON l.l_orderkey = o.o_orderkey
+           UNION ALL
+           SELECT 'lineitem->part', count(*),
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey
+             FROM part) p ON l.l_partkey = p.p_partkey
+           UNION ALL
+           SELECT 'lineitem->supplier', count(*),
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey
+             FROM supplier) s ON l.l_suppkey = s.s_suppkey
+           UNION ALL
+           SELECT 'nation->region', count(*),
+             CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey
+             FROM region) r ON n.n_regionkey = r.r_regionkey
+           UNION ALL
+           SELECT 'orders->customer', count(*),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey
+             FROM customer) c ON o.o_custkey = c.c_custkey
+           UNION ALL
+           SELECT 'supplier->nation', count(*),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey
+             FROM nation) n ON s.s_nationkey = n.n_nationkey)
+         ORDER BY relation""",
+    // identical CUBE + GROUPING flags + HAVING in DuckDB
+    "q74_grouping_flags" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           count(*) AS n,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         HAVING GROUPING(l_returnflag) + GROUPING(l_linestatus) > 0
+         ORDER BY g_rf, g_ls, rf, ls""",
     // the same correlated scalar subqueries, decorrelated by DuckDB's own
     // unnesting — an independent execution of the identical semantics
     "q71_above_avg" ->

@@ -39,7 +39,10 @@ object PlanSweep {
       "p72_ks_drift" -> Set("BroadcastNestedLoop"),
       // p80 crosses the 1-row (total, sum_w) aggregate into the per-lang
       // ppm arithmetic — the p47/p50 1-row-aggregate class
-      "p80_temperature_mix" -> Set("BroadcastNestedLoop"))
+      "p80_temperature_mix" -> Set("BroadcastNestedLoop"),
+      // p81 crosses the broadcast 10-row checkpoint table (built from the
+      // 1-row max-doc_id aggregate) into the first-occurrence scan
+      "p81_vocab_growth" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
