@@ -502,6 +502,28 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // dedup yield forecast: duplicate-CLUSTER size histogram — per size,
+    // how many clusters and docs (plus the singleton row: total −
+    // clustered) — the table that turns "we found N near-dup pairs" into
+    // "dedup keeps X% of the corpus". Rides p26's large-star/small-star
+    // components; the histogram itself is two tiny rollups over the
+    // cluster labels.
+    "p82_cluster_sizes" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val cl = DedupOps.dupClusters(DedupOps.minhashLsh(d))
+        .localCheckpoint(true) // 3 plan branches below
+      val hist = cl.groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+      val singles = d.agg(count(lit(1)).as("total"))
+        .crossJoin(cl.agg(count(lit(1)).as("clustered")))
+        .select(lit(1L).as("cluster_size"),
+          expr("total - clustered").as("n_clusters"),
+          expr("total - clustered").as("n_docs"))
+      hist.unionByName(singles).orderBy(col("cluster_size"))
+    }),
+
     // Heaps'-law vocabulary growth curve: distinct whitespace tokens and
     // total tokens at 10 corpus prefixes (doc_id deciles) — the curve
     // that says whether a corpus is still contributing new vocabulary or
@@ -874,6 +896,44 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // p26's recursive transitive closure, rolled up into the histogram;
+    // singleton row from the corpus total minus the clustered count
+    "p82_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         prs AS (SELECT doc_a, doc_b FROM cand
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                    FROM reach GROUP BY u),
+         szs AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM labels GROUP BY cluster_id),
+         hist AS (SELECT cluster_size, count(*) AS n_clusters,
+             CAST(sum(cluster_size) AS BIGINT) AS n_docs
+           FROM szs GROUP BY cluster_size),
+         tot AS (SELECT count(*) AS total FROM documents),
+         clu AS (SELECT count(*) AS clustered FROM labels)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters, n_docs FROM hist
+         UNION ALL
+         SELECT 1, total - clustered, total - clustered FROM tot, clu
+         ORDER BY cluster_size""",
     // same first-occurrence formulation: unnest + min, checkpoint join
     "p81_vocab_growth" ->
       """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),

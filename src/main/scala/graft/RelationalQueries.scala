@@ -595,6 +595,61 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // behavioral-sequence extraction: per user, the full event-type
+    // sequence ordered by (event time, event id) as one string — the
+    // input row of every sequence-mining / session-embedding job. The
+    // ordered collect is row-bounded by the per-user event cap (any real
+    // clickstream pipeline enforces one); array_sort on the packed
+    // struct gives a deterministic total order with no window shuffle —
+    // one keyed agg, sort inside the row.
+    "q75_event_sequences" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id").cast("long").as("eid"), col("event_type"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("us"), col("eid"), col("event_type")))),
+              x => x.getField("event_type")),
+            ",").as("seq"))
+        .orderBy(col("user_id"))
+    }),
+
+    // winsorized (5%/95%-clipped) robust mean per order priority — the
+    // outlier-insensitive spend statistic. Exact rank-based bounds: the
+    // clip values are the prices at ranks ⌈n·5/100⌉ and ⌈n·95/100⌉ of
+    // the (price, okey)-ordered group; the mean stays exact as the
+    // (clipped-sum, count) integer pair, never divided. One window pass
+    // for ranks, a tiny per-group bounds rollup joined back broadcast.
+    "q76_winsorized" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"),
+        col("o_orderkey").cast("long").as("okey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_c"))
+      val rw = Window.partitionBy(col("pri"))
+        .orderBy(col("price_c"), col("okey"))
+      val cw = Window.partitionBy(col("pri"))
+      val ranked = o
+        .withColumn("rn", row_number().over(rw).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+      val bounds = ranked.groupBy(col("pri")).agg(
+        max(when(expr("rn = greatest(1L, (n * 5 + 99) div 100)"),
+          col("price_c"))).as("lo_c"),
+        max(when(expr("rn = (n * 95 + 99) div 100"), col("price_c")))
+          .as("hi_c"))
+      ranked.join(broadcast(bounds), "pri")
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
+          sum(expr("least(greatest(price_c, lo_c), hi_c)"))
+            .as("sum_winsorized_c"))
+        .orderBy(col("pri"))
+    }),
+
     // referential-integrity audit across every FK edge of the warehouse in
     // one result: per relation, child rows and orphans (left join against
     // the distinct parent keys, conditional count — one pass per edge, no
@@ -1346,6 +1401,34 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // ordered string_agg is DuckDB's native form of the same sequence
+    "q75_event_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)
+             AS seq
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // identical exact rank bounds and integer clip
+    "q76_winsorized" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS okey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c FROM orders),
+         ranked AS (SELECT pri, price_c,
+             row_number() OVER (PARTITION BY pri
+               ORDER BY price_c, okey) AS rn,
+             count(*) OVER (PARTITION BY pri) AS n FROM o),
+         bounds AS (SELECT pri,
+             max(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100)
+                 THEN price_c END) AS lo_c,
+             max(CASE WHEN rn = (n * 95 + 99) // 100
+                 THEN price_c END) AS hi_c
+           FROM ranked GROUP BY pri)
+         SELECT r.pri, count(*) AS n,
+           CAST(max(b.lo_c) AS BIGINT) AS lo_c,
+           CAST(max(b.hi_c) AS BIGINT) AS hi_c,
+           CAST(sum(least(greatest(r.price_c, b.lo_c), b.hi_c)) AS BIGINT)
+             AS sum_winsorized_c
+         FROM ranked r JOIN bounds b USING (pri)
+         GROUP BY r.pri ORDER BY r.pri""",
     // one UNION ALL branch per FK edge, same planted corruption rule
     "q73_fk_audit" ->
       """WITH corrupted AS (SELECT CASE WHEN l_orderkey % 17 = 0

@@ -42,7 +42,10 @@ object PlanSweep {
       "p80_temperature_mix" -> Set("BroadcastNestedLoop"),
       // p81 crosses the broadcast 10-row checkpoint table (built from the
       // 1-row max-doc_id aggregate) into the first-occurrence scan
-      "p81_vocab_growth" -> Set("BroadcastNestedLoop"))
+      "p81_vocab_growth" -> Set("BroadcastNestedLoop"),
+      // p82's singleton row crosses the 1-row corpus total into the 1-row
+      // clustered count — two 1-row aggregates
+      "p82_cluster_sizes" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
