@@ -502,6 +502,31 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // quality-aware dedup keeper selection: production dedup keeps the
+    // BEST doc per near-dup cluster, not the min-id one — keeper =
+    // argmax (n_chars, then min doc_id) via max_by over a packed struct
+    // (one keyed agg, no per-cluster window). Output per cluster: the
+    // keeper, its size, the kept chars and the chars dropped with the
+    // duplicates — the "what does dedup actually delete" audit.
+    "p83_keeper_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val cl = DedupOps.dupClusters(DedupOps.minhashLsh(d))
+      cl.join(d.select(col("doc_id"), col("n_chars").cast("long")
+            .as("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(col("doc_id"),
+            struct(col("n_chars"), (-col("doc_id")).as("neg")))
+            .as("keeper_doc"),
+          max(col("n_chars")).as("keeper_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("cluster_id"), col("cluster_size"), col("keeper_doc"),
+          col("keeper_chars"),
+          expr("total_chars - keeper_chars").as("dropped_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // dedup yield forecast: duplicate-CLUSTER size histogram — per size,
     // how many clusters and docs (plus the singleton row: total −
     // clustered) — the table that turns "we found N near-dup pairs" into
@@ -896,6 +921,44 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // p26's recursive closure + argmax via row_number over (n_chars
+    // desc, doc_id asc)
+    "p83_keeper_quality" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         prs AS (SELECT doc_a, doc_b FROM cand
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                    FROM reach GROUP BY u),
+         q AS (SELECT l.doc_id, l.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+               ORDER BY d.n_chars DESC, l.doc_id) AS rk
+           FROM labels l JOIN documents d USING (doc_id))
+         SELECT cluster_id, count(*) AS cluster_size,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS keeper_doc,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS keeper_chars,
+           CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+             AS BIGINT) AS dropped_chars
+         FROM q GROUP BY cluster_id ORDER BY cluster_id""",
     // p26's recursive transitive closure, rolled up into the histogram;
     // singleton row from the corpus total minus the clustered count
     "p82_cluster_sizes" ->

@@ -595,6 +595,34 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // period-over-period movers: each brand's revenue rank in the early
+    // vs late shipping period (split at 1998-01-01) and the rank delta —
+    // the "biggest climbers/fallers" report. Conditional-sum pivot in ONE
+    // pass over lineitem (no second scan), two windows over the tiny
+    // 25-brand rollup, ties broken (revenue desc, brand asc).
+    "q77_rank_movers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "lineitem").as("l")
+        .join(broadcast(t(s, dir, "part").as("p")),
+          col("l.l_partkey") === col("p.p_partkey"))
+        .select(col("p.p_brand").as("brand"),
+          (col("l.l_shipdate") < lit("1998-01-01").cast("timestamp"))
+            .as("early"),
+          (col("l.l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("brand"))
+        .agg(sum(when(col("early"), col("cents")).otherwise(0L)).as("rev_a"),
+          sum(when(!col("early"), col("cents")).otherwise(0L)).as("rev_b"))
+      val wa = Window.orderBy(col("rev_a").desc, col("brand"))
+      val wb = Window.orderBy(col("rev_b").desc, col("brand"))
+      per.withColumn("rank_a", row_number().over(wa).cast("long"))
+        .withColumn("rank_b", row_number().over(wb).cast("long"))
+        .select(col("brand"), col("rev_a"), col("rev_b"),
+          col("rank_a"), col("rank_b"),
+          expr("rank_a - rank_b").as("rank_gain"))
+        .orderBy(col("brand"))
+    }),
+
     // behavioral-sequence extraction: per user, the full event-type
     // sequence ordered by (event time, event id) as one string — the
     // input row of every sequence-mining / session-embedding job. The
@@ -1401,6 +1429,23 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // same conditional pivot + rank windows
+    "q77_rank_movers" ->
+      """WITH per AS (SELECT p_brand AS brand,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_a,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_b
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1)
+         SELECT brand, rev_a, rev_b,
+           row_number() OVER (ORDER BY rev_a DESC, brand) AS rank_a,
+           row_number() OVER (ORDER BY rev_b DESC, brand) AS rank_b,
+           row_number() OVER (ORDER BY rev_a DESC, brand)
+             - row_number() OVER (ORDER BY rev_b DESC, brand) AS rank_gain
+         FROM per ORDER BY brand""",
     // ordered string_agg is DuckDB's native form of the same sequence
     "q75_event_sequences" ->
       """SELECT user_id, count(*) AS n_events,

@@ -302,6 +302,7 @@ object StreamingExtraction {
       s"""p_user = c_user AND
           c_ts >= p_ts - INTERVAL $windowSeconds SECONDS AND
           c_ts <= p_ts"""), joinType)
-      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
   }
 }

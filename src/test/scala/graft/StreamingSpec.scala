@@ -138,6 +138,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(901L) === Some(902L)) // same-ts click joins (c_ts <= p_ts)
   }
 
+  test("stream-stream FULL OUTER interval join: both unmatched sides emit " +
+    "null-padded rows once the watermark closes their state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val out = StreamingExtraction.intervalJoinStream(
+      pStream.toDS().toDF("p_user", "p_ts", "p_id"),
+      cStream.toDS().toDF("c_user", "c_ts", "c_id"),
+      joinType = "fullOuter")
+    val q = out.writeStream.format("memory").queryName("ssj_full")
+      .outputMode("append").start()
+    // a purchase with no click (user 7) AND a click with no purchase
+    // (user 8) — full outer must eventually emit BOTH null-padded rows
+    pStream.addData(Seq((7L, ts(10), 701L)))
+    cStream.addData(Seq((8L, ts(10), 801L)))
+    q.processAllAvailable()
+    // advance both watermarks past the horizon + a flush batch
+    pStream.addData(Seq((9L, ts(20), 901L)))
+    cStream.addData(Seq((9L, ts(20), 902L)))
+    q.processAllAvailable()
+    pStream.addData(Seq((9L, ts(21), 903L)))
+    cStream.addData(Seq((9L, ts(21), 904L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_full").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(rows.contains((Some(701L), None)),
+      s"purchase-side outer row missing: $rows")
+    assert(rows.contains((None, Some(801L))),
+      s"click-side outer row missing: $rows")
+    assert(rows.contains((Some(901L), Some(902L)))) // matched pair intact
+  }
+
   test("session windows merge events within the gap, close on watermark, " +
     "emit once in append mode") {
     import spark.implicits._
