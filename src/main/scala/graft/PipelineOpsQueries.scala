@@ -502,6 +502,73 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // dedup threshold tuning table: pair yield of the exact-Jaccard
+    // detector at thresholds 50..90% — p78's tuning-census idea applied
+    // to the exact family. One pass over the already-thresholded (≥50%)
+    // pair stats; each pair fans out to the 5 threshold rows (a
+    // constant), so the sweep costs nothing beyond p22's join.
+    "p86_threshold_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      DedupOps.exactJaccardPairs(docs(s, dir))
+        .select(explode(array(lit(50L), lit(60L), lit(70L), lit(80L),
+          lit(90L))).as("threshold"), col("n_inter"), col("n_union"))
+        .where(expr("n_inter * 100 >= n_union * threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("threshold"))
+    }),
+
+    // bitext-mining candidate generation: cross-lingual pairs (en ×
+    // non-en) from the same source within a ±200-char length band — the
+    // blocking stage every translation-pair miner runs before expensive
+    // alignment scoring. The scale path is the banded bucket join (en
+    // side explodes to its 3 neighboring 200-char buckets, equi-join on
+    // (source, bucket), exact band re-check) — never source-wide
+    // all-pairs; each qualifying pair matches exactly one bucket value
+    // so no dedup pass is needed.
+    "p84_bitext_candidates" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("nc"))
+      val en = d.where(col("lang") === "en")
+        .select(col("doc_id").as("doc_a"), col("source"),
+          col("nc").as("nc_a"),
+          explode(array(expr("nc div 200 - 1"), expr("nc div 200"),
+            expr("nc div 200 + 1"))).as("bucket"))
+      val xx = d.where(col("lang") =!= "en")
+        .select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+          col("source"), col("nc").as("nc_b"),
+          expr("nc div 200").as("bucket"))
+      en.join(xx, Seq("source", "bucket"))
+        .where(expr("abs(nc_a - nc_b) <= 200"))
+        .select(col("doc_a"), col("doc_b"), col("lang_b"),
+          expr("abs(nc_a - nc_b)").as("len_diff"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // per-doc vocabulary novelty: the fraction (ppm) of a document's
+    // distinct tokens whose corpus-wide FIRST occurrence is this doc —
+    // the curriculum/crawl-frontier signal "is this doc still teaching
+    // the model new words". Same first-occurrence table as p81, joined
+    // back per doc; shuffles carry (doc, token) distinct rows only.
+    "p85_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .distinct()
+      val first = tok.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      tok.join(first, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_distinct"), col("n_novel"),
+          expr("n_novel * 1000000L div n_distinct").as("novelty_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality-aware dedup keeper selection: production dedup keeps the
     // BEST doc per near-dup cluster, not the min-id one — keeper =
     // argmax (n_chars, then min doc_id) via max_by over a packed struct
@@ -921,6 +988,55 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // exact pair stats rebuilt from shingle strings, swept by a range
+    // table
+    "p86_threshold_sweep" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pu AS (SELECT n_inter, (sa.n + sb.n - n_inter) AS n_union
+           FROM pairs
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b),
+         th AS (SELECT k * 10 AS threshold FROM range(5, 10) t(k))
+         SELECT CAST(threshold AS BIGINT) AS threshold,
+           count(*) AS n_pairs
+         FROM pu, th WHERE n_inter * 100 >= n_union * threshold
+         GROUP BY threshold ORDER BY threshold""",
+    // exact all-pairs formulation of the same band — independent of the
+    // engine's bucket blocking
+    "p84_bitext_candidates" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.lang AS lang_b,
+           CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS len_diff
+         FROM documents a JOIN documents b
+           ON a.source = b.source AND a.lang = 'en' AND b.lang <> 'en'
+          AND abs(a.n_chars - b.n_chars) <= 200
+         ORDER BY doc_a, doc_b""",
+    // same first-occurrence join, distinct (doc, token) grain
+    "p85_novelty" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+             (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents)),
+         first AS (SELECT tok, min(doc_id) AS first_doc FROM tok
+           GROUP BY tok)
+         SELECT t.doc_id, count(*) AS n_distinct,
+           CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0
+               END) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+             AS novelty_ppm
+         FROM tok t JOIN first f USING (tok)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     // p26's recursive closure + argmax via row_number over (n_chars
     // desc, doc_id asc)
     "p83_keeper_quality" ->

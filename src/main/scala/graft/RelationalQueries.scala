@@ -595,6 +595,74 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // customer-spend percentile bands per segment: percent_rank
+    // replicated in exact integer ppm ((rn−1)·10^6 div (n−1), the
+    // float-free twin of the builtin) and bucketed into deciles — the
+    // spend-distribution table behind tiering decisions. One window pass
+    // over the per-customer rollup, then a tiny band census.
+    "q80_percentile_bands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+        .join(t(s, dir, "customer").select(col("c_custkey").as("ck"),
+          col("c_mktsegment").as("segment")), "ck")
+      val rw = Window.partitionBy(col("segment"))
+        .orderBy(col("cents"), col("ck"))
+      val cw = Window.partitionBy(col("segment"))
+      spend
+        .withColumn("rn", row_number().over(rw).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .withColumn("pct_ppm",
+          expr("(rn - 1) * 1000000L div greatest(n - 1, 1L)"))
+        .select(col("segment"),
+          expr("least(pct_ppm div 100000L, 9L)").as("decile"),
+          col("cents"))
+        .groupBy(col("segment"), col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("segment"), col("decile"))
+    }),
+
+    // relational DIVISION (the classic operator Codd's algebra has and
+    // SQL doesn't): customers whose orders cover EVERY priority class,
+    // rolled up per market segment. count-distinct-equals-total
+    // formulation — one keyed agg per side, the 1-row universe count
+    // broadcast; no double-negated NOT EXISTS nesting at execution time.
+    "q79_division" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("ck"),
+        col("o_orderpriority").as("pri"))
+      val per = o.distinct().groupBy(col("ck"))
+        .agg(count(lit(1)).as("n_pri"))
+      per.crossJoin(broadcast(
+          o.select(col("pri")).distinct().agg(count(lit(1)).as("total_pri"))))
+        .where(col("n_pri") === col("total_pri"))
+        .join(t(s, dir, "customer").select(col("c_custkey").as("ck"),
+          col("c_mktsegment").as("segment")), "ck")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_complete_customers"))
+        .orderBy(col("segment"))
+    }),
+
+    // rolling DISTINCT count — 3-day active users per day. Windows can't
+    // dedup, so the classic rewrite: distinct (user, day) once, then each
+    // activity row serves every target day in [day, day+2] via a 3-row
+    // band join against the broadcast day list, and one count-distinct
+    // per target day. Shuffle carries |distinct (user,day)| × 3 rows —
+    // never the raw event stream.
+    "q78_rolling_distinct" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("d"))
+        .distinct()
+      val days = base.select(col("d").as("td")).distinct()
+      base.join(broadcast(days),
+          col("td") >= col("d") && col("td") <= col("d") + 2)
+        .groupBy(col("td"))
+        .agg(countDistinct(col("user_id")).as("active_users_3d"))
+        .orderBy(col("td"))
+    }),
+
     // period-over-period movers: each brand's revenue rank in the early
     // vs late shipping period (split at 1998-01-01) and the rank delta —
     // the "biggest climbers/fallers" report. Conditional-sum pivot in ONE
@@ -1429,6 +1497,44 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // identical integer percent-rank replica and band census
+    "q80_percentile_bands" ->
+      """WITH spend AS (SELECT o_custkey AS ck,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         s2 AS (SELECT c_mktsegment AS segment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY cents, ck) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM spend JOIN customer ON c_custkey = ck),
+         b AS (SELECT segment, cents,
+             least((rn - 1) * 1000000 // greatest(n - 1, 1) // 100000, 9)
+               AS decile
+           FROM s2)
+         SELECT segment, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM b GROUP BY 1, 2 ORDER BY segment, decile""",
+    // the division as count-distinct-equals-universe, independent joins
+    "q79_division" ->
+      """WITH pc AS (SELECT o_custkey AS ck,
+             count(DISTINCT o_orderpriority) AS n_pri
+           FROM orders GROUP BY 1),
+         tot AS (SELECT count(DISTINCT o_orderpriority) AS total_pri
+           FROM orders)
+         SELECT c_mktsegment AS segment, count(*) AS n_complete_customers
+         FROM pc CROSS JOIN tot
+         JOIN customer ON c_custkey = pc.ck
+         WHERE n_pri = total_pri GROUP BY 1 ORDER BY 1""",
+    // same distinct-then-band-join rewrite
+    "q78_rolling_distinct" ->
+      """WITH base AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         days AS (SELECT DISTINCT d AS td FROM base)
+         SELECT CAST(td AS BIGINT) AS td,
+           count(DISTINCT user_id) AS active_users_3d
+         FROM base JOIN days ON td >= d AND td <= d + 2
+         GROUP BY td ORDER BY td""",
     // same conditional pivot + rank windows
     "q77_rank_movers" ->
       """WITH per AS (SELECT p_brand AS brand,

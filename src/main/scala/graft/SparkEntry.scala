@@ -114,6 +114,8 @@ object SparkEntry {
     s"/tmp/graft_media_skew_dump_${docCountFor(dir)}"
   def costTopkDumpPath(dir: String): String =
     s"/tmp/graft_cost_topk_dump_${docCountFor(dir)}"
+  def rescueDumpPath(dir: String): String =
+    s"/tmp/graft_rescue_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -453,6 +455,38 @@ object SparkEntry {
       graft.ops.InterleaveOps.kindTransitions(docs)
     }),
 
+    // Donut-fallback rescue census: per plain-mode type, how many docs
+    // the fallback RESCUES (plain-invalid → donut-valid) vs BREAKS
+    // (plain-valid → donut-invalid), with the rescue rate in ppm — the
+    // one-number justification for paying the fallback kernel's cost on
+    // the Unknown route. Directional itemization of x21's flip count;
+    // both runs' scalars dump mode-tagged, the oracle re-pivots the
+    // identical bytes.
+    "x25_donut_rescue" -> ((s, dir) => {
+      def proj(m: String, df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("document_type"),
+          when(col("is_valid"), 1L).otherwise(0L).as("valid"),
+          lit(m).as("mode"))
+      proj("plain", ExtractionPipeline.run(docTable(s, dir)).toDF())
+        .unionByName(proj("donut",
+          ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF()))
+        .write.mode("overwrite").parquet(rescueDumpPath(dir))
+      s.read.parquet(rescueDumpPath(dir))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("mode") === "plain", col("document_type")))
+            .as("t_plain"),
+          max(when(col("mode") === "plain", col("valid"))).as("v_plain"),
+          max(when(col("mode") === "donut", col("valid"))).as("v_donut"))
+        .groupBy(col("t_plain").as("document_type")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("v_plain") === 0L && col("v_donut") === 1L, 1L)
+            .otherwise(0L)).as("n_rescued"),
+          sum(when(col("v_plain") === 1L && col("v_donut") === 0L, 1L)
+            .otherwise(0L)).as("n_broken"))
+        .withColumn("rescue_ppm", expr("n_rescued * 1000000L div n_docs"))
+        .orderBy(col("document_type"))
+    }),
+
     // operational skew watchlist: the 5 costliest documents per extracted
     // type under the kernel cost model (text chars + 4096 per media span,
     // the decode surrogate's unit charge). Grouped top-k rides the
@@ -597,6 +631,24 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // rescue/break pivot recomputed from the mode-tagged dump
+      "x25_donut_rescue" ->
+        s"""WITH per AS (SELECT doc_id,
+               max(CASE WHEN mode = 'plain' THEN document_type END)
+                 AS t_plain,
+               max(CASE WHEN mode = 'plain' THEN valid END) AS v_plain,
+               max(CASE WHEN mode = 'donut' THEN valid END) AS v_donut
+             FROM read_parquet('${rescueDumpPath(dir)}/*.parquet')
+             GROUP BY doc_id)
+           SELECT t_plain AS document_type, count(*) AS n_docs,
+             CAST(sum(CASE WHEN v_plain = 0 AND v_donut = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued,
+             CAST(sum(CASE WHEN v_plain = 1 AND v_donut = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
+             CAST(CAST(sum(CASE WHEN v_plain = 0 AND v_donut = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+               AS BIGINT) AS rescue_ppm
+           FROM per GROUP BY t_plain ORDER BY t_plain""",
       // per-type ranking recomputed from the dumped per-doc costs with
       // the same (cost desc, doc_id asc) total order
       "x24_cost_topk" ->

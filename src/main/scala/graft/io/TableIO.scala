@@ -153,6 +153,23 @@ object TableIO {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** CSV twin of `readJsonlFlagged`: PERMISSIVE parse with the raw line
+    * quarantined into `_corrupt_record` on type mismatch or column-count
+    * underflow — ingest never dies on one bad row, and the quarantine
+    * column routes to a rejects sink. Same caveat as JSONL: keep a data
+    * column in the projection or the lazy corrupt-column rule drops the
+    * flagging. */
+  def readCsvFlagged(spark: SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(if (schema.fieldNames.contains("_corrupt_record")) schema
+              else schema.add("_corrupt_record",
+                org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", "false")
+      .csv(path)
+
   /** Small-file COMPACTION — the Iceberg `rewrite_data_files` analogue and
     * the table-maintenance step every long-running ingest needs: streaming
     * micro-batches and per-task writers leave thousands of KB-sized files,

@@ -45,7 +45,14 @@ object PlanSweep {
       "p81_vocab_growth" -> Set("BroadcastNestedLoop"),
       // p82's singleton row crosses the 1-row corpus total into the 1-row
       // clustered count — two 1-row aggregates
-      "p82_cluster_sizes" -> Set("BroadcastNestedLoop"))
+      "p82_cluster_sizes" -> Set("BroadcastNestedLoop"),
+      // q79 crosses the 1-row priority-universe count into the per-
+      // customer distinct counts — the division's broadcast constant
+      "q79_division" -> Set("BroadcastNestedLoop"),
+      // q78's non-equi 3-day band join probes the broadcast DAY LIST
+      // (≤ |distinct days| rows, a calendar-bounded constant) — the
+      // keyless small-build-side class again
+      "q78_rolling_distinct" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

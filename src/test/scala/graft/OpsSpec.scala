@@ -1097,6 +1097,31 @@ class OpsSpec extends AnyFunSuite {
     assert(bad === lines.slice(2, 4).sorted)
   }
 
+  test("csv corrupt-record routing: type-mismatched and short rows " +
+    "quarantined with their raw line, good rows parse") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_io_csv").toString
+    val lines = Seq(
+      "1,ok1,10",
+      "2,ok2,20",
+      "x,bad-id,30", // type mismatch on id
+      "4,ok3,40")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", LongType)))
+    val flagged = graft.io.TableIO.readCsvFlagged(spark, base, schema)
+    val good = flagged.where(col("_corrupt_record").isNull)
+      .select("id", "name", "v").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(good === Seq((1L, "ok1", 10L), (2L, "ok2", 20L),
+      (4L, "ok3", 40L)))
+    val bad = flagged.where(col("_corrupt_record").isNotNull)
+      .select(col("id"), col("_corrupt_record"))
+      .collect().map(_.getString(1)).toSeq
+    assert(bad === Seq("x,bad-id,30"))
+  }
+
   test("salted skew join: row-identical to the plain join, heavy key spread") {
     // key 7 carries 60% of probe rows (the skew); dim is small
     val probe = ((1L to 600L).map(i => (7L, i)) ++
