@@ -595,6 +595,47 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // time-weighted average (TWAP) components per user: the step-function
+    // integral Σ value·Δt over consecutive events, kept as the exact
+    // integer pair (µs·cents numerator, µs denominator) — no division.
+    // One lead() window pass ordered by (ts, event_id); products stay
+    // ≤ ~1e17 for month-long user histories (documented headroom).
+    "q81_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id").cast("long").as("eid"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("eid"))
+      ev.withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(expr("cents * (next_us - us)")).as("twap_num"),
+          sum(expr("next_us - us")).as("twap_den"))
+        .orderBy(col("user_id"))
+    }),
+
+    // LATERAL correlated subquery join (the SQL-standard operator behind
+    // "top-N per outer row"): each customer's 2 priciest orders via a
+    // literal LATERAL (... ORDER BY ... LIMIT 2) — Catalyst's
+    // decorrelation turns it into the ranked join; written as SQL so the
+    // LATERAL surface itself is what executes, not a hand-built window.
+    "q82_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g82_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g82_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.okey, t.price_c
+        FROM g82_customer c, LATERAL (
+          SELECT o_orderkey AS okey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c
+          FROM g82_orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY price_c DESC, okey LIMIT 2) t
+        ORDER BY c.c_custkey, price_c DESC, okey""")
+    }),
+
     // customer-spend percentile bands per segment: percent_rank
     // replicated in exact integer ppm ((rn−1)·10^6 div (n−1), the
     // float-free twin of the builtin) and bucketed into deciles — the
@@ -1497,6 +1538,29 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // identical lead()-window integral
+    "q81_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         l AS (SELECT user_id, cents,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, eid) - us
+               AS gap
+           FROM e)
+         SELECT user_id, count(*) AS n_segments,
+           CAST(sum(cents * gap) AS BIGINT) AS twap_num,
+           CAST(sum(gap) AS BIGINT) AS twap_den
+         FROM l WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    // DuckDB's own LATERAL execution of the same correlated top-2
+    "q82_lateral_topk" ->
+      """SELECT c.c_custkey, t.okey, t.price_c
+         FROM customer c, LATERAL (
+           SELECT o_orderkey AS okey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS price_c
+           FROM orders o WHERE o.o_custkey = c.c_custkey
+           ORDER BY price_c DESC, okey LIMIT 2) t
+         ORDER BY c.c_custkey, price_c DESC, okey""",
     // identical integer percent-rank replica and band census
     "q80_percentile_bands" ->
       """WITH spend AS (SELECT o_custkey AS ck,

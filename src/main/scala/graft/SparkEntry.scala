@@ -116,6 +116,8 @@ object SparkEntry {
     s"/tmp/graft_cost_topk_dump_${docCountFor(dir)}"
   def rescueDumpPath(dir: String): String =
     s"/tmp/graft_rescue_dump_${docCountFor(dir)}"
+  def spanLenDumpPath(dir: String): String =
+    s"/tmp/graft_span_len_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -455,6 +457,37 @@ object SparkEntry {
       graft.ops.InterleaveOps.kindTransitions(docs)
     }),
 
+    // schema-drift watch over the interleaved payload: exact p50/p90/p99
+    // span text lengths per span kind (rank-method percentiles, value at
+    // rank ⌈n·k/100⌉) — the alert table for "media captions suddenly
+    // doubled" / "text spans collapsed". Rank window runs per kind over
+    // the dumped (kind, len) rows; tie order among equal lengths cannot
+    // change the value picked at a rank position.
+    "x26_span_len_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      docTable(s, dir).flatMap(d => d.spans.iterator.map(sp =>
+          (sp.kind, Option(sp.text).map(_.length.toLong).getOrElse(0L))))
+        .toDF("kind", "len")
+        .write.mode("overwrite").parquet(spanLenDumpPath(dir))
+      val d = s.read.parquet(spanLenDumpPath(dir))
+      val ranked = d
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col("kind")).orderBy(col("len")))
+          .cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("kind"))))
+      ranked.groupBy(col("kind")).agg(
+          max(col("n")).as("n_spans"),
+          max(when(expr("rn = (n * 50 + 99) div 100"), col("len")))
+            .as("p50_len"),
+          max(when(expr("rn = (n * 90 + 99) div 100"), col("len")))
+            .as("p90_len"),
+          max(when(expr("rn = (n * 99 + 99) div 100"), col("len")))
+            .as("p99_len"))
+        .orderBy(col("kind"))
+    }),
+
     // Donut-fallback rescue census: per plain-mode type, how many docs
     // the fallback RESCUES (plain-invalid → donut-valid) vs BREAKS
     // (plain-valid → donut-invalid), with the rescue rate in ppm — the
@@ -631,6 +664,21 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // same rank-method percentiles over the dumped lengths
+      "x26_span_len_percentiles" ->
+        s"""WITH d AS (SELECT kind, len
+               FROM read_parquet('${spanLenDumpPath(dir)}/*.parquet')),
+           ranked AS (SELECT kind, len,
+               row_number() OVER (PARTITION BY kind ORDER BY len) AS rn,
+               count(*) OVER (PARTITION BY kind) AS n FROM d)
+           SELECT kind, CAST(max(n) AS BIGINT) AS n_spans,
+             CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN len END)
+               AS BIGINT) AS p50_len,
+             CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN len END)
+               AS BIGINT) AS p90_len,
+             CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN len END)
+               AS BIGINT) AS p99_len
+           FROM ranked GROUP BY kind ORDER BY kind""",
       // rescue/break pivot recomputed from the mode-tagged dump
       "x25_donut_rescue" ->
         s"""WITH per AS (SELECT doc_id,
