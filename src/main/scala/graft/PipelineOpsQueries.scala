@@ -502,6 +502,33 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // near-dup locality census: are duplicate pairs INTRA-source or
+    // CROSS-source? If the mass is intra, 100-TB dedup can shard by
+    // source (an embarrassingly-parallel restart of the whole family);
+    // if cross, it must stay global. Pair set from p22's inverted index,
+    // two broadcast-able source lookups, distinct involved docs per
+    // class via one explode.
+    "p87_dup_affinity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      val pairs = DedupOps.exactJaccardPairs(d)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b")
+        .select(when(col("src_a") === col("src_b"), "intra")
+          .otherwise("cross").as("affinity"),
+          col("doc_a"), col("doc_b"))
+      pairs
+        .select(col("affinity"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy(col("affinity"))
+        .agg(expr("count(1) div 2").as("n_pairs"),
+          countDistinct(col("doc_id")).as("n_docs_involved"))
+        .orderBy(col("affinity"))
+    }),
+
     // dedup threshold tuning table: pair yield of the exact-Jaccard
     // detector at thresholds 50..90% — p78's tuning-census idea applied
     // to the exact family. One pass over the already-thresholded (≥50%)
@@ -988,6 +1015,34 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // same pair set from shingle strings, source lookup, per-class census
+    "p87_dup_affinity" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (SELECT doc_a, doc_b FROM pairs
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50),
+         aff AS (SELECT CASE WHEN da.source = db.source THEN 'intra'
+               ELSE 'cross' END AS affinity, doc_a, doc_b
+           FROM prs
+           JOIN documents da ON da.doc_id = doc_a
+           JOIN documents db ON db.doc_id = doc_b),
+         ex AS (SELECT affinity, doc_a AS doc_id FROM aff
+                UNION ALL SELECT affinity, doc_b FROM aff)
+         SELECT affinity, count(*) // 2 AS n_pairs,
+           count(DISTINCT doc_id) AS n_docs_involved
+         FROM ex GROUP BY affinity ORDER BY affinity""",
     // exact pair stats rebuilt from shingle strings, swept by a range
     // table
     "p86_threshold_sweep" ->

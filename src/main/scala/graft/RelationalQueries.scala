@@ -595,6 +595,46 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
+    // and char mass per single-digit root over the decimal ancestor tree
+    // — q62 computes this rollup by exploding ancestor chains; here the
+    // SQL-standard recursive CTE surface itself executes, seeded at the
+    // roots, the recursive arm guarded (doc_id >= 10) so the loop
+    // terminates at the tree depth (≤ log10 |docs| iterations, each one
+    // joined and unioned by the engine).
+    "q83_recursive_rollup" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("g83_docs")
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT doc_id, doc_id AS root, n_chars FROM g83_docs
+          WHERE doc_id < 10
+          UNION ALL
+          SELECT c.doc_id, a.root, c.n_chars FROM g83_docs c JOIN anc a
+          ON c.doc_id DIV 10 = a.doc_id WHERE c.doc_id >= 10
+        )
+        SELECT root, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM anc GROUP BY root ORDER BY root""")
+    }),
+
+    // grouped argmax / per-key mode: each user's FAVORITE event type
+    // (max count, ties to the lexicographically first type), censused per
+    // favorite — "dominant behavior" segmentation. min_by over the packed
+    // (-count, type) ordering struct does the argmax in ONE keyed agg, no
+    // per-user window funnel.
+    "q84_favorite_type" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      cnt.groupBy(col("user_id"))
+        .agg(min_by(struct(col("event_type"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("event_type"))).as("fav"))
+        .groupBy(col("fav.event_type").as("favorite"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("fav.cnt")).as("sum_fav_events"))
+        .orderBy(col("favorite"))
+    }),
+
     // time-weighted average (TWAP) components per user: the step-function
     // integral Σ value·Δt over consecutive events, kept as the exact
     // integer pair (µs·cents numerator, µs denominator) — no division.
@@ -1538,6 +1578,28 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // DuckDB's native recursive CTE over the identical tree
+    "q83_recursive_rollup" ->
+      """WITH RECURSIVE anc AS (
+           SELECT doc_id, doc_id AS root, n_chars FROM documents
+           WHERE doc_id < 10
+           UNION ALL
+           SELECT c.doc_id, a.root, c.n_chars FROM documents c JOIN anc a
+           ON c.doc_id // 10 = a.doc_id WHERE c.doc_id >= 10
+         )
+         SELECT root, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM anc GROUP BY root ORDER BY root""",
+    // argmax via ranked window — independent of the engine's min_by plan
+    "q84_favorite_type" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY cnt DESC, event_type) AS rk FROM c)
+         SELECT event_type AS favorite, count(*) AS n_users,
+           CAST(sum(cnt) AS BIGINT) AS sum_fav_events
+         FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""",
     // identical lead()-window integral
     "q81_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
