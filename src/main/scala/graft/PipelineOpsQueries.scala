@@ -502,6 +502,30 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // shard manifest with content ETAGS: per (epoch, shard) of p45's
+    // deterministic assignment, an order-insensitive content hash —
+    // bit_xor of per-doc md5-low63 — plus the doc count. Re-reading one
+    // shard and xoring its doc hashes reproduces the etag, so shard
+    // drift/corruption is detectable without comparing row sets; xor is
+    // commutative/associative, i.e. partial-aggregable map-side like any
+    // sum. (A wrap-around SUM etag would trip ANSI overflow; xor can't.)
+    "p88_shard_etags" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val h = TextOps.md5Low63(text)
+          Iterator.tabulate(2) { e =>
+            (e.toLong, TextOps.md5Low63(id.toString + ":" + e) % 16, h)
+          }
+        }
+        .toDF("epoch", "shard", "h")
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("etag"))
+        .orderBy(col("epoch"), col("shard"))
+    }),
+
     // near-dup locality census: are duplicate pairs INTRA-source or
     // CROSS-source? If the mass is intra, 100-TB dedup can shard by
     // source (an embarrassingly-parallel restart of the whole family);
@@ -1015,6 +1039,18 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // identical md5-low63 hashes and xor etags via DuckDB bit_xor
+    "p88_shard_etags" ->
+      """WITH x AS (SELECT e.k AS epoch,
+             CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(e.k AS VARCHAR)) & 9223372036854775807) % 16
+               AS BIGINT) AS shard,
+             CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT)
+               AS h
+           FROM documents, range(0, 2) e(k))
+         SELECT CAST(epoch AS BIGINT) AS epoch, shard, count(*) AS n_docs,
+           CAST(bit_xor(h) AS BIGINT) AS etag
+         FROM x GROUP BY 1, 2 ORDER BY epoch, shard""",
     // same pair set from shingle strings, source lookup, per-class census
     "p87_dup_affinity" ->
       """WITH toks AS (SELECT doc_id,

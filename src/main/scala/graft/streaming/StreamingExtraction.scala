@@ -305,4 +305,39 @@ object StreamingExtraction {
       .select(col("p_id"), col("c_id"),
         coalesce(col("p_user"), col("c_user")).as("user_id"))
   }
+
+  /** Running per-key event count on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `mapGroupsWithState` (typed
+    * `ValueState`/`ListState`/`MapState` handles, per-state TTL, timers)
+    * and requires the RocksDB state store, the provider a 10^12-key
+    * deployment runs anyway (state spills off-heap instead of living in
+    * executor memory). The processor keeps one `ValueState[Long]` per
+    * key; each micro-batch emits the updated running count. */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  /** `transformWithState` driver for [[RunningCountProcessor]] over
+    * (user_id, event_id) rows. */
+  def runningCountsTws(events: Dataset[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
 }

@@ -138,6 +138,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(901L) === Some(902L)) // same-ts click joins (c_ts <= p_ts)
   }
 
+  test("transformWithState running count: ValueState persists across " +
+    "micro-batches in the RocksDB state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val st = MemoryStream[(Long, Long)]
+      st.addData(Seq((1L, 10L), (1L, 11L), (2L, 20L)))
+      val q = StreamingExtraction.runningCountsTws(st.toDS())
+        .writeStream.format("memory").queryName("tws_counts")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      st.addData(Seq((1L, 12L), (3L, 30L)))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      assert(last === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream FULL OUTER interval join: both unmatched sides emit " +
     "null-padded rows once the watermark closes their state") {
     import spark.implicits._
