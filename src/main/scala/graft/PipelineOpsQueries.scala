@@ -29,6 +29,10 @@ object PipelineOpsQueries {
     s"/tmp/graft_ivf_assign_${SparkEntry.docCountFor(dir)}"
   def ivfProbePath(dir: String): String =
     s"/tmp/graft_ivf_probe_${SparkEntry.docCountFor(dir)}"
+  def ivfSweepAssignPath(dir: String): String =
+    s"/tmp/graft_ivf_sweep_assign_${SparkEntry.docCountFor(dir)}"
+  def ivfSweepProbePath(dir: String): String =
+    s"/tmp/graft_ivf_sweep_probe_${SparkEntry.docCountFor(dir)}"
 
   def multiBucketDumpPath(dir: String): String =
     s"/tmp/graft_lsh_multi_${SparkEntry.docCountFor(dir)}"
@@ -500,6 +504,39 @@ object PipelineOpsQueries {
         .withColumn("precision_pct",
           expr("n_true_dups * 100L div n_pairs"))
         .orderBy(col("hamming"))
+    }),
+
+    // IVF tuning table: recall@10 against the exact brute-force ranking
+    // as nprobe sweeps 1 → 2 → 4 — THE accuracy/cost trade-off of the
+    // 10^12-row ANN path (candidates scale with nprobe/k). Assignment +
+    // ranked probe lists dump once; each sweep point reuses them. The
+    // cosine is bit-matched between engines (established by p07), so
+    // hit counts are exact, not approximate.
+    "p89_ivf_recall_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val cs = graft.ops.IvfOps.train(e)
+      graft.ops.IvfOps.assign(e, cs)
+        .write.mode("overwrite").parquet(ivfSweepAssignPath(dir))
+      Seq(1, 2, 4).map(n => graft.ops.IvfOps.probes(e, cs, numQueries = 10,
+          nprobe = n).withColumn("nprobe", lit(n.toLong)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(ivfSweepProbePath(dir))
+      val assigned = s.read.parquet(ivfSweepAssignPath(dir))
+      val probed = s.read.parquet(ivfSweepProbePath(dir))
+      val brute = SimilarityOps.bruteTopK(e)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1L, 2L, 4L).map { n =>
+        graft.ops.IvfOps.topKFrom(e, assigned,
+            probed.where(col("nprobe") === n)
+              .select(col("query_id"), col("cell")),
+            numQueries = 10, topK = 10)
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(n).as("nprobe"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
+        .orderBy(col("nprobe"))
     }),
 
     // shard manifest with content ETAGS: per (epoch, shard) of p45's
@@ -1039,6 +1076,41 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // candidate sets from the dumped assignment/probe tables, re-ranked
+    // by DuckDB's own cosine, intersected with its own brute ranking
+    "p89_ivf_recall_sweep" ->
+      s"""WITH a AS (SELECT * FROM
+             read_parquet('${ivfSweepAssignPath(dir)}/*.parquet')),
+         p AS (SELECT * FROM
+             read_parquet('${ivfSweepProbePath(dir)}/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         cand AS (SELECT p.nprobe, p.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)
+               AS score
+           FROM embeddings e
+           JOIN a ON e.vec_id = a.vec_id
+           JOIN p ON a.cell = p.cell
+           JOIN q ON q.query_id = p.query_id
+           WHERE e.vec_id <> p.query_id),
+         ivf AS (SELECT nprobe, query_id, neighbor_id FROM (
+             SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                 ORDER BY score DESC, neighbor_id) AS rk FROM cand)
+           WHERE rk <= 10),
+         brute AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   q.q_emb) DESC, e.vec_id) AS rk
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.query_id)
+           WHERE rk <= 10)
+         SELECT CAST(i.nprobe AS BIGINT) AS nprobe,
+           count(*) AS n_hits,
+           CAST(count(*) * 1000000 // 100 AS BIGINT) AS recall_ppm
+         FROM ivf i JOIN brute USING (query_id, neighbor_id)
+         GROUP BY 1 ORDER BY nprobe""",
     // identical md5-low63 hashes and xor etags via DuckDB bit_xor
     "p88_shard_etags" ->
       """WITH x AS (SELECT e.k AS epoch,

@@ -52,7 +52,10 @@ object PlanSweep {
       // q78's non-equi 3-day band join probes the broadcast DAY LIST
       // (≤ |distinct days| rows, a calendar-bounded constant) — the
       // keyless small-build-side class again
-      "q78_rolling_distinct" -> Set("BroadcastNestedLoop"))
+      "q78_rolling_distinct" -> Set("BroadcastNestedLoop"),
+      // p89 embeds p07's documented broadcast-query-set brute ranking as
+      // its recall ground truth — the same keyless plan class as p07
+      "p89_ivf_recall_sweep" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
