@@ -33,6 +33,13 @@ class PlanSpec extends AnyFunSuite {
         Seq("en", "fr")(i % 2), s"src${i % 3}", 30L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    (0 until 300).map { i =>
+      ((i % 90).toLong, (i % 25).toLong, (i % 7).toLong, 1.0 + i % 5,
+        50.0 + i, Seq("A", "N", "R")(i % 3),
+        new java.sql.Timestamp(ts0.getTime + i * 43200000L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     d
   }
 
@@ -211,6 +218,38 @@ class PlanSpec extends AnyFunSuite {
       s"plan:\n$plan")
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
       s"plan:\n$plan")
+  }
+
+  test("q69 co-purchase: the basket self-join REUSES the distinct " +
+    "item-set exchange (one scan side shuffled once, not twice) and the " +
+    "top-100 compiles to TakeOrderedAndProject, never a global sort") {
+    val df = RelationalQueries.queries("q69_copurchase")(spark, dir)
+    val plan = staticPlan(df)
+    val s = plan.toString
+    assert(s.contains("ReusedExchange"), s"plan:\n$plan")
+    assert(s.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!s.contains("Sort ["), s"global sort leaked:\n$plan")
+  }
+
+  test("q72 weighted median: per-price pre-agg, then BOTH windows and the " +
+    "final rollup share the flag partitioning — two keyed shuffles " +
+    "(the only other exchange is the presentation orderBy's range split)") {
+    val df = RelationalQueries.queries("q72_weighted_median")(spark, dir)
+    val plan = staticPlan(df)
+    val keyed = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }.size
+    assert(keyed === 2, s"plan:\n$plan")
+    assert(df.count() === 3)
+  }
+
+  test("q83 recursive CTE executes via UnionLoopExec (Spark 4's native " +
+    "recursion), not a hand-unrolled union") {
+    val df = RelationalQueries.queries("q83_recursive_rollup")(spark, dir)
+    val plan = staticPlan(df)
+    assert(plan.toString.contains("UnionLoop"), s"plan:\n$plan")
+    assert(df.count() === 10)
   }
 
   test("thresholdPairs: one narrow pass — zero shuffles in the pair kernel") {
