@@ -118,6 +118,8 @@ object SparkEntry {
     s"/tmp/graft_rescue_dump_${docCountFor(dir)}"
   def spanLenDumpPath(dir: String): String =
     s"/tmp/graft_span_len_dump_${docCountFor(dir)}"
+  def errorParetoDumpPath(dir: String): String =
+    s"/tmp/graft_error_pareto_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -457,6 +459,33 @@ object SparkEntry {
       graft.ops.InterleaveOps.kindTransitions(docs)
     }),
 
+    // validation-failure PARETO cut: x18 counts every (type, error) cell;
+    // this ranks the failures within each type and carries the cumulative
+    // coverage in ppm — "which 2 error kinds explain 80% of this type's
+    // failures" is read straight off the cum_ppm column, which is what
+    // triage actually consumes. Failures only; one keyed agg + one
+    // window pass over the tiny (type, error) rollup.
+    "x28_error_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("document_type"), col("validation_error"))
+        .where(col("validation_error").isNotNull)
+        .write.mode("overwrite").parquet(errorParetoDumpPath(dir))
+      val cnt = s.read.parquet(errorParetoDumpPath(dir))
+        .groupBy(col("document_type"), col("validation_error"))
+        .agg(count(lit(1)).as("n"))
+      val ord = Window.partitionBy(col("document_type"))
+        .orderBy(col("n").desc, col("validation_error"))
+      val tot = Window.partitionBy(col("document_type"))
+      cnt.withColumn("rnk", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(tot))
+        .select(col("document_type"), col("rnk"), col("validation_error"),
+          col("n"), expr("cum * 1000000L div total").as("cum_ppm"))
+        .orderBy(col("document_type"), col("rnk"))
+    }),
+
     // schema-drift watch over the interleaved payload: exact p50/p90/p99
     // span text lengths per span kind (rank-method percentiles, value at
     // rank ⌈n·k/100⌉) — the alert table for "media captions suddenly
@@ -664,6 +693,24 @@ object SparkEntry {
            CAST(sum(n_spans) AS BIGINT) AS sum_spans
            FROM read_parquet('${extractDumpPath(dir)}/*.parquet')
            GROUP BY 1 ORDER BY conf_bucket""",
+      // same ranked cumulative pivot over the dumped failures
+      "x28_error_pareto" ->
+        s"""WITH c AS (SELECT document_type, validation_error, count(*) AS n
+               FROM read_parquet('${errorParetoDumpPath(dir)}/*.parquet')
+               GROUP BY 1, 2),
+           r AS (SELECT document_type, validation_error, n,
+               row_number() OVER (PARTITION BY document_type
+                 ORDER BY n DESC, validation_error) AS rnk,
+               sum(n) OVER (PARTITION BY document_type
+                 ORDER BY n DESC, validation_error
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY document_type) AS total
+             FROM c)
+           SELECT document_type, CAST(rnk AS BIGINT) AS rnk,
+             validation_error, CAST(n AS BIGINT) AS n,
+             CAST(CAST(cum AS BIGINT) * 1000000 // CAST(total AS BIGINT)
+               AS BIGINT) AS cum_ppm
+           FROM r ORDER BY document_type, rnk""",
       // same rank-method percentiles over the dumped lengths
       "x26_span_len_percentiles" ->
         s"""WITH d AS (SELECT kind, len
