@@ -524,8 +524,11 @@ object PipelineOpsQueries {
         .write.mode("overwrite").parquet(ivfSweepProbePath(dir))
       val assigned = s.read.parquet(ivfSweepAssignPath(dir))
       val probed = s.read.parquet(ivfSweepProbePath(dir))
+      // materialized once — three sweep branches reuse it (p82's idiom);
+      // without this the full brute cross join re-executes per branch
       val brute = SimilarityOps.bruteTopK(e)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
       Seq(1L, 2L, 4L).map { n =>
         graft.ops.IvfOps.topKFrom(e, assigned,
             probed.where(col("nprobe") === n)
@@ -1105,12 +1108,17 @@ object PipelineOpsQueries {
                    q.q_emb) DESC, e.vec_id) AS rk
              FROM embeddings e CROSS JOIN q
              WHERE e.vec_id <> q.query_id)
-           WHERE rk <= 10)
-         SELECT CAST(i.nprobe AS BIGINT) AS nprobe,
-           count(*) AS n_hits,
-           CAST(count(*) * 1000000 // 100 AS BIGINT) AS recall_ppm
-         FROM ivf i JOIN brute USING (query_id, neighbor_id)
-         GROUP BY 1 ORDER BY nprobe""",
+           WHERE rk <= 10),
+         hits AS (SELECT i.nprobe, count(*) AS n_hits
+           FROM ivf i JOIN brute USING (query_id, neighbor_id)
+           GROUP BY 1),
+         levels AS (SELECT DISTINCT nprobe FROM p)
+         SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 100 AS BIGINT)
+             AS recall_ppm
+         FROM levels l LEFT JOIN hits h ON l.nprobe = h.nprobe
+         ORDER BY nprobe""",
     // identical md5-low63 hashes and xor etags via DuckDB bit_xor
     "p88_shard_etags" ->
       """WITH x AS (SELECT e.k AS epoch,

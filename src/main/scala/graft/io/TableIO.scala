@@ -155,10 +155,15 @@ object TableIO {
 
   /** CSV twin of `readJsonlFlagged`: PERMISSIVE parse with the raw line
     * quarantined into `_corrupt_record` on type mismatch or column-count
-    * underflow — ingest never dies on one bad row, and the quarantine
-    * column routes to a rejects sink. Same caveat as JSONL: keep a data
-    * column in the projection or the lazy corrupt-column rule drops the
-    * flagging. */
+    * underflow (the short row still carries its parsed prefix, missing
+    * trailing columns null-padded) — ingest never dies on one bad row,
+    * and the quarantine column routes to a rejects sink. The JSONL
+    * caveat bites HARDER here (spec-pinned): CSV parses only the
+    * projected columns, so whether a short row is flagged depends on
+    * the projection — a query that prunes the missing column sees no
+    * corruption. Persist/cache the full frame BEFORE filtering on
+    * `_corrupt_record` (Spark's own documented contract for this
+    * column). */
   def readCsvFlagged(spark: SparkSession, path: String,
                      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read

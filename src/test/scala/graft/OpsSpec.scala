@@ -1097,20 +1097,26 @@ class OpsSpec extends AnyFunSuite {
     assert(bad === lines.slice(2, 4).sorted)
   }
 
-  test("csv corrupt-record routing: type-mismatched and short rows " +
-    "quarantined with their raw line, good rows parse") {
+  test("csv corrupt-record routing: type-mismatched AND short rows " +
+    "quarantined with their raw line once the frame is persisted " +
+    "(projection-dependent flagging is the pinned CSV trap)") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_io_csv").toString
     val lines = Seq(
       "1,ok1,10",
       "2,ok2,20",
       "x,bad-id,30", // type mismatch on id
+      "5,only-two", // column-count underflow
       "4,ok3,40")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.csv"),
       lines.mkString("\n").getBytes("UTF-8"))
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("name", StringType), StructField("v", LongType)))
+    // persist BEFORE filtering on the corrupt column: CSV parses only
+    // projected columns, so un-persisted flagging is projection-
+    // dependent (a query pruning `v` would see "5,only-two" as clean)
     val flagged = graft.io.TableIO.readCsvFlagged(spark, base, schema)
+      .localCheckpoint(true)
     val good = flagged.where(col("_corrupt_record").isNull)
       .select("id", "name", "v").as[(Long, String, Long)]
       .collect().sortBy(_._1).toSeq
@@ -1118,8 +1124,14 @@ class OpsSpec extends AnyFunSuite {
       (4L, "ok3", 40L)))
     val bad = flagged.where(col("_corrupt_record").isNotNull)
       .select(col("id"), col("_corrupt_record"))
-      .collect().map(_.getString(1)).toSeq
-    assert(bad === Seq("x,bad-id,30"))
+      .collect().map(_.getString(1)).sorted.toSeq
+    // the short row keeps its parsed prefix AND is quarantined
+    assert(bad === Seq("5,only-two", "x,bad-id,30"))
+    val shortRow = flagged.where(col("_corrupt_record").isNotNull &&
+        col("id") === 5L)
+      .select("name", "v").collect().map(r =>
+        (r.getString(0), Option(r.get(1)))).toSeq
+    assert(shortRow === Seq(("only-two", None)))
   }
 
   test("salted skew join: row-identical to the plain join, heavy key spread") {
