@@ -506,6 +506,36 @@ object PipelineOpsQueries {
         .orderBy(col("hamming"))
     }),
 
+    // charset profile per language: alpha/digit/whitespace char shares in
+    // ppm — the first table a tokenizer/normalizer design reads (is this
+    // lang's text 'wordy' or symbol-heavy?). The counts use the
+    // delete-and-diff regexp trick (length − length(strip(class))) so the
+    // whole profile runs inside the scan's codegen; one partial+final
+    // agg per lang. DuckDB's regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics — the pinned cross-engine trap.
+    "p90_char_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir).select(col("lang"),
+          length(col("text")).cast("long").as("n"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .cast("long").as("alpha"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("digit"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\s", "")))
+            .cast("long").as("ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_chars"), sum(col("alpha")).as("a"),
+          sum(col("digit")).as("d"), sum(col("ws")).as("w"))
+        .select(col("lang"), col("n_chars"),
+          expr("a * 1000000L div n_chars").as("alpha_ppm"),
+          expr("d * 1000000L div n_chars").as("digit_ppm"),
+          expr("w * 1000000L div n_chars").as("ws_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // IVF tuning table: recall@10 against the exact brute-force ranking
     // as nprobe sweeps 1 → 2 → 4 — THE accuracy/cost trade-off of the
     // 10^12-row ANN path (candidates scale with nprobe/k). Assignment +
@@ -1079,6 +1109,25 @@ object PipelineOpsQueries {
            CAST(sum(is_true) AS BIGINT) AS n_true_dups,
            CAST(sum(is_true) * 100 // count(*) AS BIGINT) AS precision_pct
          FROM census GROUP BY hamming ORDER BY hamming""",
+    // same delete-and-diff counts; the 'g' flag makes DuckDB's
+    // regexp_replace global like Spark's
+    "p90_char_profile" ->
+      """WITH per AS (SELECT lang, CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]',
+               '', 'g')) AS BIGINT) AS alpha,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]',
+               '', 'g')) AS BIGINT) AS digit,
+             CAST(length(text) - length(regexp_replace(text, '\s',
+               '', 'g')) AS BIGINT) AS ws
+           FROM documents)
+         SELECT lang, CAST(sum(n) AS BIGINT) AS n_chars,
+           CAST(CAST(sum(alpha) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS BIGINT) AS alpha_ppm,
+           CAST(CAST(sum(digit) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS BIGINT) AS digit_ppm,
+           CAST(CAST(sum(ws) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS BIGINT) AS ws_ppm
+         FROM per GROUP BY lang ORDER BY lang""",
     // candidate sets from the dumped assignment/probe tables, re-ranked
     // by DuckDB's own cosine, intersected with its own brute ranking
     "p89_ivf_recall_sweep" ->

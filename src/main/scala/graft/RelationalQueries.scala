@@ -595,6 +595,21 @@ object RelationalQueries {
     "q60_max_concurrency" -> ((s, dir) =>
       graft.ops.EventOps.maxConcurrency(t(s, dir, "events"))),
 
+    // equi-WIDTH histogram — q56's equi-depth twin: fixed $50k buckets of
+    // order value, count + mass per bucket. One integer floor-divide
+    // derives the bucket inside the scan, one partial+final agg; no sort,
+    // no rank window — at 10^12 rows this is the histogram you can
+    // actually afford every ingest cycle (equi-depth needs the rank pass)
+    "q85_equiwidth_hist" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+        .select(expr("cents div 5000000L").as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("bucket"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1578,6 +1593,13 @@ object RelationalQueries {
          per AS (SELECT user_id, max(running) AS mc FROM run GROUP BY user_id)
          SELECT CAST(mc AS BIGINT) AS max_conc, count(*) AS n_users
          FROM per GROUP BY mc ORDER BY max_conc""",
+    // same floor-divide bucketing
+    "q85_equiwidth_hist" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS cents FROM orders)
+         SELECT cents // 5000000 AS bucket, count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o GROUP BY 1 ORDER BY bucket""",
     // DuckDB's native recursive CTE over the identical tree
     "q83_recursive_rollup" ->
       """WITH RECURSIVE anc AS (
