@@ -40,6 +40,9 @@ object PipelineOpsQueries {
   def lshRecallDumpPath(dir: String): String =
     s"/tmp/graft_lsh_recall_${SparkEntry.docCountFor(dir)}"
 
+  def bandSweepDumpPath(dir: String): String =
+    s"/tmp/graft_band_sweep_${SparkEntry.docCountFor(dir)}"
+
   def mgDumpPath(dir: String): String =
     s"/tmp/graft_mg_summary_${SparkEntry.docCountFor(dir)}"
 
@@ -534,6 +537,76 @@ object PipelineOpsQueries {
           expr("d * 1000000L div n_chars").as("digit_ppm"),
           expr("w * 1000000L div n_chars").as("ws_ppm"))
         .orderBy(col("lang"))
+    }),
+
+    // Zipf-fit slope over the term-frequency ranking: integer OLS of
+    // bitlen(freq) against bitlen(rank) — the corpus-health statistic a
+    // crawl pipeline watches for vocabulary collapse (a healthy corpus
+    // fits slope ≈ −1; spam floods flatten it). bin()'s length is the
+    // exact integer log2 in BOTH engines (the p38 trick), so the
+    // (num, den) slope pair is hash-exact with no float regression. TF
+    // comes from the explode-free typed pass (p71's tokenTf); the fit is
+    // bounded to the top-10k ranks (TakeOrdered, never a global sort) —
+    // the standard practice anyway, since the Zipf tail deviates.
+    "p91_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val tf = graft.ops.CorpusOps.tokenTf(docs(s, dir))
+        .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(10000)
+      tf.select(
+          row_number().over(Window.orderBy(col("freq").desc, col("token").asc))
+            .cast("long").as("rank"), col("freq"))
+        .select((length(bin(col("rank"))) - 1).cast("long").as("x"),
+                (length(bin(col("freq"))) - 1).cast("long").as("y"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"))
+        .select(col("n_terms"), col("sum_x"), col("sum_y"),
+          (col("n_terms") * col("sum_xy") - col("sum_x") * col("sum_y"))
+            .as("slope_num"),
+          (col("n_terms") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .as("slope_den"))
+    }),
+
+    // MinHash band-configuration sweep: candidate count + recall vs the
+    // exact Jaccard ≥ 60% pair set as 16 signature lanes regroup from
+    // 2 bands × 8 rows (strict, low recall) to 16 × 1 (loose, high
+    // recall) — the third leg of the tuning-curve family (p86 sweeps the
+    // Jaccard threshold, p89 sweeps IVF nprobe, this sweeps the LSH
+    // S-curve). Candidates dump per setting and the oracle re-verifies
+    // them against its own exact pair set; the levels table LEFT JOINs so
+    // zero-candidate settings still emit (the p89 lesson). The exact
+    // ground truth materializes ONCE (localCheckpoint) — it feeds both
+    // the 1-row total and the per-setting hit join.
+    "p92_band_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val d = docs(s, dir)
+      val settings = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+      settings.map { case (b, r) =>
+          DedupOps.minhashCandidates(d, w = 3, bands = b, rowsPerBand = r)
+            .select(lit(b.toLong).as("bands"), col("doc_a"), col("doc_b"))
+        }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(bandSweepDumpPath(dir))
+      val cand = s.read.parquet(bandSweepDumpPath(dir))
+      val exact = DedupOps.exactJaccardPairs(d, w = 3, minJaccardPct = 60)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val ex = exact.agg(count(lit(1)).as("n_exact"))
+      val hits = cand
+        .join(exact.withColumn("is_exact", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("is_exact"), lit(0L))).as("n_hits"))
+      settings.map(_._1.toLong).toDF("bands")
+        .join(hits, Seq("bands"), "left")
+        .crossJoin(broadcast(ex))
+        .select(col("bands"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"))
+        .select(col("bands"), col("n_candidates"), col("n_hits"),
+          col("n_exact"), expr("n_hits * 100 div n_exact").as("recall_pct"))
+        .orderBy(col("bands"))
     }),
 
     // IVF tuning table: recall@10 against the exact brute-force ranking
@@ -1128,6 +1201,64 @@ object PipelineOpsQueries {
            CAST(CAST(sum(ws) AS BIGINT) * 1000000
              // CAST(sum(n) AS BIGINT) AS BIGINT) AS ws_ppm
          FROM per GROUP BY lang ORDER BY lang""",
+    // same top-10k TF ranking, same bin()-length integer log2
+    "p91_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                       FROM documents),
+         tf AS (SELECT token, count(*) AS freq FROM toks GROUP BY token
+                ORDER BY freq DESC, token ASC LIMIT 10000),
+         r AS (SELECT CAST(freq AS BIGINT) AS freq,
+                 row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+               FROM tf),
+         p AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+                      CAST(length(bin(freq)) - 1 AS BIGINT) AS y FROM r)
+         SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(count(*) * CAST(sum(x * y) AS BIGINT)
+             - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * CAST(sum(x * x) AS BIGINT)
+             - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS BIGINT)
+             AS slope_den
+         FROM p""",
+    // exact pair set rebuilt from scratch (p46's md5 inverted index);
+    // dumped per-setting candidates re-verified against it; levels LEFT
+    // JOIN so a zero-candidate setting still emits its row
+    "p92_band_sweep" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                        FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         exact AS (SELECT doc_a, doc_b FROM pairs
+                   WHERE n_inter * 100 >= (na + nb - n_inter) * 60),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+         cand AS (SELECT bands, doc_a, doc_b
+                  FROM read_parquet('${bandSweepDumpPath(dir)}/*.parquet')),
+         lv AS (SELECT * FROM (VALUES (2), (4), (8), (16)) AS t(bands)),
+         per AS (SELECT c.bands, count(*) AS n_candidates,
+                   sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+                 FROM cand c LEFT JOIN exact e
+                   ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+                 GROUP BY c.bands)
+         SELECT CAST(lv.bands AS BIGINT) AS bands,
+           CAST(coalesce(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(per.n_hits, 0) AS BIGINT) AS n_hits,
+           (SELECT n_exact FROM ex) AS n_exact,
+           CAST(coalesce(per.n_hits, 0) * 100 // (SELECT n_exact FROM ex)
+             AS BIGINT) AS recall_pct
+         FROM lv LEFT JOIN per ON lv.bands = per.bands ORDER BY bands""",
     // candidate sets from the dumped assignment/probe tables, re-ranked
     // by DuckDB's own cosine, intersected with its own brute ranking
     "p89_ivf_recall_sweep" ->

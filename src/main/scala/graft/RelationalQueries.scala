@@ -610,6 +610,78 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Tukey outlier fences per market segment: Q1/Q3 by the exact ties-low
+    // rank rule (q25's), fences at ±1.5·IQR kept integer by doubling both
+    // sides (2·cents vs 5·Q1−3·Q3 / 5·Q3−3·Q1) — the data-quality gate an
+    // ingest pipeline runs per slice before accepting a batch. Quartiles
+    // come from ONE segment-keyed window pass; the 5-row quartile table
+    // broadcasts back into a single outlier-census aggregate. At 10^12
+    // rows swap the exact rank pass for approx_percentile — the fence
+    // arithmetic is unchanged.
+    "q86_outlier_fences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("o_orderkey"))
+      val w = Window.partitionBy(col("segment"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val quart = o
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+        .where(col("rn") === expr("(25 * n + 99) div 100") ||
+               col("rn") === expr("(75 * n + 99) div 100"))
+        .groupBy(col("segment"))
+        .agg(min(when(col("rn") === expr("(25 * n + 99) div 100"),
+            col("cents"))).as("q1_cents"),
+          min(when(col("rn") === expr("(75 * n + 99) div 100"),
+            col("cents"))).as("q3_cents"))
+      o.join(broadcast(quart), Seq("segment"))
+        .groupBy(col("segment"), col("q1_cents"), col("q3_cents"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("cents") * 2 < col("q1_cents") * 5 - col("q3_cents") * 3,
+            1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") * 2 > col("q3_cents") * 5 - col("q1_cents") * 3,
+            1L).otherwise(0L)).as("n_high"),
+          sum(when(col("cents") * 2 < col("q1_cents") * 5 - col("q3_cents") * 3 ||
+                   col("cents") * 2 > col("q3_cents") * 5 - col("q1_cents") * 3,
+            col("cents")).otherwise(0L)).as("outlier_cents"))
+        .orderBy(col("segment"))
+    }),
+
+    // dynamic partition overwrite — Iceberg's "replace partitions" on the
+    // file source: the base table writes hive-partitioned by lang, then a
+    // recomputed 'en' batch overwrites ONLY its own partition
+    // (partitionOverwriteMode=dynamic; static mode would truncate the
+    // whole table). Read-back rollup proves untouched partitions survive
+    // byte-for-byte while 'en' carries the delta — the idempotent
+    // reprocess-one-slice primitive of a 10^12-doc ingest loop.
+    "q87_dynamic_overwrite" -> ((s, dir) => {
+      val base = s"/tmp/graft_dynovr_${SparkEntry.docCountFor(dir)}"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      d.write.partitionBy("lang").parquet(base)
+      d.where(col("lang") === "en")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("n_chars") + 11L)
+            .otherwise(col("n_chars")).as("n_chars"),
+          col("lang"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1600,6 +1672,43 @@ object RelationalQueries {
          SELECT cents // 5000000 AS bucket, count(*) AS n_orders,
            CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM o GROUP BY 1 ORDER BY bucket""",
+    // same ties-low quartile rule, same doubled integer fences
+    "q86_outlier_fences" ->
+      """WITH o AS (SELECT c_mktsegment AS segment,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderkey
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         r AS (SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY segment) AS n FROM o),
+         q AS (SELECT segment,
+             min(CASE WHEN rn = (25 * n + 99) // 100 THEN cents END) AS q1_cents,
+             min(CASE WHEN rn = (75 * n + 99) // 100 THEN cents END) AS q3_cents
+           FROM r
+           WHERE rn = (25 * n + 99) // 100 OR rn = (75 * n + 99) // 100
+           GROUP BY segment)
+         SELECT segment, q1_cents, q3_cents, count(*) AS n_orders,
+           CAST(sum(CASE WHEN cents * 2 < q1_cents * 5 - q3_cents * 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN cents * 2 > q3_cents * 5 - q1_cents * 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN cents * 2 < q1_cents * 5 - q3_cents * 3
+                      OR cents * 2 > q3_cents * 5 - q1_cents * 3
+                    THEN cents ELSE 0 END) AS BIGINT) AS outlier_cents
+         FROM o JOIN q USING (segment)
+         GROUP BY segment, q1_cents, q3_cents ORDER BY segment""",
+    // untouched partitions + the recomputed 'en' slice, rebuilt from base
+    "q87_dynamic_overwrite" ->
+      """WITH merged AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+           UNION ALL
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 11 ELSE n_chars END
+           FROM documents WHERE lang = 'en')
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM merged GROUP BY lang ORDER BY lang""",
     // DuckDB's native recursive CTE over the identical tree
     "q83_recursive_rollup" ->
       """WITH RECURSIVE anc AS (

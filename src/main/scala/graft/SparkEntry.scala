@@ -120,6 +120,8 @@ object SparkEntry {
     s"/tmp/graft_span_len_dump_${docCountFor(dir)}"
   def errorParetoDumpPath(dir: String): String =
     s"/tmp/graft_error_pareto_dump_${docCountFor(dir)}"
+  def typeKindDumpPath(dir: String): String =
+    s"/tmp/graft_type_kind_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -614,6 +616,29 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // span-kind composition per document type: which share of each type's
+    // spans is text vs media vs extracted fields, in ppm — the payload-mix
+    // table that sizes downstream decode capacity per type (a type whose
+    // mix drifts media-heavy needs the salted path). Kind × type explodes
+    // once into a dump the oracle re-aggregates from identical bytes; the
+    // share window runs over the tiny (type, kind) rollup, never raw spans.
+    "x27_type_kind_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("document_type"), explode(col("spans")).as("sp"))
+        .select(col("document_type"), col("sp.kind").as("kind"))
+        .write.mode("overwrite").parquet(typeKindDumpPath(dir))
+      s.read.parquet(typeKindDumpPath(dir))
+        .groupBy(col("document_type"), col("kind"))
+        .agg(count(lit(1)).as("n_spans"))
+        .withColumn("type_total",
+          sum(col("n_spans")).over(Window.partitionBy(col("document_type"))))
+        .select(col("document_type"), col("kind"), col("n_spans"),
+          col("type_total"),
+          expr("n_spans * 1000000L div type_total").as("share_ppm"))
+        .orderBy(col("document_type"), col("kind"))
+    }),
+
     // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
     // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
     // per plain-mode type: docs whose type changed, validity flips, and the
@@ -726,6 +751,19 @@ object SparkEntry {
              CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN len END)
                AS BIGINT) AS p99_len
            FROM ranked GROUP BY kind ORDER BY kind""",
+      // same rollup + share arithmetic from the dumped (type, kind) rows
+      "x27_type_kind_mix" ->
+        s"""WITH per AS (SELECT document_type, kind, count(*) AS n_spans
+               FROM read_parquet('${typeKindDumpPath(dir)}/*.parquet')
+               GROUP BY document_type, kind),
+           tot AS (SELECT document_type,
+               CAST(sum(n_spans) AS BIGINT) AS type_total
+             FROM per GROUP BY document_type)
+           SELECT p.document_type, p.kind,
+             CAST(p.n_spans AS BIGINT) AS n_spans, t.type_total,
+             CAST(p.n_spans * 1000000 // t.type_total AS BIGINT) AS share_ppm
+           FROM per p JOIN tot t USING (document_type)
+           ORDER BY p.document_type, p.kind""",
       // rescue/break pivot recomputed from the mode-tagged dump
       "x25_donut_rescue" ->
         s"""WITH per AS (SELECT doc_id,

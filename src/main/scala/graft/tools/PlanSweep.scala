@@ -55,7 +55,10 @@ object PlanSweep {
       "q78_rolling_distinct" -> Set("BroadcastNestedLoop"),
       // p89 embeds p07's documented broadcast-query-set brute ranking as
       // its recall ground truth — the same keyless plan class as p07
-      "p89_ivf_recall_sweep" -> Set("BroadcastNestedLoop"))
+      "p89_ivf_recall_sweep" -> Set("BroadcastNestedLoop"),
+      // p92 crosses the 1-row exact-pair total into the 4-row levels
+      // table — the p47/p50 1-row-aggregate class
+      "p92_band_sweep" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
