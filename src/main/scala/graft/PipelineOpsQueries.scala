@@ -609,6 +609,37 @@ object PipelineOpsQueries {
         .orderBy(col("bands"))
     }),
 
+    // data-constrained repetition plan (Muennighoff et al. 2023: repeating
+    // up to ~4 epochs is near-free, beyond that returns decay): per source,
+    // the equal-share token target, the integer repeat factor
+    // least(4, ⌈target/tokens⌉), and the effective tokens that plan
+    // yields — the UP-sampling twin of p50's down-sampling rates and p80's
+    // temperature mix. ONE source-keyed aggregate; all plan arithmetic on
+    // the tiny rollup against the broadcast 1-row total.
+    "p93_repetition_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // materialized once: both the broadcast total and the plan rows read
+      // it, and the rollup is source-cardinality tiny
+      val per = docs(s, dir)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy(col("source")).agg(sum(col("toks")).as("tokens"))
+        .localCheckpoint(true)
+      per.crossJoin(broadcast(
+          per.agg(sum(col("tokens")).as("grand"),
+            count(lit(1)).as("n_sources"))))
+        .select(col("source"), col("tokens"),
+          expr("grand div n_sources").as("target_tokens"))
+        .select(col("source"), col("tokens"), col("target_tokens"),
+          expr("least(4L, (target_tokens + tokens - 1) div tokens)")
+            .as("repeat_factor"))
+        .select(col("source"), col("tokens"), col("target_tokens"),
+          col("repeat_factor"),
+          expr("least(target_tokens, tokens * repeat_factor)")
+            .as("effective_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // IVF tuning table: recall@10 against the exact brute-force ranking
     // as nprobe sweeps 1 → 2 → 4 — THE accuracy/cost trade-off of the
     // 10^12-row ANN path (candidates scale with nprobe/k). Assignment +
@@ -1201,6 +1232,24 @@ object PipelineOpsQueries {
            CAST(CAST(sum(ws) AS BIGINT) * 1000000
              // CAST(sum(n) AS BIGINT) AS BIGINT) AS ws_ppm
          FROM per GROUP BY lang ORDER BY lang""",
+    // same tokenize, same equal-share target and capped-epoch arithmetic
+    "p93_repetition_plan" ->
+      """WITH per AS (SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS grand,
+             count(*) AS n_sources FROM per),
+         base AS (SELECT source, tokens,
+             grand // n_sources AS target_tokens FROM per, tot),
+         f AS (SELECT source, tokens, target_tokens,
+             least(4, (target_tokens + tokens - 1) // tokens) AS repeat_factor
+           FROM base)
+         SELECT source, tokens, CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST(repeat_factor AS BIGINT) AS repeat_factor,
+           CAST(least(target_tokens, tokens * repeat_factor) AS BIGINT)
+             AS effective_tokens
+         FROM f ORDER BY source""",
     // same top-10k TF ranking, same bin()-length integer log2
     "p91_zipf_fit" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -682,6 +682,79 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    // gaps-and-islands: per-user consecutive-day activity streaks via the
+    // day − row_number() island key, rolled up to a max-streak histogram.
+    // Two keyed exchanges by construction — (user, day) distinct, then the
+    // user-keyed island window — the canonical streak plan at any scale
+    // (the window never sees raw events, only distinct days).
+    "q88_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("streak_len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .groupBy(col("max_streak"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_streaks")).as("sum_streaks"))
+        .orderBy(col("max_streak"))
+    }),
+
+    // NOT IN three-valued-logic semantics, both branches pinned: against a
+    // null-free subquery NOT IN is a plain anti join; once the subquery
+    // contains a single NULL every comparison is UNKNOWN and the result is
+    // EMPTY — the classic silent-wrong-answer trap a query engine must get
+    // right. Catalyst plans the nullable branch null-aware (NAAJ);
+    // both counts emit in one row so the contrast is the test.
+    "q89_notin_nulls" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g89_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g89_orders")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM g89_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM g89_orders
+                                   WHERE o_orderstatus = 'F')) AS n_nullfree,
+          (SELECT count(*) FROM g89_customer
+           WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 7
+                                          THEN NULL ELSE o_custkey END
+                                   FROM g89_orders
+                                   WHERE o_orderstatus = 'F')) AS n_with_null
+      """)
+    }),
+
+    // higher-order array functions driver-verified: per-user sorted
+    // purchase-cents arrays built once (packed-struct sort, the q75
+    // pattern), then aggregate/filter/zip_with+slice derive integer
+    // statistics INSIDE the row — no explode, no second shuffle. The
+    // oracle recomputes every statistic from raw rows with windows, so the
+    // HOF surface is checked against an independent formulation.
+    "q90_hof_arrays" -> ((s, dir) => {
+      t(s, dir, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("cents"), col("event_id"))))
+          .as("sl"))
+        .select(col("user_id"), expr("transform(sl, x -> x.cents)").as("arr"))
+        .select(col("user_id"),
+          size(col("arr")).cast("long").as("n_purchases"),
+          expr("aggregate(arr, 0L, (acc, x) -> acc + x * x)").as("sum_sq"),
+          size(expr("filter(arr, x -> x > 5000L)")).cast("long").as("n_big"),
+          expr("""CASE WHEN size(arr) >= 2
+                  THEN array_max(zip_with(slice(arr, 1, size(arr) - 1),
+                                          slice(arr, 2, size(arr) - 1),
+                                          (x, y) -> y - x))
+                  ELSE 0L END""").as("max_delta"))
+        .orderBy(col("user_id"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1709,6 +1782,48 @@ object RelationalQueries {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM merged GROUP BY lang ORDER BY lang""",
+    // same island-key construction in DuckDB
+    "q88_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+           FROM days),
+         st AS (SELECT user_id, day - rn AS island, count(*) AS streak_len
+           FROM r GROUP BY user_id, day - rn),
+         per AS (SELECT user_id, max(streak_len) AS max_streak,
+             count(*) AS n_streaks FROM st GROUP BY user_id)
+         SELECT CAST(max_streak AS BIGINT) AS max_streak,
+           count(*) AS n_users, CAST(sum(n_streaks) AS BIGINT) AS sum_streaks
+         FROM per GROUP BY max_streak ORDER BY max_streak""",
+    // DuckDB's NOT IN follows the same three-valued logic
+    "q89_notin_nulls" ->
+      """SELECT
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'F')) AS n_nullfree,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 7
+                                           THEN NULL ELSE o_custkey END
+                                    FROM orders
+                                    WHERE o_orderstatus = 'F')) AS n_with_null""",
+    // independent row-wise formulation: lag-window deltas, no lists
+    "q90_hof_arrays" ->
+      """WITH p AS (SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id
+           FROM events WHERE event_type = 'purchase'),
+         d AS (SELECT user_id, cents,
+             cents - lag(cents) OVER (PARTITION BY user_id
+                                      ORDER BY cents, event_id) AS delta
+           FROM p)
+         SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(cents * cents) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN cents > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
+           CAST(CASE WHEN count(*) >= 2 THEN max(delta) ELSE 0 END AS BIGINT)
+             AS max_delta
+         FROM d GROUP BY user_id ORDER BY user_id""",
     // DuckDB's native recursive CTE over the identical tree
     "q83_recursive_rollup" ->
       """WITH RECURSIVE anc AS (

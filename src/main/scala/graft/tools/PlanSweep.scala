@@ -58,7 +58,10 @@ object PlanSweep {
       "p89_ivf_recall_sweep" -> Set("BroadcastNestedLoop"),
       // p92 crosses the 1-row exact-pair total into the 4-row levels
       // table — the p47/p50 1-row-aggregate class
-      "p92_band_sweep" -> Set("BroadcastNestedLoop"))
+      "p92_band_sweep" -> Set("BroadcastNestedLoop"),
+      // p93 crosses the 1-row (grand, n_sources) total into the
+      // source rollup — the p47/p50 1-row-aggregate class
+      "p93_repetition_plan" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
