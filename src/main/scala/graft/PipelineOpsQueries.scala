@@ -609,6 +609,35 @@ object PipelineOpsQueries {
         .orderBy(col("bands"))
     }),
 
+    // SEMANTIC decontamination (the embedding twin of p27's n-gram rule):
+    // every corpus vector is probed against the broadcast eval-benchmark
+    // set at cosine ≥ 0.9; per-benchmark contamination counts emit with
+    // zero-hit rows preserved (LEFT JOIN — the p89 lesson). The eval set
+    // is planted in-query with arithmetic-free transforms so both engines
+    // see bit-identical vectors: exact copies (cosine exactly 1 → always
+    // caught) and reversed vectors (decorrelated, max cosine ≈ 0.5 →
+    // never caught); the 0.9 threshold sits an enormous margin from both,
+    // so the engine/oracle float compare can never flip. At 10^12 rows
+    // the probe is the same broadcast pattern — eval benchmarks are tiny
+    // by construction (p07's class); LSH/IVF buckets only if they're not.
+    "p94_semantic_decon" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(true)
+      val ev = e.where(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 1000000L).as("eval_id"),
+          when(col("vec_id") % 74 === 0, col("v"))
+            .otherwise(reverse(col("v"))).as("ev"))
+      val hits = e.crossJoin(broadcast(ev))
+        .where(graft.functions.functions.cosine_sim(col("v"), col("ev"))
+          >= 0.9)
+        .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hits"))
+      ev.select(col("eval_id")).join(hits, Seq("eval_id"), "left")
+        .select(col("eval_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("eval_id"))
+    }),
+
     // data-constrained repetition plan (Muennighoff et al. 2023: repeating
     // up to ~4 epochs is near-free, beyond that returns decay): per source,
     // the equal-share token target, the integer repeat factor
@@ -1232,6 +1261,22 @@ object PipelineOpsQueries {
            CAST(CAST(sum(ws) AS BIGINT) * 1000000
              // CAST(sum(n) AS BIGINT) AS BIGINT) AS ws_ppm
          FROM per GROUP BY lang ORDER BY lang""",
+    // same arithmetic-free plants (copy / list_reverse), DuckDB's own
+    // cosine at the same threshold
+    "p94_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ev AS (SELECT vec_id + 1000000 AS eval_id,
+                  CASE WHEN vec_id % 74 = 0 THEN v
+                       ELSE list_reverse(v) END AS ev
+                FROM e WHERE vec_id % 37 = 0),
+         hits AS (SELECT ev.eval_id, count(*) AS n_hits
+                  FROM ev JOIN e
+                    ON list_cosine_similarity(e.v, ev.ev) >= 0.9
+                  GROUP BY ev.eval_id)
+         SELECT CAST(eval_id AS BIGINT) AS eval_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         FROM ev LEFT JOIN hits h USING (eval_id) ORDER BY eval_id""",
     // same tokenize, same equal-share target and capped-epoch arithmetic
     "p93_repetition_plan" ->
       """WITH per AS (SELECT source,

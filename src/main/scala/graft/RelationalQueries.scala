@@ -755,6 +755,46 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // large×large sort-merge join, hint-pinned: lineitem ⋈ orders on the
+    // orderkey with BOTH sides too big to broadcast at 10^12 rows — the
+    // one join class where SMJ is the right physical plan (PlanSpec pins
+    // SortMergeJoin, no broadcast). With doc_id/orderkey-bucketed layouts
+    // both exchanges disappear (TableIO bucketed-join spec); the hint
+    // models the planner decision a real deployment forces via stats.
+    "q91_smj_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem").hint("merge")
+        .join(t(s, dir, "orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("sum_price_c"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // year-over-year monthly revenue trend: month index = year·12+month−1
+    // (integer, no date-trunc convention to disagree on), YoY delta via a
+    // LEFT self-join of the tiny monthly rollup on mix = mix+12 — exact
+    // even when months are missing (a positional lag(12) silently
+    // misaligns on gaps). The rollup materializes once; the join runs
+    // over |months| rows, never raw orders.
+    "q92_yoy_trend" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("mix"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("mix"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_c"))
+        .localCheckpoint(true)
+      m.join(m.select(col("mix").as("pmix"), col("rev_c").as("p_rev")),
+          col("mix") === col("pmix") + 12, "left")
+        .select(col("mix"), col("n_orders"), col("rev_c"),
+          coalesce(col("p_rev"), lit(0L)).as("prev_rev_c"),
+          (col("rev_c") - coalesce(col("p_rev"), lit(0L))).as("yoy_delta_c"))
+        .orderBy(col("mix"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1824,6 +1864,25 @@ object RelationalQueries {
            CAST(CASE WHEN count(*) >= 2 THEN max(delta) ELSE 0 END AS BIGINT)
              AS max_delta
          FROM d GROUP BY user_id ORDER BY user_id""",
+    // plain join — the hint must be row-invisible
+    "q91_smj_rollup" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS sum_price_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same integer month index + mix = mix+12 self-join
+    "q92_yoy_trend" ->
+      """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1
+               AS mix,
+             count(*) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1)
+         SELECT CAST(c.mix AS BIGINT) AS mix, c.n_orders, c.rev_c,
+           CAST(coalesce(p.rev_c, 0) AS BIGINT) AS prev_rev_c,
+           CAST(c.rev_c - coalesce(p.rev_c, 0) AS BIGINT) AS yoy_delta_c
+         FROM m c LEFT JOIN m p ON c.mix = p.mix + 12 ORDER BY mix""",
     // DuckDB's native recursive CTE over the identical tree
     "q83_recursive_rollup" ->
       """WITH RECURSIVE anc AS (

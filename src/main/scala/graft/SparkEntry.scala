@@ -122,6 +122,8 @@ object SparkEntry {
     s"/tmp/graft_error_pareto_dump_${docCountFor(dir)}"
   def typeKindDumpPath(dir: String): String =
     s"/tmp/graft_type_kind_dump_${docCountFor(dir)}"
+  def offsetGapDumpPath(dir: String): String =
+    s"/tmp/graft_offset_gap_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -639,6 +641,34 @@ object SparkEntry {
         .orderBy(col("document_type"), col("kind"))
     }),
 
+    // inter-span offset-gap census per document type: the spacing
+    // structure of the interleaved payload (x22 = kind order, x26 = span
+    // lengths, this = offset deltas). Negative gaps would mean
+    // out-of-order offsets (x11's corruption class) — n_negative doubles
+    // as a standing zero-assertion over the REAL pipeline output. Gaps
+    // are row-local in the pipeline; the dump explodes so the oracle can
+    // re-derive them from identical bytes with a lag window.
+    "x29_offset_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("doc_id"), col("document_type"),
+          posexplode(col("spans")).as(Seq("ord", "sp")))
+        .select(col("doc_id"), col("document_type"),
+          col("ord").cast("long").as("ord"),
+          col("sp.offset").cast("long").as("offset"))
+        .write.mode("overwrite").parquet(offsetGapDumpPath(dir))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+      s.read.parquet(offsetGapDumpPath(dir))
+        .withColumn("gap", col("offset") - lag(col("offset"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy(col("document_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"),
+          sum(col("gap")).as("sum_gap"),
+          sum(when(col("gap") < 0L, 1L).otherwise(0L)).as("n_negative"))
+        .orderBy(col("document_type"))
+    }),
+
     // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
     // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
     // per plain-mode type: docs whose type changed, validity flips, and the
@@ -764,6 +794,22 @@ object SparkEntry {
              CAST(p.n_spans * 1000000 // t.type_total AS BIGINT) AS share_ppm
            FROM per p JOIN tot t USING (document_type)
            ORDER BY p.document_type, p.kind""",
+      // lag-window re-derivation of the gaps from the dumped offsets
+      "x29_offset_gaps" ->
+        s"""WITH d AS (SELECT doc_id, document_type, ord, "offset"
+               FROM read_parquet('${offsetGapDumpPath(dir)}/*.parquet')),
+           g AS (SELECT document_type,
+               "offset" - lag("offset") OVER (PARTITION BY doc_id
+                                              ORDER BY ord) AS gap
+             FROM d)
+           SELECT document_type, count(*) AS n_gaps,
+             CAST(min(gap) AS BIGINT) AS min_gap,
+             CAST(max(gap) AS BIGINT) AS max_gap,
+             CAST(sum(gap) AS BIGINT) AS sum_gap,
+             CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+           FROM g WHERE gap IS NOT NULL
+           GROUP BY document_type ORDER BY document_type""",
       // rescue/break pivot recomputed from the mode-tagged dump
       "x25_donut_rescue" ->
         s"""WITH per AS (SELECT doc_id,

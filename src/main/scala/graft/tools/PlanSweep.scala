@@ -61,7 +61,10 @@ object PlanSweep {
       "p92_band_sweep" -> Set("BroadcastNestedLoop"),
       // p93 crosses the 1-row (grand, n_sources) total into the
       // source rollup — the p47/p50 1-row-aggregate class
-      "p93_repetition_plan" -> Set("BroadcastNestedLoop"))
+      "p93_repetition_plan" -> Set("BroadcastNestedLoop"),
+      // p94 streams the corpus against the broadcast eval-benchmark
+      // vectors — p07's documented keyless broadcast-probe class
+      "p94_semantic_decon" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

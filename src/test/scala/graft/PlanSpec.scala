@@ -306,4 +306,47 @@ class PlanSpec extends AnyFunSuite {
       assert(math.abs(av - ev).toDouble / ev < 0.02, s"$k exact=$ev approx=$av")
     }
   }
+
+  test("q91 merge-hinted join compiles to SortMergeJoin — the large×large " +
+    "plan class where broadcast can't serve at 10^12 rows") {
+    val df = RelationalQueries.queries("q91_smj_rollup")(spark, dir)
+    val plan = staticPlan(df).toString
+    assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("AQE converts a statically-planned SortMergeJoin to broadcast at " +
+    "runtime when the built side turns out tiny — the re-plan that saves " +
+    "an exchange when a filter is more selective than the stats say") {
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val p1 = spark.conf.get(k1)
+    val p2 = spark.conf.getOption(k2)
+    // static planner may NOT broadcast (threshold 1 byte); the ADAPTIVE
+    // threshold stays real, so only the runtime-observed size can flip it
+    spark.conf.set(k1, "1")
+    spark.conf.set(k2, "10485760")
+    try {
+      val big = spark.range(0, 50000)
+        .select((col("id") % 997).as("k"), col("id").as("payload"))
+      val small = spark.range(0, 50000).where(col("id") % 5000 === 0)
+        .groupBy((col("id") % 997).as("k")).agg(count(lit(1)).as("c"))
+      val j = big.join(small, "k").groupBy()
+        .agg(sum(col("payload")).as("sp"), sum(col("c")).as("sc"))
+      assert(j.collect()(0).getLong(0) > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE did not convert the join:\n$plan")
+      // the same runtime stats also coalesce the tiny shuffle partitions
+      assert(plan.contains("AQEShuffleRead"), s"plan:\n$plan")
+    } finally {
+      spark.conf.set(k1, p1)
+      p2 match {
+        case Some(v) => spark.conf.set(k2, v)
+        case None => spark.conf.unset(k2)
+      }
+    }
+  }
 }
