@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables (dedup, similarity search, text analysis, multimodal plumbing).
@@ -608,6 +608,47 @@ object PipelineOpsQueries {
           col("n_exact"), expr("n_hits * 100 div n_exact").as("recall_pct"))
         .orderBy(col("bands"))
     }),
+
+    // quality-rule AGREEMENT matrix: pairwise contingency (both / only-A /
+    // only-B / neither) between p29's five Gopher rules — the redundancy
+    // table that decides which filters an ensemble can drop. Signals
+    // compute ONCE (the p29 kernel); the 5-rule vector fans out to the 10
+    // unordered pairs via a constant ×10 struct-array explode inside the
+    // map stage — the shuffle carries 10 tiny rows per doc pre-aggregated
+    // by Catalyst's partial hash agg, never the text.
+    "p95_filter_agreement" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val f = TextOps.qualityFilter(docs(s, dir)).select(
+        expr("cast(n_tokens >= 30 AND n_tokens <= 100000 as long)").as("r1"),
+        expr("cast(sum_token_chars >= 3 * n_tokens AND " +
+          "sum_token_chars <= 10 * n_tokens as long)").as("r2"),
+        expr("cast(100 * n_alpha_tokens >= 80 * n_tokens as long)").as("r3"),
+        expr("cast(n_stop_hits >= 2 as long)").as("r4"),
+        expr("cast(100 * n_top_bigram <= 20 * greatest(n_tokens - 1, 1) " +
+          "as long)").as("r5"))
+      val rs = expr("array(struct(1L AS rid, r1 AS v), " +
+        "struct(2L AS rid, r2 AS v), struct(3L AS rid, r3 AS v), " +
+        "struct(4L AS rid, r4 AS v), struct(5L AS rid, r5 AS v))")
+      f.withColumn("rs", rs)
+        .select(explode(col("rs")).as("a"), col("rs"))
+        .select(col("a"), explode(col("rs")).as("b"))
+        .where(col("a.rid") < col("b.rid"))
+        .groupBy(col("a.rid").as("rule_a"), col("b.rid").as("rule_b"))
+        .agg(sum(col("a.v") * col("b.v")).as("n_both"),
+          sum(col("a.v") * (lit(1L) - col("b.v"))).as("n_only_a"),
+          sum((lit(1L) - col("a.v")) * col("b.v")).as("n_only_b"),
+          sum((lit(1L) - col("a.v")) * (lit(1L) - col("b.v")))
+            .as("n_neither"))
+        .orderBy(col("rule_a"), col("rule_b"))
+    }),
+
+    // HLL sketch algebra: vocabulary-intersection estimate of the en/fr
+    // slices by inclusion–exclusion over cellwise-max register unions,
+    // next to the exact keys-only intersection — p20 built the registers,
+    // p35 validated the estimator, this validates the ALGEBRA (union
+    // without rescans is why mergeable sketches exist at 10^12 rows).
+    "p96_hll_intersect" -> ((s, dir) =>
+      CorpusOps.hllIntersect(docs(s, dir), "en", "fr")),
 
     // SEMANTIC decontamination (the embedding twin of p27's n-gram rule):
     // every corpus vector is probed against the broadcast eval-benchmark
@@ -1261,6 +1302,96 @@ object PipelineOpsQueries {
            CAST(CAST(sum(ws) AS BIGINT) * 1000000
              // CAST(sum(n) AS BIGINT) AS BIGINT) AS ws_ppm
          FROM per GROUP BY lang ORDER BY lang""",
+    // p29's signal CTEs verbatim, pair expansion via a VALUES table
+    "p95_filter_agreement" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                    FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS b
+                FROM t),
+         bgc AS (SELECT doc_id, max(c) AS top FROM
+                   (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+                 GROUP BY doc_id),
+         sig AS (SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+                     AS sum_token_chars,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS BIGINT) AS n_alpha_tokens,
+                   CAST(len(list_filter(tk,
+                     x -> x IN ('the','a','of','and','to','in','is')))
+                     AS BIGINT) AS n_stop_hits
+                 FROM t),
+         f AS (SELECT
+                 CAST(n_tokens BETWEEN 30 AND 100000 AS BIGINT) AS r1,
+                 CAST(sum_token_chars BETWEEN 3 * n_tokens AND 10 * n_tokens
+                   AS BIGINT) AS r2,
+                 CAST(100 * n_alpha_tokens >= 80 * n_tokens AS BIGINT) AS r3,
+                 CAST(n_stop_hits >= 2 AS BIGINT) AS r4,
+                 CAST(100 * coalesce(b.top, 0) <= 20 * greatest(n_tokens - 1, 1)
+                   AS BIGINT) AS r5
+               FROM sig s LEFT JOIN bgc b USING (doc_id)),
+         pairs AS (SELECT * FROM (VALUES (1,2),(1,3),(1,4),(1,5),(2,3),
+                     (2,4),(2,5),(3,4),(3,5),(4,5)) pr(a, b)),
+         lf AS (SELECT p.a, p.b,
+                  CASE p.a WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3
+                           WHEN 4 THEN r4 ELSE r5 END AS va,
+                  CASE p.b WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3
+                           WHEN 4 THEN r4 ELSE r5 END AS vb
+                FROM f CROSS JOIN pairs p)
+         SELECT CAST(a AS BIGINT) AS rule_a, CAST(b AS BIGINT) AS rule_b,
+           CAST(sum(va * vb) AS BIGINT) AS n_both,
+           CAST(sum(va * (1 - vb)) AS BIGINT) AS n_only_a,
+           CAST(sum((1 - va) * vb) AS BIGINT) AS n_only_b,
+           CAST(sum((1 - va) * (1 - vb)) AS BIGINT) AS n_neither
+         FROM lf GROUP BY a, b ORDER BY rule_a, rule_b""",
+    // p20's register CTE per slice, p35's integer estimator, cellwise-max
+    // union over the full 64-cell domain (absent cells are rho = 0)
+    "p96_hll_intersect" ->
+      """WITH ta AS (SELECT DISTINCT
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents WHERE lang = 'en'),
+         tb AS (SELECT DISTINCT
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents WHERE lang = 'fr'),
+         ra AS (SELECT CAST(h & 63 AS INT) AS bucket,
+                  max(CASE WHEN h >> 6 = 0 THEN 58
+                      ELSE 58 - length(bin(h >> 6)) END) AS rho
+                FROM (SELECT md5_number_lower(t) & 9223372036854775807 AS h
+                      FROM ta) GROUP BY 1),
+         rb AS (SELECT CAST(h & 63 AS INT) AS bucket,
+                  max(CASE WHEN h >> 6 = 0 THEN 58
+                      ELSE 58 - length(bin(h >> 6)) END) AS rho
+                FROM (SELECT md5_number_lower(t) & 9223372036854775807 AS h
+                      FROM tb) GROUP BY 1),
+         cells AS (SELECT CAST(unnest(range(64)) AS INT) AS bucket),
+         j AS (SELECT c.bucket, coalesce(ra.rho, 0) AS rho_a,
+                 coalesce(rb.rho, 0) AS rho_b
+               FROM cells c LEFT JOIN ra USING (bucket)
+                            LEFT JOIN rb USING (bucket)),
+         den AS (SELECT
+             CAST(sum(CAST(1 AS BIGINT) << (30 - least(rho_a, 30)))
+               AS BIGINT) AS dena,
+             CAST(sum(CAST(1 AS BIGINT) << (30 - least(rho_b, 30)))
+               AS BIGINT) AS denb,
+             CAST(sum(CAST(1 AS BIGINT)
+               << (30 - least(greatest(rho_a, rho_b), 30))) AS BIGINT) AS denu
+           FROM j),
+         est AS (SELECT
+             CAST(709 * 64 * 64 * (CAST(1 AS BIGINT) << 30) // dena // 1000
+               AS BIGINT) AS est_a,
+             CAST(709 * 64 * 64 * (CAST(1 AS BIGINT) << 30) // denb // 1000
+               AS BIGINT) AS est_b,
+             CAST(709 * 64 * 64 * (CAST(1 AS BIGINT) << 30) // denu // 1000
+               AS BIGINT) AS est_union
+           FROM den),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n
+                FROM ta JOIN tb ON ta.t = tb.t)
+         SELECT CAST(64 AS BIGINT) AS m,
+           (SELECT n FROM ex) AS n_exact_inter,
+           est_a, est_b, est_union,
+           CAST(est_a + est_b - est_union AS BIGINT) AS est_inter
+         FROM est""",
     // same arithmetic-free plants (copy / list_reverse), DuckDB's own
     // cosine at the same threshold
     "p94_semantic_decon" ->

@@ -795,6 +795,30 @@ object RelationalQueries {
         .orderBy(col("mix"))
     }),
 
+    // NULL ordering pinned cross-engine: per-nation balance ranking over a
+    // nullable key (every 13th custkey's balance nulled). Spark's default
+    // ASC is NULLS FIRST, DuckDB's is NULLS LAST — the silent top-k
+    // corruption when a ranking column goes nullable. BOTH sides say
+    // NULLS FIRST explicitly (asc_nulls_first / ASC NULLS FIRST), so the
+    // null rows must occupy ranks 1..k identically; a defaulted oracle
+    // would hash-fail. Nulls display as −1 (the driver compare can't hash
+    // a null-bearing column portably).
+    "q93_nulls_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        when(col("c_custkey") % 13 === 0, lit(null).cast("long"))
+          .otherwise((col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")).as("bal_c"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("bal_c").asc_nulls_first, col("c_custkey"))
+      c.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("nation"), col("rk"), col("c_custkey"),
+          coalesce(col("bal_c"), lit(-1L)).as("bal_c_disp"))
+        .orderBy(col("nation"), col("rk"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1883,6 +1907,20 @@ object RelationalQueries {
            CAST(coalesce(p.rev_c, 0) AS BIGINT) AS prev_rev_c,
            CAST(c.rev_c - coalesce(p.rev_c, 0) AS BIGINT) AS yoy_delta_c
          FROM m c LEFT JOIN m p ON c.mix = p.mix + 12 ORDER BY mix""",
+    // explicit NULLS FIRST — DuckDB's default is NULLS LAST
+    "q93_nulls_order" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS bal_c
+           FROM customer),
+         r AS (SELECT nation, c_custkey, bal_c,
+             CAST(row_number() OVER (PARTITION BY nation
+               ORDER BY bal_c ASC NULLS FIRST, c_custkey) AS BIGINT) AS rk
+           FROM c)
+         SELECT nation, rk, c_custkey,
+           CAST(coalesce(bal_c, -1) AS BIGINT) AS bal_c_disp
+         FROM r WHERE rk <= 3 ORDER BY nation, rk""",
     // DuckDB's native recursive CTE over the identical tree
     "q83_recursive_rollup" ->
       """WITH RECURSIVE anc AS (

@@ -633,6 +633,47 @@ object CorpusOps {
       .toDF("m", "n_exact", "est_int", "err_permille")
   }
 
+  /** HLL sketch ALGEBRA: estimate the token-vocabulary INTERSECTION of two
+    * corpus slices by inclusion–exclusion over mergeable registers —
+    * est(A∩B) = est(A) + est(B) − est(A∪B), where the union sketch is the
+    * cellwise register max (the only set op HLL supports natively; the
+    * intersection estimate inherits both sketches' error and can go
+    * negative on tiny overlaps, which is why the exact count rides along).
+    * Completes the sketch-algebra story over p20's registers and p35's
+    * integer estimator: at 10^12 docs per-slice sketches are m-row
+    * aggregates that union WITHOUT rescanning either slice. The exact
+    * intersection is a keys-only distinct-token join (per-doc hash-map
+    * tokenize, never a raw-text explode). All arithmetic integer — the
+    * oracle replicates bit-for-bit. */
+  def hllIntersect(df: DataFrame, langA: String, langB: String,
+                   p: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    def regsOf(lang: String): Array[Int] = {
+      val out = new Array[Int](m)
+      hllRegisters(df.where(col("lang") === lang), p)
+        .as[(Int, Int)].collect() // ≤ m rows — the sketch, not the data
+        .foreach { case (b, r) => out(b) = r }
+      out
+    }
+    val ra = regsOf(langA)
+    val rb = regsOf(langB)
+    val ru = Array.tabulate(m)(i => math.max(ra(i), rb(i)))
+    def est(r: Array[Int]): Long = {
+      var denom = 0L
+      var j = 0
+      while (j < m) { denom += 1L << (30 - math.min(r(j), 30)); j += 1 }
+      709L * m * m * (1L << 30) / denom / 1000L
+    }
+    def tokSet(lang: String) =
+      tokenTf(df.where(col("lang") === lang)).select(col("token")).distinct()
+    val nInter = tokSet(langA).join(tokSet(langB), "token").count()
+    val (ea, eb, eu) = (est(ra), est(rb), est(ru))
+    Seq((m.toLong, nInter, ea, eb, eu, ea + eb - eu))
+      .toDF("m", "n_exact_inter", "est_a", "est_b", "est_union", "est_inter")
+  }
+
   /** Cross-document REPEATED-PASSAGE coverage (RefinedWeb-style signal):
     * for each doc, how many of its distinct word w-grams also occur in at
     * least `minDf − 1` other documents. High coverage = boilerplate /

@@ -298,12 +298,16 @@ object StreamingExtraction {
                          joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("p_ts", watermark)
     val c = clicks.withWatermark("c_ts", watermark)
-    p.join(c, expr(
+    val joined = p.join(c, expr(
       s"""p_user = c_user AND
           c_ts >= p_ts - INTERVAL $windowSeconds SECONDS AND
           c_ts <= p_ts"""), joinType)
-      .select(col("p_id"), col("c_id"),
-        coalesce(col("p_user"), col("c_user")).as("user_id"))
+    // a semi join drops the right side entirely — each qualifying purchase
+    // emits ONCE however many clicks match (the existence probe)
+    if (joinType == "leftSemi")
+      joined.select(col("p_id"), col("p_user").as("user_id"))
+    else joined.select(col("p_id"), col("c_id"),
+      coalesce(col("p_user"), col("c_user")).as("user_id"))
   }
 
   /** Running per-key event count on Spark 4's `transformWithState` — the

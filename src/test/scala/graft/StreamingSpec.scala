@@ -166,6 +166,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream LEFT SEMI interval join: a purchase with matching " +
+    "clicks emits exactly once however many match; one with none never " +
+    "emits — the existence probe without the fan-out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val out = StreamingExtraction.intervalJoinStream(
+      pStream.toDS().toDF("p_user", "p_ts", "p_id"),
+      cStream.toDS().toDF("c_user", "c_ts", "c_id"),
+      joinType = "leftSemi")
+    val q = out.writeStream.format("memory").queryName("ssj_semi")
+      .outputMode("append").start()
+    // user 1: TWO in-window clicks for one purchase → one output row;
+    // user 2: no clicks at all → no row, ever
+    cStream.addData(Seq((1L, ts(5), 101L), (1L, ts(10), 102L)))
+    pStream.addData(Seq((1L, ts(30), 201L), (2L, ts(30), 202L)))
+    q.processAllAvailable()
+    // a click arriving in a LATER batch still semi-qualifies its purchase
+    pStream.addData(Seq((3L, ts(40), 203L)))
+    cStream.addData(Seq((3L, ts(35), 103L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_semi").collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted === Seq(201L, 203L), s"got $rows")
+  }
+
   test("stream-stream FULL OUTER interval join: both unmatched sides emit " +
     "null-padded rows once the watermark closes their state") {
     import spark.implicits._
