@@ -819,6 +819,90 @@ object RelationalQueries {
         .orderBy(col("nation"), col("rk"))
     }),
 
+    // VARIANT shredding (Spark 4's semi-structured type — the successor to
+    // q38's per-path get_json_object): the JSON string parses ONCE into the
+    // binary VARIANT encoding, then every typed extraction (nested object
+    // path, array index, missing-path null via try_variant_get) reads the
+    // shredded buffer without re-parsing text — at 10^12 rows the N-paths ×
+    // N-rows reparse tax is the difference between a scan-bound and a
+    // CPU-bound stage. The JSON itself is built deterministically from row
+    // columns by plain concat, so both engines parse identical strings.
+    "q94_variant_shred" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      val jstr = concat(lit("{\"u\":"), col("user_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"),
+        lit("\",\"m\":{\"vc\":"), col("vc").cast("string"),
+        lit("},\"a\":["), (col("event_id") % 7).cast("string"),
+        lit(","), (col("event_id") % 11).cast("string"), lit("]}"))
+      ev.select(parse_json(jstr).as("v"))
+        .select(variant_get(col("v"), "$.t", "string").as("typ"),
+          variant_get(col("v"), "$.m.vc", "long").as("vc"),
+          variant_get(col("v"), "$.a[1]", "long").as("a1"),
+          try_variant_get(col("v"), "$.m.missing", "long").as("miss"))
+        .groupBy(col("typ"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vc")).cast("long").as("sum_vc"),
+          sum(col("a1")).cast("long").as("sum_a1"),
+          count(when(col("miss").isNull, 1)).as("n_missing"))
+        .orderBy(col("typ"))
+    }),
+
+    // MapType + map higher-order functions (the one collection family the
+    // checklist hadn't pinned): per-order part→qty maps built by ONE
+    // map_from_entries over the (orderkey, partkey) partial-agg, then
+    // map_filter / transform_values / aggregate(map_values) all run
+    // row-local inside the same projection — no explode, no second
+    // shuffle; only the tiny per-order scalars reach the final rollup.
+    // (l_partkey repeats within an order in this corpus — the pre-agg is
+    // what makes map_from_entries' unique-key contract hold.)
+    "q95_map_rollup" -> ((s, dir) => {
+      val pq = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val per = pq.groupBy(col("l_orderkey"))
+        .agg(map_from_entries(collect_list(struct(col("l_partkey"),
+          col("qty")))).as("m"))
+        .select(
+          expr("cardinality(m)").cast("long").as("n_parts"),
+          expr("cardinality(map_filter(m, (k, v) -> v >= 3))").cast("long")
+            .as("n_big"),
+          expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("tot"),
+          expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2L))" +
+            ", 0L, (acc, x) -> acc + x)").as("tot2"))
+      per.groupBy(col("n_parts"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("n_big")).cast("long").as("sum_big"),
+          sum(col("tot")).cast("long").as("sum_qty"),
+          sum(col("tot2")).cast("long").as("sum_qty2"))
+        .orderBy(col("n_parts"))
+    }),
+
+    // ANSI-mode arithmetic safety rails (Spark 4 runs ANSI ON): try_divide
+    // / try_multiply / try_add return NULL exactly where strict evaluation
+    // would abort the job — division by zero, silent-in-legacy-mode BIGINT
+    // overflow. At 10^12 rows one poisoned row must not kill a 6-hour
+    // stage. The oracle recomputes each guard independently in HUGEINT, so
+    // the null placement itself is what's verified. All-null groups
+    // display as −1 (driver compare can't hash null-bearing columns).
+    "q96_try_arith" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 5).as("m"))
+      o.select(col("m"),
+          try_divide(lit(120L), col("m")).as("d"),
+          try_multiply(col("o_orderkey"), lit(4611686018427387904L)).as("p"),
+          try_add(col("o_orderkey"), lit(Long.MaxValue)).as("a"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("d").isNull, 1)).as("n_div_null"),
+          coalesce(max(col("d")).cast("long"), lit(-1L)).as("div120"),
+          count(when(col("p").isNull, 1)).as("n_mul_null"),
+          coalesce(sum(col("p")).cast("long"), lit(-1L)).as("sum_mul_ok"),
+          count(when(col("a").isNull, 1)).as("n_add_null"))
+        .orderBy(col("m"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1921,6 +2005,67 @@ object RelationalQueries {
          SELECT nation, rk, c_custkey,
            CAST(coalesce(bal_c, -1) AS BIGINT) AS bal_c_disp
          FROM r WHERE rk <= 3 ORDER BY nation, rk""",
+    // identical concat-built JSON, DuckDB's json_extract over the same
+    // paths (typed BIGINT casts; missing path → NULL exactly as
+    // try_variant_get)
+    "q94_variant_shred" ->
+      """WITH j AS (SELECT '{"u":' || CAST(user_id AS VARCHAR) ||
+             ',"t":"' || event_type ||
+             '","m":{"vc":' || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS VARCHAR) ||
+             '},"a":[' || CAST(event_id % 7 AS VARCHAR) || ',' ||
+             CAST(event_id % 11 AS VARCHAR) || ']}' AS js
+           FROM events)
+         SELECT json_extract_string(js, '$.t') AS typ,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(js, '$.m.vc') AS BIGINT)) AS BIGINT)
+             AS sum_vc,
+           CAST(sum(CAST(json_extract(js, '$.a[1]') AS BIGINT)) AS BIGINT)
+             AS sum_a1,
+           CAST(count(CASE WHEN json_extract(js, '$.m.missing') IS NULL
+             THEN 1 END) AS BIGINT) AS n_missing
+         FROM j GROUP BY typ ORDER BY typ""",
+    // the map is per-row state, so the relational replica is just the
+    // same two-level aggregation
+    "q95_map_rollup" ->
+      """WITH pq AS (SELECT l_orderkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           FROM lineitem GROUP BY 1, 2),
+         per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(count(CASE WHEN qty >= 3 THEN 1 END) AS BIGINT) AS n_big,
+             CAST(sum(qty) AS BIGINT) AS tot,
+             CAST(2 * sum(qty) AS BIGINT) AS tot2
+           FROM pq GROUP BY l_orderkey)
+         SELECT n_parts, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_big) AS BIGINT) AS sum_big,
+           CAST(sum(tot) AS BIGINT) AS sum_qty,
+           CAST(sum(tot2) AS BIGINT) AS sum_qty2
+         FROM per GROUP BY n_parts ORDER BY n_parts""",
+    // every try_* guard recomputed independently in HUGEINT: CASE arms
+    // evaluate lazily, so the BIGINT arithmetic only runs where it fits
+    "q96_try_arith" ->
+      """WITH o AS (SELECT o_orderkey % 5 AS m,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE 120 // (o_orderkey % 5) END AS d,
+             CASE WHEN CAST(o_orderkey AS HUGEINT) * 4611686018427387904
+                       > 9223372036854775807 THEN NULL
+                  ELSE CAST(CAST(o_orderkey AS HUGEINT)
+                    * 4611686018427387904 AS BIGINT) END AS p,
+             CASE WHEN CAST(o_orderkey AS HUGEINT) + 9223372036854775807
+                       > 9223372036854775807 THEN NULL
+                  ELSE CAST(CAST(o_orderkey AS HUGEINT)
+                    + 9223372036854775807 AS BIGINT) END AS a
+           FROM orders)
+         SELECT m, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN d IS NULL THEN 1 END) AS BIGINT)
+             AS n_div_null,
+           CAST(coalesce(max(d), -1) AS BIGINT) AS div120,
+           CAST(count(CASE WHEN p IS NULL THEN 1 END) AS BIGINT)
+             AS n_mul_null,
+           CAST(coalesce(sum(p), -1) AS BIGINT) AS sum_mul_ok,
+           CAST(count(CASE WHEN a IS NULL THEN 1 END) AS BIGINT)
+             AS n_add_null
+         FROM o GROUP BY m ORDER BY m""",
     // DuckDB's native recursive CTE over the identical tree
     "q83_recursive_rollup" ->
       """WITH RECURSIVE anc AS (
