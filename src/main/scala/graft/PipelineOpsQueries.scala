@@ -650,6 +650,13 @@ object PipelineOpsQueries {
     "p96_hll_intersect" -> ((s, dir) =>
       CorpusOps.hllIntersect(docs(s, dir), "en", "fr")),
 
+    // cross-doc duplicated-substring SPANS (Lee et al. exact-substring
+    // dedup at 4-gram resolution): maximal runs of corpus-duplicated gram
+    // positions per doc — the spans a substring-cut pass would remove,
+    // where p36 only reports gram coverage. Hash-only df census, distinct
+    // dup-set join-back, doc-keyed island window (DedupOps.dupSpans).
+    "p97_dup_spans" -> ((s, dir) => DedupOps.dupSpans(docs(s, dir))),
+
     // SEMANTIC decontamination (the embedding twin of p27's n-gram rule):
     // every corpus vector is probed against the broadcast eval-benchmark
     // set at cosine ≥ 0.9; per-benchmark contamination counts emit with
@@ -1392,6 +1399,38 @@ object PipelineOpsQueries {
            est_a, est_b, est_union,
            CAST(est_a + est_b - est_union AS BIGINT) AS est_inter
          FROM est""",
+    // positional (non-distinct) 4-grams, global occ >= 2 dup set,
+    // gaps-and-islands on duplicated positions, span = max-min+4 tokens
+    "p97_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         short AS (SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+             array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 4),
+         pos_ AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i
+                  FROM toks WHERE len(tk) >= 4),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(tk[i:i+3], ' ') AS s FROM pos_
+               UNION ALL SELECT * FROM short),
+         hs AS (SELECT doc_id, pos,
+             CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+           FROM g),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM hs GROUP BY doc_id),
+         dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+         hit AS (SELECT doc_id, pos FROM hs JOIN dup USING (h)),
+         run AS (SELECT doc_id, pos, pos - row_number()
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hit),
+         sp AS (SELECT doc_id, grp, max(pos) - min(pos) + 4 AS span_tokens
+                FROM run GROUP BY doc_id, grp),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+             CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+           FROM sp GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams,
+           CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(pd.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+         FROM tot t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""",
     // same arithmetic-free plants (copy / list_reverse), DuckDB's own
     // cosine at the same threshold
     "p94_semantic_decon" ->

@@ -903,6 +903,48 @@ object RelationalQueries {
         .orderBy(col("m"))
     }),
 
+    // exact distinct via BITMAP aggregation (the bitmap-index trick —
+    // ClickHouse groupBitmap / Druid bitmap indexes): user ids pack into
+    // 64-bit words keyed by uid>>6, bit_or merges map-side (one partial
+    // agg per word per partition), and popcount-sum recovers the EXACT
+    // distinct count. The exchange carries one row per (type, word) —
+    // a ≥64× row cut vs shuffling distinct uids, with none of HLL's
+    // (p20) approximation. Contract: dense bounded id domains (dictionary-
+    // encoded users, doc ids within a shard); for open-ended domains the
+    // HLL path is the estimate and count_distinct the exact fallback.
+    // The oracle recomputes the same three quantities from the raw rows,
+    // so the bitmap algebra itself is what's verified.
+    "q97_bitmap_distinct" -> ((s, dir) => {
+      val words = t(s, dir, "events")
+        .select(col("event_type"), shiftright(col("user_id"), 6).as("word_idx"),
+          expr("shiftleft(1L, int(user_id % 64))").as("bit"))
+        .groupBy(col("event_type"), col("word_idx"))
+        .agg(expr("bit_or(bit)").as("word"))
+      words.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(word)")).cast("long").as("n_users"),
+          count(lit(1)).as("n_words"),
+          max(col("word_idx")).cast("long").as("max_word"))
+        .orderBy(col("event_type"))
+    }),
+
+    // cross-engine CALENDAR semantics pin (the date-function analogue of
+    // q93's null-ordering pin): ISO week-of-year × day-of-week rollup.
+    // Spark's weekofyear is ISO-8601 (Monday start, week 1 holds Jan 4);
+    // its dayofweek is 1=Sunday..7=Saturday while DuckDB's is 0=Sunday..6
+    // — the oracle adds 1 so a convention drift in either engine breaks
+    // the hash. Cents via DECIMAL(18,2) so the sum is exact and
+    // order-independent (q10 convention).
+    "q98_calendar_pin" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(weekofyear(col("ts")).cast("long").as("iso_week"),
+          dayofweek(col("ts")).cast("long").as("dow"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy(col("iso_week"), col("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("iso_week"), col("dow"))
+    }),
+
     // literal WITH RECURSIVE (Spark 4's UnionLoopExec): subtree doc count
     // and char mass per single-digit root over the decimal ancestor tree
     // — q62 computes this rollup by exploding ancestor chains; here the
@@ -1550,6 +1592,24 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // bitmap-exact distinct re-derived from the raw rows: popcount-sum of
+    // the packed words must equal count(DISTINCT user_id), word count =
+    // distinct uid>>6
+    "q97_bitmap_distinct" ->
+      """SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words,
+         CAST(max(user_id // 64) AS BIGINT) AS max_word
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // DuckDB: weekofyear is ISO too; dayofweek is 0=Sunday..6 → +1 aligns
+    // with Spark's 1=Sunday..7
+    "q98_calendar_pin" ->
+      """SELECT CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q10_metrics_rollup" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents,

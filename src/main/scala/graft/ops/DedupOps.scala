@@ -542,6 +542,57 @@ object DedupOps {
              .cast("long").as("n_dup_blocks"))
   }
 
+  /** Cross-doc duplicated-substring SPANS — the exact-substring-dedup shape
+    * of Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), at word-`w`-gram resolution: a gram
+    * occurrence is duplicated when its corpus-wide occurrence count (ALL
+    * positions — within-doc repeats are duplication too, unlike p36's
+    * per-doc-distinct coverage) reaches `minDf`; consecutive duplicated
+    * gram positions then merge into MAXIMAL runs (gaps-and-islands on the
+    * position sequence), and a run covering gram positions [a..b] spans
+    * b−a+w tokens — the unit a substring-dedup pass would actually cut,
+    * where p36 only reports how much is covered. Docs shorter than `w`
+    * contribute one whole-doc gram at position 1 (span length reported as
+    * `w` by the uniform formula; the oracle replicates it). Scale: the df
+    * census shuffles bare hashes (8 B), the hit join is against the
+    * DISTINCT duplicated-hash set (no fan-out), and the island merge is
+    * one doc-keyed window over duplicated positions only — text never
+    * crosses an exchange. Reference analogue: none (engine addition,
+    * SURVEY §2.3 dedup family). */
+  def dupSpans(df: DataFrame, w: Int = 4, minDf: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        if (toks.length < w)
+          Iterator.single((id, 1L, TextOps.md5Low63(toks.mkString(" "))))
+        else Iterator.tabulate(toks.length - w + 1)(i =>
+          (id, (i + 1).toLong, TextOps.md5Low63(toks.slice(i, i + w).mkString(" "))))
+      }
+      .toDF("doc_id", "pos", "h")
+    val totals = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minDf).select(col("h"))
+    val hits = g.join(dup, "h").select(col("doc_id"), col("pos"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("grp", col("pos") - row_number().over(wnd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + w).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_spans"),
+        sum(col("span_tokens")).cast("long").as("dup_tokens"),
+        max(col("span_tokens")).cast("long").as("max_span_tokens"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+  }
+
   /** Character-level near-duplicate pairs (Levenshtein distance ≤ 1) over
     * a short key column, via SymmetricDelete deletion-neighborhood
     * blocking: every key generates itself plus its L single-character

@@ -380,6 +380,28 @@ class CurationOpsSpec extends AnyFunSuite {
                        (3L, 1L, 0L)))
   }
 
+  test("dupSpans: maximal cross-doc duplicated runs, within-doc repeats " +
+    "count, short docs and island splits handled") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e x1 x2 x3"),          // shares "a b c d e" with doc 1
+      (1L, "z1 a b c d e z2 z3"),
+      (2L, "p q r s"),                      // one unique gram
+      (3L, "m m m m m m"),                  // within-doc repeated gram run
+      (4L, "u v"),                          // short doc (< w tokens)
+      (5L, "a b c d q1 q2 q3 q4 b c d e")  // two separate dup islands
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.dupSpans(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 5L, 1L, 5L, 5L),   // run at gram pos [1..2] → 5-token span
+      (1L, 5L, 1L, 5L, 5L),   // run at gram pos [2..3] → 5-token span
+      (2L, 1L, 0L, 0L, 0L),
+      (3L, 3L, 1L, 6L, 6L),   // all 3 "m m m m" grams dup → whole doc
+      (4L, 1L, 0L, 0L, 0L),
+      (5L, 9L, 2L, 8L, 4L)))  // islands at pos 1 and pos 9, 4 tokens each
+  }
+
   test("sourceOverlap df cap drops stop-grams present in > maxDf sources") {
     import spark.implicits._
     // gram "a b c" in 3 sources; "x y z" in 2; "p q r" unique
