@@ -657,6 +657,16 @@ object PipelineOpsQueries {
     // dup-set join-back, doc-keyed island window (DedupOps.dupSpans).
     "p97_dup_spans" -> ((s, dir) => DedupOps.dupSpans(docs(s, dir))),
 
+    // windowed co-occurrence LIFT top pairs (collocation mining; integer
+    // lift = exp(PMI) ordering): bounded pair flatMap, minCo cut BEFORE
+    // the marginal join, deterministic (co desc, pair) top-50
+    "p98_pmi_pairs" -> ((s, dir) => CorpusOps.pmiPairs(docs(s, dir))),
+
+    // greedy k-center diversity coreset (farthest-point traversal) over
+    // integer-quantized embeddings — k scans + 1-row TakeOrdered per
+    // round, exact integer argmax chain the oracle unrolls round-by-round
+    "p99_kcenter" -> ((s, dir) => SimilarityOps.kcenterCoreset(emb(s, dir))),
+
     // SEMANTIC decontamination (the embedding twin of p27's n-gram rule):
     // every corpus vector is probed against the broadcast eval-benchmark
     // set at cosine ≥ 0.9; per-benchmark contamination counts emit with
@@ -1431,6 +1441,66 @@ object PipelineOpsQueries {
            CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            CAST(COALESCE(pd.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
          FROM tot t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""",
+    // self-join pair generation (b.pos in (a.pos, a.pos+4]) replicates the
+    // engine's windowed flatMap; identical BIGINT lift arithmetic
+    "p98_pmi_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         pos_ AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                  FROM toks),
+         t AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+               FROM pos_),
+         pr AS (SELECT least(a.tok, b.tok) AS tok_a,
+                  greatest(a.tok, b.tok) AS tok_b
+                FROM t a JOIN t b ON a.doc_id = b.doc_id
+                  AND b.pos > a.pos AND b.pos <= a.pos + 4),
+         co AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS co
+                FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                 FROM t GROUP BY tok),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+         SELECT tok_a, tok_b, co, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+           CAST(co * 1000000 * (SELECT n FROM tot)
+             // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+         FROM co JOIN cnt ca ON ca.tok = co.tok_a
+                 JOIN cnt cb ON cb.tok = co.tok_b
+         ORDER BY co DESC, tok_a, tok_b LIMIT 50""",
+    // the same greedy chain unrolled: seed = min vec_id, then three
+    // argmax-of-min-distance rounds over the identical quantized vectors
+    "p99_kcenter" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         s1 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+         m1 AS (SELECT a.vec_id, CAST(list_sum(list_transform(
+                  range(1, len(a.v) + 1),
+                  i -> (a.v[i] - s.v[i]) * (a.v[i] - s.v[i])))
+                  AS BIGINT) AS d
+                FROM q a CROSS JOIN s1 s),
+         c2 AS (SELECT vec_id, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+         s2 AS (SELECT q.vec_id, q.v FROM q JOIN c2 USING (vec_id)),
+         m2 AS (SELECT a.vec_id, least(m.d, CAST(list_sum(list_transform(
+                  range(1, len(a.v) + 1),
+                  i -> (a.v[i] - s.v[i]) * (a.v[i] - s.v[i])))
+                  AS BIGINT)) AS d
+                FROM q a JOIN m1 m ON m.vec_id = a.vec_id
+                CROSS JOIN s2 s),
+         c3 AS (SELECT vec_id, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+         s3 AS (SELECT q.vec_id, q.v FROM q JOIN c3 USING (vec_id)),
+         m3 AS (SELECT a.vec_id, least(m.d, CAST(list_sum(list_transform(
+                  range(1, len(a.v) + 1),
+                  i -> (a.v[i] - s.v[i]) * (a.v[i] - s.v[i])))
+                  AS BIGINT)) AS d
+                FROM q a JOIN m2 m ON m.vec_id = a.vec_id
+                CROSS JOIN s3 s),
+         c4 AS (SELECT vec_id, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS iter,
+           (SELECT vec_id FROM s1) AS vec_id,
+           CAST(0 AS BIGINT) AS min_d2
+         UNION ALL SELECT 2, vec_id, d FROM c2
+         UNION ALL SELECT 3, vec_id, d FROM c3
+         UNION ALL SELECT 4, vec_id, d FROM c4
+         ORDER BY iter""",
     // same arithmetic-free plants (copy / list_reverse), DuckDB's own
     // cosine at the same threshold
     "p94_semantic_decon" ->

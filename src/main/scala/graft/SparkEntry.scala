@@ -124,6 +124,8 @@ object SparkEntry {
     s"/tmp/graft_type_kind_dump_${docCountFor(dir)}"
   def offsetGapDumpPath(dir: String): String =
     s"/tmp/graft_offset_gap_dump_${docCountFor(dir)}"
+  def recordDumpPath(dir: String): String =
+    s"/tmp/graft_record_dump_${docCountFor(dir)}"
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -669,6 +671,26 @@ object SparkEntry {
         .orderBy(col("document_type"))
     }),
 
+    // record-field SCHEMA CENSUS over the semi-structured extraction
+    // output: which top-level fields each document type's record_json
+    // actually carries, and in how many documents — the field-coverage
+    // table a downstream schema consumer (or a pydantic-model migration)
+    // reads first. Key extraction is engine-native JSON parsing on both
+    // sides (json_object_keys here, DuckDB json_keys in the oracle) over
+    // the SAME dumped bytes, so the parse semantics themselves are pinned.
+    // Empty records ({}) contribute no rows by both engines' convention.
+    "x30_field_census" -> ((s, dir) => {
+      ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("doc_id"), col("document_type"), col("record_json"))
+        .write.mode("overwrite").parquet(recordDumpPath(dir))
+      s.read.parquet(recordDumpPath(dir))
+        .select(col("document_type"),
+          explode(expr("json_object_keys(record_json)")).as("field"))
+        .groupBy(col("document_type"), col("field"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("document_type"), col("field"))
+    }),
+
     // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
     // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
     // per plain-mode type: docs whose type changed, validity flips, and the
@@ -794,6 +816,14 @@ object SparkEntry {
              CAST(p.n_spans * 1000000 // t.type_total AS BIGINT) AS share_ppm
            FROM per p JOIN tot t USING (document_type)
            ORDER BY p.document_type, p.kind""",
+      // DuckDB's own JSON parser over the identical dumped record bytes
+      "x30_field_census" ->
+        s"""SELECT document_type, field, CAST(count(*) AS BIGINT) AS n_docs
+           FROM (SELECT document_type,
+                   unnest(json_keys(record_json)) AS field
+                 FROM read_parquet('${recordDumpPath(dir)}/*.parquet'))
+           GROUP BY document_type, field
+           ORDER BY document_type, field""",
       // lag-window re-derivation of the gaps from the dumped offsets
       "x29_offset_gaps" ->
         s"""WITH d AS (SELECT doc_id, document_type, ord, "offset"

@@ -1286,4 +1286,59 @@ object CorpusOps {
         sum(col("leaky")).as("n_leaky_naive"))
       .orderBy(col("split"))
   }
+
+  /** Windowed co-occurrence LIFT statistics (collocation mining — the
+    * integer-exact stand-in for PMI, which it orders identically for
+    * fixed marginals since lift = exp(PMI)): every unordered token pair
+    * within a `window`-token sliding window counts once per position
+    * pair, and lift_ppm = co·10^6·N / (cnt_a·cnt_b) with N = total token
+    * occurrences. Top-`topK` by (co desc, pair asc) — a deterministic
+    * total order both engines replicate. Scale: pair generation is a
+    * bounded typed flatMap (≤ window−1 pairs per position — no all-pairs
+    * blowup), pairs shuffle as short token-pair keys, marginals are one
+    * token-keyed agg joined AFTER the `minCo` cut (the co table shrinks
+    * first, the join is small); the 10^12-row note: the co·10^6·N product
+    * needs DECIMAL(38) or a reassociated divide at full corpus N — at
+    * that point swap the BIGINT product for the decimal form in both
+    * engines. Reference analogue: none (engine addition, corpus-stats
+    * family alongside tokenDf/bigram surprisal). */
+  def pmiPairs(df: DataFrame, window: Int = 5, minCo: Int = 2,
+               topK: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+    val pairs = toks.flatMap { case (_, text) =>
+      val t = wsPat.split(text.trim)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < t.length) {
+        val hi = math.min(t.length - 1, i + window - 1)
+        var j = i + 1
+        while (j <= hi) {
+          if (t(i) <= t(j)) out += ((t(i), t(j))) else out += ((t(j), t(i)))
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("tok_a", "tok_b")
+    val co = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val cnt = toks.flatMap { case (_, text) =>
+      wsPat.split(text.trim).iterator
+    }.toDF("tok").groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast("long").as("n_total"))
+    co.join(cnt.select(col("tok").as("tok_a"), col("cnt").as("cnt_a")), "tok_a")
+      .join(cnt.select(col("tok").as("tok_b"), col("cnt").as("cnt_b")), "tok_b")
+      .crossJoin(broadcast(total))
+      .select(col("tok_a"), col("tok_b"), col("co").cast("long").as("co"),
+        col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"),
+        expr("(co * 1000000L * n_total) div (cnt_a * cnt_b)")
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("co").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
 }

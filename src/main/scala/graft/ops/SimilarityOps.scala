@@ -421,4 +421,53 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("score"))
       .where(col("score") >= minCosine) // pair output: no global sort
   }
+
+  /** Greedy k-center diversity CORESET (farthest-point traversal — the
+    * classic 2-approximation, the shape behind diversity-sampling passes
+    * like DiverseEvol/coreset selection): seed at the minimum vec_id,
+    * then k−1 rounds of "pick the point farthest from the selected set".
+    * Coordinates are integer-quantized `floor(double(x)·1000)` (the
+    * dimensionStats convention — float32→float64 widening is exact, so
+    * both engines floor identical doubles) and distances are integer
+    * squared-L2: every argmax is exact, ties broken by ascending vec_id,
+    * and the DuckDB oracle unrolls the same k rounds to the same rows.
+    * Scale shape: k scans of the cached quantized table, each against a
+    * ≤k-vector broadcast closure, one TakeOrdered(1) per round — the same
+    * iterate-with-tiny-driver-state contract as IVF Lloyd (IvfOps); k is
+    * a constant (single-digit), never data-sized. Output: one row per
+    * round (iter, vec_id, min_d2 = the selected point's distance to the
+    * previously-selected set; 0 for the seed). */
+  def kcenterCoreset(emb: DataFrame, k: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+          " AS BIGINT))").as("v"))
+      .as[(Long, Seq[Long])].cache()
+    val seedId = q.map(_._1).reduce(math.min)
+    val seedVec = q.filter(_._1 == seedId).head()._2
+    var selVecs = List(seedVec)
+    val rows = scala.collection.mutable.ArrayBuffer((1L, seedId, 0L))
+    var it = 2
+    while (it <= k) {
+      val sel = selVecs
+      val (farId, farD2) = q.map { case (id, v) =>
+        var best = Long.MaxValue
+        sel.foreach { s =>
+          var d = 0L
+          var i = 0
+          while (i < v.length) { val z = v(i) - s(i); d += z * z; i += 1 }
+          if (d < best) best = d
+        }
+        (id, best)
+      }.toDF("vec_id", "d2")
+        .orderBy(col("d2").desc, col("vec_id")).limit(1)
+        .as[(Long, Long)].head()
+      rows += ((it.toLong, farId, farD2))
+      selVecs = q.filter(_._1 == farId).head()._2 :: selVecs
+      it += 1
+    }
+    q.unpersist()
+    spark.createDataFrame(rows.toSeq).toDF("iter", "vec_id", "min_d2")
+  }
 }

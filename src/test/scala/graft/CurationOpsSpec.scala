@@ -402,6 +402,29 @@ class CurationOpsSpec extends AnyFunSuite {
       (5L, 9L, 2L, 8L, 4L)))  // islands at pos 1 and pos 9, 4 tokens each
   }
 
+  test("pmiPairs: windowed pair counts, minCo cut, integer lift") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // pairs in window 5: (a,b)×4, (a,a)×1, (b,b)×1 → only (a,b) survives
+    // minCo=2; lift = 4·10^6·4 / (2·2)
+    val got = graft.ops.CorpusOps.pmiPairs(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 4L, 2L, 2L, 4000000L)))
+  }
+
+  test("kcenterCoreset: seed at min vec_id, exact integer farthest-point " +
+    "chain with vec_id tie-break") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.1f)), (2L, Array(0.25f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.SimilarityOps.kcenterCoreset(emb, k = 3)
+      .orderBy("iter").as[(Long, Long, Long)].collect().toSeq
+    // quantized coords 0/100/250: seed 0 → farthest 250 (d²=62500) →
+    // then v1 at min-dist min(100², 150²) = 10000
+    assert(got === Seq((1L, 0L, 0L), (2L, 2L, 62500L), (3L, 1L, 10000L)))
+  }
+
   test("sourceOverlap df cap drops stop-grams present in > maxDf sources") {
     import spark.implicits._
     // gram "a b c" in 3 sources; "x y z" in 2; "p q r" unique
