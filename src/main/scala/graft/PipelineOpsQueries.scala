@@ -667,6 +667,18 @@ object PipelineOpsQueries {
     // round, exact integer argmax chain the oracle unrolls round-by-round
     "p99_kcenter" -> ((s, dir) => SimilarityOps.kcenterCoreset(emb(s, dir))),
 
+    // per-source unigram entropy mass (mixing-time diversity metric;
+    // integer bitlen arithmetic — p38's convention at source granularity)
+    "p100_source_entropy" -> ((s, dir) =>
+      CorpusOps.sourceEntropy(docs(s, dir))),
+
+    // rolling distinct via daily-HLL register-max algebra vs the exact
+    // recount — the 10^12-row replacement for q78's distinct-band-join
+    // (m=64 rows/day through the window instead of |distinct users|×3)
+    "p101_hll_sliding_union" -> ((s, dir) =>
+      graft.ops.EventOps.hllSlidingUnion(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // SEMANTIC decontamination (the embedding twin of p27's n-gram rule):
     // every corpus vector is probed against the broadcast eval-benchmark
     // set at cosine ≥ 0.9; per-benchmark contamination counts emit with
@@ -1441,6 +1453,56 @@ object PipelineOpsQueries {
            CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            CAST(COALESCE(pd.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
          FROM tot t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""",
+    // p20's register CTE per DAY, window union = cellwise max over the
+    // trailing 3 days, p35's integer estimator, exact trailing recount
+    "p101_hll_sliding_union" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         hs AS (SELECT day,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) AS h
+           FROM ud),
+         regs AS (SELECT day, CAST(h & 63 AS INT) AS bucket,
+             max(CASE WHEN h >> 6 = 0 THEN 58
+                 ELSE 58 - length(bin(h >> 6)) END) AS rho
+           FROM hs GROUP BY 1, 2),
+         wr AS (SELECT d.day AS wday, r.bucket, max(r.rho) AS rho
+                FROM regs r JOIN days d ON d.day BETWEEN r.day AND r.day + 2
+                GROUP BY 1, 2),
+         cells AS (SELECT d.day AS wday, CAST(u.range AS INT) AS bucket
+                   FROM days d, range(64) u),
+         den AS (SELECT c.wday, CAST(sum(CAST(1 AS BIGINT)
+               << (30 - least(coalesce(wr.rho, 0), 30))) AS BIGINT) AS denom
+             FROM cells c LEFT JOIN wr ON wr.wday = c.wday
+               AND wr.bucket = c.bucket
+             GROUP BY c.wday),
+         est AS (SELECT wday, CAST(709 * 64 * 64 * (CAST(1 AS BIGINT) << 30)
+               // denom // 1000 AS BIGINT) AS est_int FROM den),
+         ex AS (SELECT d.day AS wday,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact
+           FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 2
+           GROUP BY 1)
+         SELECT e.wday, x.n_exact, e.est_int,
+           CAST(abs(e.est_int - x.n_exact) * 1000 // x.n_exact AS BIGINT)
+             AS err_permille
+         FROM est e JOIN ex x USING (wday) ORDER BY e.wday""",
+    // identical bitlen arithmetic via bin(); per-(source, token) counts
+    // then the post-agg projection
+    "p100_source_entropy" ->
+      """WITH t AS (SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+               FROM t GROUP BY 1, 2),
+         agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * length(bin(c))) AS BIGINT) AS sum_c_bitlen
+           FROM c GROUP BY source)
+         SELECT source, n_tokens, n_distinct,
+           CAST(n_tokens * length(bin(n_tokens)) - sum_c_bitlen AS BIGINT)
+             AS entropy_mass
+         FROM agg ORDER BY source""",
     // self-join pair generation (b.pos in (a.pos, a.pos+4]) replicates the
     // engine's windowed flatMap; identical BIGINT lift arithmetic
     "p98_pmi_pairs" ->

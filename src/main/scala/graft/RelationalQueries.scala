@@ -927,6 +927,60 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // SCD2 POINT-IN-TIME enrichment — the dimensional-warehouse pattern
+    // q49 builds versions for but nothing consumed: every purchase joins
+    // the signup VERSION that was valid at purchase time, then rolls up
+    // revenue per dimension version. The PIT lookup IS an as-of join
+    // (latest valid_from ≤ t), so it rides the engine's AsOfJoin operator
+    // — one keyed shuffle + Tungsten sort + O(1)-state sweep, no
+    // nested-loop validity-interval join, no window over the fact table.
+    // Purchases before any signup keep version −1 (LEFT semantics).
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q99_scd2_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val versions = graft.ops.EventOps.scd2Versions(ev)
+        .select(col("user_id").as("key"),
+          timestamp_micros(col("valid_from_us")).as("ts"),
+          col("event_id").as("id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      val cents = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("left_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      graft.ops.AsOfJoin.join(purchases, versions)
+        .join(cents, "left_id")
+        .groupBy(coalesce(col("right_id"), lit(-1L)).as("version_event_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("version_event_id"))
+    }),
+
+    // SCHEMA-EVOLUTION union: two generations of the orders feed with
+    // disjoint extra columns union by NAME with missing columns
+    // null-padded (`unionByName(allowMissingColumns = true)` — the
+    // ingest-time contract when a parquet producer adds a field). The
+    // census counts per-column presence so a positional union (the bug
+    // this pins against) could never hash-match: positionally, price and
+    // priority would land in one column. Oracle replicates with explicit
+    // NULL projections — independent of DuckDB's own BY NAME support.
+    "q100_union_evolution" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val v1 = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_cents"))
+      val v2 = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("price_cents")).as("n_with_price"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          sum(col("price_cents")).cast("long").as("sum_price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // cross-engine CALENDAR semantics pin (the date-function analogue of
     // q93's null-ordering pin): ISO week-of-year × day-of-week rollup.
     // Spark's weekofyear is ISO-8601 (Monday start, week 1 holds Jan 4);
@@ -1601,6 +1655,37 @@ object RelationalQueries {
          CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words,
          CAST(max(user_id // 64) AS BIGINT) AS max_word
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // explicit NULL-padded projections — the BY NAME semantics spelled out
+    "q100_union_evolution" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, CAST(NULL AS BIGINT),
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(price_cents) AS BIGINT) AS n_with_price,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+         FROM u GROUP BY 1 ORDER BY 1""",
+    // native ASOF LEFT JOIN; same version table, same cent arithmetic
+    "q99_scd2_pit_join" ->
+      """WITH s AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT p.cents, s.event_id AS vid
+               FROM p ASOF LEFT JOIN s
+                 ON p.user_id = s.user_id AND p.ts >= s.ts)
+         SELECT CAST(COALESCE(vid, -1) AS BIGINT) AS version_event_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM m GROUP BY 1 ORDER BY 1""",
     // DuckDB: weekofyear is ISO too; dayofweek is 0=Sunday..6 → +1 aligns
     // with Spark's 1=Sunday..7
     "q98_calendar_pin" ->

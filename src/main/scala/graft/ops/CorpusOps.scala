@@ -1287,6 +1287,41 @@ object CorpusOps {
       .orderBy(col("split"))
   }
 
+  /** Per-source unigram ENTROPY MASS — the corpus-diversity metric a
+    * data-mixing pass reads next to size (low entropy = templated/
+    * boilerplate-heavy source; the Shannon-entropy analogue of p79's HHI
+    * concentration, computed over tokens instead of source shares). Same
+    * integer bit-length convention as [[surprisalScores]]:
+    * entropy_mass = Σ_t c_t·(bitlen(N_s) − bitlen(c_t))
+    *              = N_s·bitlen(N_s) − Σ_t c_t·bitlen(c_t)
+    * — engine-exact (`bin()` has identical semantics in both engines), no
+    * float log ever. Scale shape: one typed per-doc counting pass, one
+    * (source, token)-keyed agg (partial map-side), one source-keyed
+    * rollup; the bitlen(N_s) factor applies AFTER aggregation as a
+    * projection, so no second scan. */
+  def sourceEntropy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stc = df.select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, text) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        wsPat.split(text.trim).foreach { t =>
+          m.update(t, m.getOrElse(t, 0L) + 1L)
+        }
+        m.iterator.map { case (t, c) => (src, t, c) }
+      }.toDF("source", "token", "c")
+      .groupBy(col("source"), col("token"))
+      .agg(sum(col("c")).cast("long").as("c"))
+    stc.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * length(bin(col("c")))).cast("long").as("sum_c_bitlen"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") * length(bin(col("n_tokens"))) - col("sum_c_bitlen"))
+          .cast("long").as("entropy_mass"))
+      .orderBy(col("source"))
+  }
+
   /** Windowed co-occurrence LIFT statistics (collocation mining — the
     * integer-exact stand-in for PMI, which it orders identically for
     * fixed marginals since lift = exp(PMI)): every unordered token pair

@@ -234,4 +234,67 @@ object EventOps {
       .groupBy(col("max_conc")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("max_conc"))
   }
+
+  /** ROLLING distinct users via HLL register algebra — the 10^12-row form
+    * of q78's exact 3-day rolling MAU: per-day registers (the p20/p35
+    * convention: p=6, m=64, rho = 58 − bitlen(h≫6), h = masked md5-low63
+    * of the user id string) are built once, then each register row lands
+    * in the ≤`windowDays` trailing windows it contributes to (an explode
+    * by constant ≤3 — the q55 sliding-window Expand pattern) and the
+    * window sketch is a cellwise MAX — union without rescanning any day.
+    * At scale this replaces q78's |distinct(user,day)|×3 band-join shuffle
+    * with m rows per day, full stop. The integer estimator and the exact
+    * trailing-window recount (both engines replicate it bit-for-bit) emit
+    * side by side with err_permille — the accuracy evidence that justifies
+    * swapping the exact op out. Windows are keyed by their END day and
+    * only actual event days emit. */
+  def hllSlidingUnion(events: DataFrame, windowDays: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = 64
+    val wBits = 57
+    val ud = withUs(events)
+      .select(col("user_id").cast("long"), expr("us div 86400000000L").as("day"))
+      .distinct()
+    val regs = ud.as[(Long, Long)]
+      .map { case (uid, day) =>
+        val h = TextOps.md5Low63(uid.toString)
+        val v = h >>> 6
+        val rho =
+          if (v == 0L) wBits + 1
+          else wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+        (day, (h & (m - 1)).toInt, rho)
+      }
+      .toDF("day", "bucket", "rho")
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("rho"))
+    val days = ud.select(col("day")).distinct()
+    val winRegs = regs
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("wday"),
+        col("bucket"), col("rho"))
+      .join(days.withColumnRenamed("day", "wday"), "wday") // actual days only
+      .groupBy(col("wday"), col("bucket")).agg(max(col("rho")).as("rho"))
+    // 64-cell densify (absent cells are rho = 0), then the integer
+    // estimator est = 709·m²·2³⁰ / Σ 2^(30−min(rho,30)) / 1000
+    val cells = days.withColumnRenamed("day", "wday")
+      .crossJoin(spark.range(m).select(col("id").cast("int").as("bucket")))
+    val est = cells.join(winRegs, Seq("wday", "bucket"), "left")
+      .select(col("wday"),
+        expr("shiftleft(1L, 30 - least(coalesce(rho, 0), 30))").as("cell"))
+      .groupBy(col("wday")).agg(sum(col("cell")).cast("long").as("denom"))
+      .select(col("wday"),
+        expr(s"(709L * $m * $m * shiftleft(1L, 30)) div denom div 1000L")
+          .as("est_int"))
+    val exact = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("wday"))
+      .join(days.withColumnRenamed("day", "wday"), "wday")
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "wday")
+      .select(col("wday"), col("n_exact").cast("long").as("n_exact"),
+        col("est_int"),
+        expr("abs(est_int - n_exact) * 1000L div n_exact").as("err_permille"))
+      .orderBy(col("wday"))
+  }
 }

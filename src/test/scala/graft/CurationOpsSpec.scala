@@ -425,6 +425,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 0L, 0L), (2L, 2L, 62500L), (3L, 1L, 10000L)))
   }
 
+  test("sourceEntropy: integer bitlen identity on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a b", "s1"), (1L, "c c c c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.CorpusOps.sourceEntropy(docs)
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    // s1: N=3 (bitlen 2), c(a)=2 (bitlen 2), c(b)=1 (bitlen 1) →
+    //     mass = 3·2 − (2·2 + 1·1) = 1
+    // s2: N=4 (bitlen 3), c(c)=4 (bitlen 3) → mass = 4·3 − 4·3 = 0
+    assert(got === Seq(("s1", 3L, 2L, 1L), ("s2", 4L, 1L, 0L)))
+  }
+
   test("sourceOverlap df cap drops stop-grams present in > maxDf sources") {
     import spark.implicits._
     // gram "a b c" in 3 sources; "x y z" in 2; "p q r" unique
