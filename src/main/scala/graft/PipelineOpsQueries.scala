@@ -46,6 +46,9 @@ object PipelineOpsQueries {
   def mgDumpPath(dir: String): String =
     s"/tmp/graft_mg_summary_${SparkEntry.docCountFor(dir)}"
 
+  def deflateDumpPath(dir: String): String =
+    s"/tmp/graft_deflate_dump_${SparkEntry.docCountFor(dir)}"
+
   def semDedupAssignPath(dir: String): String =
     s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
 
@@ -671,6 +674,16 @@ object PipelineOpsQueries {
     // integer bitlen arithmetic — p38's convention at source granularity)
     "p100_source_entropy" -> ((s, dir) =>
       CorpusOps.sourceEntropy(docs(s, dir))),
+
+    // compression-ratio quality signal: codegen'd DeflateLength per doc
+    // (the cheap perplexity stand-in), dumped so the oracle re-aggregates
+    // without recomputing zlib
+    "p102_compression_signal" -> ((s, dir) =>
+      CorpusOps.compressionSignal(docs(s, dir), deflateDumpPath(dir))),
+
+    // k-anonymity census over (source, lang, 256-char size bucket)
+    // quasi-identifiers: group-size histogram + cumulative below-k docs
+    "p103_k_anonymity" -> ((s, dir) => CorpusOps.kAnonymity(docs(s, dir))),
 
     // rolling distinct via daily-HLL register-max algebra vs the exact
     // recount — the 10^12-row replacement for q78's distinct-band-join
@@ -1487,6 +1500,31 @@ object PipelineOpsQueries {
            CAST(abs(e.est_int - x.n_exact) * 1000 // x.n_exact AS BIGINT)
              AS err_permille
          FROM est e JOIN ex x USING (wday) ORDER BY e.wday""",
+    // re-aggregates the per-doc deflate dump (engine computed zlib once);
+    // same integer ratio + repetitive-flag arithmetic
+    "p102_compression_signal" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(raw_bytes) AS BIGINT) AS sum_raw_bytes,
+         CAST(sum(deflate_bytes) AS BIGINT) AS sum_deflate_bytes,
+         CAST(sum(deflate_bytes) * 1000000 // sum(raw_bytes) AS BIGINT)
+           AS ratio_ppm,
+         CAST(sum(CASE WHEN deflate_bytes * 100 < raw_bytes * 35
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         FROM read_parquet('${deflateDumpPath(dir)}/*.parquet')
+         GROUP BY source ORDER BY source""",
+    // same quasi-identifier grouping + histogram + running below-k total
+    "p103_k_anonymity" ->
+      """WITH g AS (SELECT source, lang, n_chars // 256 AS size_bucket,
+             CAST(count(*) AS BIGINT) AS group_size
+           FROM documents GROUP BY 1, 2, 3),
+         h AS (SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(group_size * count(*) AS BIGINT) AS n_docs
+           FROM g GROUP BY group_size)
+         SELECT group_size, n_groups, n_docs,
+           CAST(sum(n_docs) OVER (ORDER BY group_size
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_docs_at_or_below
+         FROM h ORDER BY group_size""",
     // identical bitlen arithmetic via bin(); per-(source, token) counts
     // then the post-agg projection
     "p100_source_entropy" ->

@@ -981,6 +981,71 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // UTF-8 MULTIBYTE semantics pin: byte length (octet_length) vs
+    // character length (codepoints) must disagree exactly on multibyte
+    // text in BOTH engines before any length-based quality rule or
+    // chunker is trusted on non-ASCII corpora. Devanagari suffixes are
+    // planted deterministically (the bilingual Aadhaar-card domain: 3
+    // UTF-8 bytes per codepoint, BMP — unambiguous in Spark's
+    // UTF8String.numChars and DuckDB's length alike). All arithmetic
+    // stays integer; the n_multibyte census would catch an engine
+    // counting UTF-16 code units or graphemes instead of codepoints.
+    "q101_utf8_pin" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" आधार कार्ड 123")))
+            .otherwise(col("text")).as("t2"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("t2"))).cast("long").as("sum_bytes"),
+          sum(length(col("t2"))).cast("long").as("sum_chars"),
+          sum(when(octet_length(col("t2")) =!= length(col("t2")), 1L)
+            .otherwise(0L)).cast("long").as("n_multibyte"))
+        .orderBy(col("lang"))
+    }),
+
+    // PARTITION EVOLUTION (Iceberg-style): old periods of the events
+    // table live day-partitioned on disk, new periods month-partitioned —
+    // the layout change Iceberg applies WITHOUT rewriting history (spec
+    // v1 files keep their dirs; new writes use spec v2). Readers union
+    // the two generations and every per-generation filter still prunes
+    // to its own dirs. The rollup is layout-INDEPENDENT by construction —
+    // that invariance (evolution must never change query results) is
+    // exactly what the oracle, computed straight off the logical events
+    // table, verifies. The evolution cutoff is the period midpoint
+    // (1-row agg — driver-side by design, like CheckpointRunner's).
+    "q102_partition_evolution" -> ((s, dir) => {
+      val base = s"/tmp/graft_partevo_${SparkEntry.docCountFor(dir)}"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000L").as("day"))
+        .withColumn("period", expr("day div 30L"))
+      val Array(lo, hi) = ev.agg(min(col("period")), max(col("period")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = (lo + hi + 1) / 2
+      ev.where(col("period") < cut)
+        .select(col("event_id"), col("cents"), col("day"))
+        .write.partitionBy("day").parquet(s"$base/gen1")
+      ev.where(col("period") >= cut)
+        .select(col("event_id"), col("cents"), col("period"))
+        .write.partitionBy("period").parquet(s"$base/gen2")
+      val g1 = s.read.parquet(s"$base/gen1")
+        .withColumn("period", expr("day div 30L"))
+        .select(col("event_id"), col("cents"), col("period"))
+      val g2 = s.read.parquet(s"$base/gen2")
+        .select(col("event_id"), col("cents"), col("period").cast("long"))
+      g1.unionByName(g2)
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("period"))
+    }),
+
     // cross-engine CALENDAR semantics pin (the date-function analogue of
     // q93's null-ordering pin): ISO week-of-year × day-of-week rollup.
     // Spark's weekofyear is ISO-8601 (Monday start, week 1 holds Jan 4);
@@ -1686,6 +1751,25 @@ object RelationalQueries {
            CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM m GROUP BY 1 ORDER BY 1""",
+    // strlen = bytes, length = codepoints in DuckDB; same planted suffix
+    "q101_utf8_pin" ->
+      """WITH d AS (SELECT lang,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' आधार कार्ड 123'
+                  ELSE text END AS t2
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(t2)) AS BIGINT) AS sum_bytes,
+           CAST(sum(length(t2)) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN strlen(t2) <> length(t2) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_multibyte
+         FROM d GROUP BY lang ORDER BY lang""",
+    // layout-independent by construction: computed straight off events
+    "q102_partition_evolution" ->
+      """SELECT epoch_us(ts) // 86400000000 // 30 AS period,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
     // DuckDB: weekofyear is ISO too; dayofweek is 0=Sunday..6 → +1 aligns
     // with Spark's 1=Sunday..7
     "q98_calendar_pin" ->

@@ -64,6 +64,7 @@ object functions {
     column(CosineSimilarity(expression(a), expression(b)))
   def sign_lsh_bucket(c: Column, planes: Array[Array[Double]]): Column =
     column(SignLshBucket(expression(c), planes))
+  def deflate_len(c: Column): Column = column(DeflateLength(expression(c)))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
@@ -317,5 +318,51 @@ object SignLshBucket {
       b += 1
     }
     bucket
+  }
+}
+
+/** DEFLATE-compressed byte count of a string's UTF-8 bytes as a codegen'd
+  * unary expression — the kernel of the compression-ratio quality signal
+  * (highly repetitive/templated text compresses far below natural prose;
+  * production curation stacks use exactly this as a cheap perplexity
+  * stand-in). zlib level 6, zlib wrapper, per-thread `Deflater` reused via
+  * reset() so the hot path allocates only the UTF-8 byte copy. The count is
+  * deterministic for a fixed input on a fixed JDK zlib (the engine computes
+  * it ONCE and dumps it; the oracle only re-aggregates the dump — it never
+  * recomputes compression), so cross-engine hashing is unaffected. */
+case class DeflateLength(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires STRING, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    DeflateLength.lenOf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLength.lenOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_len"
+}
+
+object DeflateLength {
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, false)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+  /** Called from generated code. */
+  def lenOf(s: UTF8String): Int = {
+    val d = deflater.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(b)
+    total
   }
 }

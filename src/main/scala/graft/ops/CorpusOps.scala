@@ -1376,4 +1376,64 @@ object CorpusOps {
       .orderBy(col("co").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
   }
+
+  /** Compression-ratio quality signal — DEFLATE bytes vs raw UTF-8 bytes
+    * per document, rolled up per source. Highly repetitive or templated
+    * text compresses far below natural prose, making deflate length the
+    * classic cheap perplexity stand-in for corpus curation (the
+    * compression-filter family in public web-corpus pipelines). The
+    * per-doc kernel is the codegen'd [[graft.functions.DeflateLength]]
+    * expression (per-thread Deflater, reset-reused), so the scan stays
+    * inside whole-stage codegen; the per-doc table is dumped at query time
+    * (compression is engine code — the oracle re-aggregates the dump, it
+    * never recomputes zlib). Scale shape: one narrow scan + dump, then a
+    * source-keyed partial+final agg over integers. `repetitive` flags
+    * ratio < 0.35 (deflate·100 < raw·35 in exact integer form). */
+  def compressionSignal(df: DataFrame, dumpPath: String): DataFrame = {
+    val perDoc = df.select(col("doc_id"), col("source"),
+      octet_length(col("text")).cast("int").as("raw_bytes"),
+      graft.functions.functions.deflate_len(col("text")).as("deflate_bytes"))
+    perDoc.write.mode("overwrite").parquet(dumpPath)
+    df.sparkSession.read.parquet(dumpPath)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_bytes")).cast("long").as("sum_raw_bytes"),
+        sum(col("deflate_bytes")).cast("long").as("sum_deflate_bytes"),
+        sum(when(col("deflate_bytes") * 100 < col("raw_bytes") * 35, 1L)
+          .otherwise(0L)).cast("long").as("n_repetitive"))
+      .select(col("source"), col("n_docs"), col("sum_raw_bytes"),
+        col("sum_deflate_bytes"),
+        expr("sum_deflate_bytes * 1000000L div sum_raw_bytes")
+          .as("ratio_ppm"),
+        col("n_repetitive"))
+      .orderBy(col("source"))
+  }
+
+  /** k-ANONYMITY census over quasi-identifiers — the privacy-risk rollup a
+    * release pipeline runs before publishing corpus metadata: documents
+    * whose (source, lang, size-bucket) combination is shared by fewer than
+    * k documents are re-identifiable from metadata alone. Emits the full
+    * group-size histogram (size → number of groups, number of docs) plus a
+    * cumulative below-k doc count per size, so every k threshold is
+    * readable from one result. Scale shape: one keyed agg over the
+    * quasi-identifier (partial map-side), then a tiny size histogram — the
+    * expensive part is exactly one shuffle of (source, lang, bucket) keys,
+    * never text. */
+  def kAnonymity(df: DataFrame, bucketChars: Int = 256): DataFrame = {
+    val groups = df
+      .groupBy(col("source"), col("lang"),
+        expr(s"n_chars div $bucketChars").as("size_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+    groups.groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size").cast("long").as("group_size"),
+        col("n_groups").cast("long").as("n_groups"),
+        (col("group_size") * col("n_groups")).cast("long").as("n_docs"))
+      .withColumn("cum_docs_at_or_below",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("group_size"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("long"))
+      .orderBy(col("group_size"))
+  }
 }

@@ -711,4 +711,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == "the").get._3 === 3L)
     assert(got.find(_._1 == "the quick").get._3 === 2L)
   }
+
+  test("kAnonymity: group-size histogram with cumulative below-k mass " +
+    "matches a brute-force census") {
+    import spark.implicits._
+    // quasi-identifier = (source, lang, n_chars div 256)
+    val rows = Seq(
+      (0L, "a", "en", 100L), (1L, "a", "en", 200L),   // group of 2 (bucket 0)
+      (2L, "a", "en", 300L),                           // singleton (bucket 1)
+      (3L, "b", "en", 10L),                            // singleton
+      (4L, "b", "hi", 600L), (5L, "b", "hi", 700L),
+      (6L, "b", "hi", 760L)                            // group of 3 (bucket 2)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val got = CorpusOps.kAnonymity(rows)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sizes: two singletons, one pair, one triple
+    assert(got === Seq((1L, 2L, 2L, 2L), (2L, 1L, 2L, 4L), (3L, 1L, 3L, 7L)))
+    // k=2 readable: docs in groups of size < 2 == cum at size 1 == 2
+    assert(got.head._4 === 2L)
+  }
+
+  test("compressionSignal: repetitive source flagged, ratios exact vs " +
+    "recomputed deflate") {
+    import spark.implicits._
+    val rep = ("spam ham " * 120).trim
+    val varied = (0 until 200).map(i => s"tok${i * 2654435761L % 99991}").mkString(" ")
+    val docs = Seq(
+      (0L, rep, "tmpl"), (1L, rep + " x", "tmpl"),
+      (2L, varied, "web"), (3L, varied.reverse, "web")
+    ).toDF("doc_id", "text", "source")
+    val dump = s"/tmp/graft_test_deflate_${System.nanoTime()}"
+    val rows2 = CorpusOps.compressionSignal(docs, dump)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (tmplN, tmplRaw, tmplDef, tmplPpm, tmplRep) = rows2("tmpl")
+    val (_, webRaw, webDef, webPpm, webRep) = rows2("web")
+    assert(tmplN === 2L)
+    assert(tmplRep === 2L)  // both template docs compress below 0.35
+    assert(webRep === 0L)
+    assert(tmplPpm < 150000L)       // templated: < 15% of raw
+    assert(webPpm > 350000L)        // varied: well above the cut
+    assert(tmplPpm === tmplDef * 1000000L / tmplRaw)
+    assert(webPpm === webDef * 1000000L / webRaw)
+  }
 }

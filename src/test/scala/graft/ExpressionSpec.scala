@@ -117,6 +117,33 @@ class ExpressionSpec extends AnyFunSuite {
       planes.map(_.map(_ + 1.0))))
   }
 
+  test("deflate_len matches java.util.zip reference and separates " +
+       "repetitive from varied text") {
+    import spark.implicits._
+    val rep = "spam spam spam " * 200
+    val varied = (0 until 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")
+    val rows = Seq(("r", rep), ("v", varied), ("e", ""))
+    val out = rows.toDF("k", "s")
+      .select(col("k"), gf.deflate_len(col("s")).as("n"))
+      .as[(String, Int)].collect().toMap
+    def ref(s: String): Int = {
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    rows.foreach { case (k, s) => assert(out(k) === ref(s), k) }
+    // repetitive text compresses an order of magnitude harder
+    assert(out("r") * 10 < rep.length)
+    assert(out("v") * 3 > varied.length)
+    // null propagates
+    val nulls = Seq((1, null: String)).toDF("k", "s")
+      .select(gf.deflate_len(col("s"))).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("cosine_sim null semantics: length mismatch and null element → null") {
     import spark.implicits._
     val df = Seq(
