@@ -52,6 +52,11 @@ object PipelineOpsQueries {
   def semDedupAssignPath(dir: String): String =
     s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
 
+  def pqCodebookPath(dir: String): String =
+    s"/tmp/graft_pq_codebook_${SparkEntry.docCountFor(dir)}"
+  def pqCodesPath(dir: String): String =
+    s"/tmp/graft_pq_codes_${SparkEntry.docCountFor(dir)}"
+
   /** p77's banned-phrase list — literal, border-free (no pattern has a
     * proper prefix that is also a suffix), so Aho–Corasick all-matches ==
     * regexp non-overlapping matches (BlocklistScan scaladoc). */
@@ -684,6 +689,30 @@ object PipelineOpsQueries {
     // k-anonymity census over (source, lang, 256-char size bucket)
     // quasi-identifiers: group-size histogram + cumulative below-k docs
     "p103_k_anonymity" -> ((s, dir) => CorpusOps.kAnonymity(docs(s, dir))),
+
+    // token-budget waterfilling (max-min-fair mixing allocator): exact
+    // integer water level + largest-remainder distribution; one text pass
+    // (source-keyed agg), then tiny-table math — sum(alloc) = budget
+    // exactly, alloc ≤ supply row-wise
+    "p104_budget_waterfill" -> ((s, dir) =>
+      CorpusOps.budgetWaterfill(docs(s, dir))),
+
+    // product quantization ADC recall audit: train the m×k integer
+    // codebook, dump codebook + codes, then rank every vector by ADC
+    // lookup tables vs the exact integer L2 ranking — the oracle
+    // re-derives BOTH rankings from the dumps + raw embeddings (p13's
+    // topKFrom contract; fully integer so no float hazard)
+    "p105_pq_adc_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = graft.ops.PqOps.train(e)
+      graft.ops.PqOps.codebookDf(s, cb)
+        .coalesce(1).write.mode("overwrite").parquet(pqCodebookPath(dir))
+      graft.ops.PqOps.encode(e, cb)
+        .write.mode("overwrite").parquet(pqCodesPath(dir))
+      graft.ops.PqOps.adcRecallFrom(e,
+        s.read.parquet(pqCodesPath(dir)),
+        s.read.parquet(pqCodebookPath(dir)))
+    }),
 
     // rolling distinct via daily-HLL register-max algebra vs the exact
     // recount — the 10^12-row replacement for q78's distinct-band-join
@@ -1525,6 +1554,84 @@ object PipelineOpsQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_docs_at_or_below
          FROM h ORDER BY group_size""",
+    // identical integer waterfill: same (supply asc, source asc) order,
+    // same prefix-cost saturation rule, same largest-remainder bumps
+    "p104_budget_waterfill" ->
+      """WITH tok AS (SELECT source, CAST(count(*) AS BIGINT) AS supply
+           FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                 FROM documents) GROUP BY source),
+         r AS (SELECT source, supply,
+             CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT)
+               AS i,
+             CAST(sum(supply) OVER (ORDER BY supply, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pfx
+           FROM tok),
+         t AS (SELECT CAST(sum(supply) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n FROM tok),
+         c AS (SELECT r.*, (t.total * 2) // 5 AS budget, t.n,
+                 pfx - supply + supply * (t.n - i + 1) AS cost
+               FROM r, t),
+         ka AS (SELECT
+             COALESCE(max(CASE WHEN cost <= budget THEN i END), 0) AS k,
+             COALESCE(max(CASE WHEN cost <= budget THEN pfx END), 0) AS pk,
+             max(budget) AS b, max(n) AS nn FROM c),
+         l AS (SELECT k, pk,
+             CASE WHEN nn > k THEN (b - pk) // (nn - k) ELSE 0 END AS lev,
+             CASE WHEN nn > k THEN (b - pk) % (nn - k) ELSE 0 END AS rem
+           FROM ka)
+         SELECT c.source, c.supply AS supply_tokens,
+           CAST(CASE WHEN c.i <= l.k THEN c.supply
+                     WHEN c.i - l.k <= l.rem THEN l.lev + 1
+                     ELSE l.lev END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN c.i <= l.k THEN 1 ELSE 0 END AS BIGINT)
+             AS saturated
+         FROM c, l ORDER BY c.source""",
+    // ADC + exact rankings re-derived from the dumped codebook/codes and
+    // raw embeddings on the p60 integer grid (floor(x·1000)); identical
+    // (dist asc, cand asc) order, self excluded on both sides
+    "p105_pq_adc_recall" ->
+      s"""WITH qv AS (SELECT vec_id,
+             CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v,
+             CAST(dim AS BIGINT) AS dim
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(0, len(embedding))) AS dim FROM embeddings)),
+         qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10),
+         q AS (SELECT * FROM qv WHERE vec_id IN (SELECT vec_id FROM qs)),
+         cb AS (SELECT subspace, code, dim, cval
+                FROM read_parquet('${pqCodebookPath(dir)}/*.parquet')),
+         sd AS (SELECT max(dim) + 1 AS subdim FROM cb),
+         cd AS (SELECT vec_id, subspace, code
+                FROM read_parquet('${pqCodesPath(dir)}/*.parquet')),
+         adc AS (SELECT q.vec_id AS query_id, cd.vec_id AS cand,
+             CAST(sum((q.v - cb.cval) * (q.v - cb.cval)) AS BIGINT) AS dist
+           FROM cd
+           JOIN cb ON cb.subspace = cd.subspace AND cb.code = cd.code
+           JOIN sd ON true
+           JOIN q ON q.dim = cd.subspace * sd.subdim + cb.dim
+           WHERE cd.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         adcr AS (SELECT query_id, cand, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, cand) AS rk FROM adc),
+         ex AS (SELECT q.vec_id AS query_id, c.vec_id AS cand,
+             CAST(sum((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS dist
+           FROM q JOIN qv c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         exr AS (SELECT query_id, cand, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, cand) AS rk FROM ex),
+         ov AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM adcr a JOIN exr e
+             ON a.query_id = e.query_id AND a.cand = e.cand
+           WHERE a.rk <= 10 AND e.rk <= 10 GROUP BY 1)
+         SELECT qs.vec_id AS query_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           a1.cand AS adc_top1, e1.cand AS exact_top1
+         FROM qs
+         LEFT JOIN ov ON ov.query_id = qs.vec_id
+         JOIN adcr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
+         JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
+         ORDER BY query_id""",
     // identical bitlen arithmetic via bin(); per-(source, token) counts
     // then the post-agg projection
     "p100_source_entropy" ->

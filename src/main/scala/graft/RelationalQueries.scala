@@ -103,6 +103,21 @@ object RelationalQueries {
         .withColumnRenamed("right_id", "click_id")
     }),
 
+    // staleness-bounded as-of join (pandas merge_asof tolerance / feature-
+    // store point-in-time lookup with a freshness SLA): q20's sweep, but a
+    // click older than 30 minutes is REJECTED — the purchase emits null
+    // exactly as if no click existed, never a stale match. Costs one
+    // comparison in the sweep, no extra shuffle.
+    "q103_asof_tolerance" -> ((s, dir) => {
+      def side(t: String) = this.t(s, dir, "events")
+        .where(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.ops.AsOfJoin.join(side("purchase"), side("click"),
+        toleranceMicros = Some(1800L * 1000000L))
+        .withColumnRenamed("left_id", "purchase_id")
+        .withColumnRenamed("right_id", "click_id")
+    }),
+
     // range join: every click within the hour before each purchase —
     // bucketed band join (each left probes 2 buckets), not a nested loop
     "q23_range_attribution" -> ((s, dir) => {
@@ -1844,6 +1859,18 @@ object RelationalQueries {
          c AS (SELECT user_id, ts, event_id FROM events
                WHERE event_type = 'click')
          SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // native ASOF LEFT JOIN, then the staleness SLA nulls the match —
+    // identical inclusive boundary (exactly 30 min old still matches)
+    "q103_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id,
+           CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+                THEN c.event_id END AS click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q23_range_attribution" ->

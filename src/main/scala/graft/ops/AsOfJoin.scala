@@ -18,10 +18,20 @@ object AsOfJoin {
 
   /** leftDf/rightDf: (key: bigint, ts: timestamp, id: bigint) — select the
     * payload down to an id on the way in and join it back after (keeps the
-    * sweep narrow). Output: (left_id, right_id nullable). */
-  def join(leftDf: DataFrame, rightDf: DataFrame): DataFrame = {
+    * sweep narrow). Output: (left_id, right_id nullable).
+    *
+    * `toleranceMicros`: staleness bound (pandas `merge_asof(tolerance=…)` /
+    * feature-store point-in-time-lookup semantics) — a match older than the
+    * bound is REJECTED, not served stale: the left row emits null exactly as
+    * if no right row existed. The sweep carries the matched row's timestamp
+    * alongside its id, so the bound costs one comparison, no extra shuffle.
+    */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+           toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     import spark.implicits._
+    val tol = toleranceMicros.getOrElse(Long.MaxValue)
+    require(tol >= 0, s"toleranceMicros must be >= 0, got $tol")
     // side 0 = right, 1 = left: right sorts FIRST at equal ts ⇒ inclusive
     def tag(df: DataFrame, side: Int) =
       df.select(col("key").cast("long").as("_1"),
@@ -37,12 +47,21 @@ object AsOfJoin {
         var curKey = Long.MinValue
         var haveKey = false
         var lastRight = Option.empty[Long]
-        it.flatMap { case (k, _, side, id) =>
+        var lastRightTs = Long.MinValue
+        it.flatMap { case (k, ts, side, id) =>
           if (!haveKey || k != curKey) {
             curKey = k; haveKey = true; lastRight = None
+            lastRightTs = Long.MinValue
           }
-          if (side == 0) { lastRight = Some(id); Iterator.empty }
-          else Iterator.single((id, lastRight))
+          if (side == 0) {
+            lastRight = Some(id); lastRightTs = ts; Iterator.empty
+          } else {
+            // staleness guard: ts - lastRightTs can overflow only when no
+            // right row has been seen (sentinel MinValue) — lastRight is
+            // None there, so the subtraction is never evaluated
+            val m = lastRight.filter(_ => ts - lastRightTs <= tol)
+            Iterator.single((id, m))
+          }
         }
       }
       .toDF("left_id", "right_id")

@@ -1436,4 +1436,70 @@ object CorpusOps {
           .cast("long"))
       .orderBy(col("group_size"))
   }
+
+  /** Token-budget waterfilling across sources — the mixing allocator that
+    * answers "we can afford B tokens this epoch; how many come from each
+    * source?" under the max-min-fairness rule every mixture designer
+    * reaches for: small sources contribute everything they have, large
+    * sources are capped at a common water level L chosen so the total is
+    * exactly B. Budget = total·budgetNum/budgetDen (integer).
+    *
+    * Exact integer construction (no float level search): sort sources by
+    * (supply asc, source asc); source i is saturated iff
+    * P_{i−1} + supply_i·(n−i+1) ≤ B (the cost of raising the level to
+    * supply_i) — monotone in i, so saturation is a prefix 1..k. The
+    * unsaturated n−k sources get L = (B−P_k) div (n−k) each, and the
+    * remainder r = (B−P_k) mod (n−k) is distributed +1 to the first r of
+    * them in the same sort order (largest-remainder rule). sum(alloc) = B
+    * exactly, and alloc ≤ supply row-wise (k's maximality ⇒
+    * supply_{k+1} ≥ L+1).
+    *
+    * Scale shape: supply is one (source)-keyed partial+final agg — the
+    * only pass over text; everything after runs on the per-source table
+    * (≤ thousands of rows at web scale), where the global window and the
+    * two 1-row-aggregate broadcast crosses are driver-scale math, the
+    * same tiny-table contract as kAnonymity/p50. */
+  def budgetWaterfill(df: DataFrame, budgetNum: Long = 2L,
+                      budgetDen: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supply = df
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).cast("long").as("supply"))
+    val w = Window.orderBy(col("supply"), col("source"))
+    val ranked = supply.select(col("source"), col("supply"),
+      row_number().over(w).cast("long").as("i"),
+      sum(col("supply")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").as("pfx"))
+    val tot = supply.agg(sum(col("supply")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("n"))
+    val c = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"(total * $budgetNum) div $budgetDen").cast("long"))
+      .withColumn("cost",
+        (col("pfx") - col("supply") +
+          col("supply") * (col("n") - col("i") + 1)).cast("long"))
+    val kAgg = c.agg(
+      coalesce(max(when(col("cost") <= col("budget"), col("i"))), lit(0L))
+        .cast("long").as("k"),
+      coalesce(max(when(col("cost") <= col("budget"), col("pfx"))), lit(0L))
+        .cast("long").as("pk"),
+      max(col("budget")).cast("long").as("b"),
+      max(col("n")).cast("long").as("nn"))
+    val lvl = kAgg.select(col("k"), col("pk"),
+      when(col("nn") > col("k"),
+        expr("(b - pk) div (nn - k)")).otherwise(lit(0L))
+        .cast("long").as("lev"),
+      when(col("nn") > col("k"),
+        (col("b") - col("pk")) % (col("nn") - col("k"))).otherwise(lit(0L))
+        .cast("long").as("rem"))
+    c.crossJoin(broadcast(lvl))
+      .select(col("source"), col("supply").as("supply_tokens"),
+        when(col("i") <= col("k"), col("supply"))
+          .when(col("i") - col("k") <= col("rem"), col("lev") + 1)
+          .otherwise(col("lev")).cast("long").as("alloc_tokens"),
+        when(col("i") <= col("k"), lit(1L)).otherwise(lit(0L))
+          .cast("long").as("saturated"))
+      .orderBy(col("source"))
+  }
 }

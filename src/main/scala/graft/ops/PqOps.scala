@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the vector-COMPRESSION scale path that
+  * complements the candidate-PRUNING families (sign-LSH `SimilarityOps`,
+  * IVF `IvfOps`): the embedding is split into `m` subspaces, each quantized
+  * by its own `k`-centroid codebook, so a d-dim float vector stores as m
+  * single-byte codes (64 dims × 4 B → 4 B here, 64×) and distance to a
+  * query is computed WITHOUT decompressing via ADC (asymmetric distance
+  * computation): per query, one m×k table of exact subspace distances is
+  * precomputed, and each candidate costs m table lookups + adds instead of
+  * d multiplies. At 10^12 rows the codes table is what fits in cluster
+  * RAM; raw vectors are only ever touched to (re)train the tiny codebook.
+  *
+  * Whole contract is INTEGER: coordinates enter the p60/p64 grid
+  * (fq = floor(x·1000) after float32→float64 widening, exact), Lloyd
+  * centroid updates use floorDiv, distances are BIGINT sums of squares —
+  * so engine and DuckDB rank bit-identically and the driver oracle can
+  * re-derive ADC and exact rankings from the dumped codebook + codes with
+  * no float hazard anywhere.
+  */
+object PqOps {
+
+  type LVec = Array[Long]
+
+  /** Integer-quantized vectors: (vec_id, floor(x*1000) per dim). */
+  def quantized(emb: DataFrame): Dataset[(Long, LVec)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long").as("_1"),
+        col("embedding").cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val q = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { q(i) = math.floor(v(i) * 1000).toLong; i += 1 }
+        (id, q)
+      }
+  }
+
+  private def sqDistSub(v: LVec, off: Int, c: LVec): Long = {
+    var s = 0L
+    var i = 0
+    while (i < c.length) { val d = v(off + i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** codebook(s)(j) = centroid j of subspace s (subDim = d/m longs each).
+    * Deterministic integer Lloyd, all m subspaces trained in the SAME
+    * scans: init from the first k vectors by vec_id; each iteration is one
+    * pass emitting (subspace, code) partial sums — ≤ m·k keys through the
+    * shuffle per partition regardless of corpus size; update is
+    * floorDiv(sum, n) per dim; empty cells keep their centroid. */
+  def train(emb: DataFrame, m: Int = 4, k: Int = 16,
+            iters: Int = 3): Array[Array[LVec]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = quantized(emb)
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    var cb: Array[Array[LVec]] = {
+      val seed = vecs.orderBy(col("_1")).limit(k).collect().map(_._2)
+      Array.tabulate(m)(s => seed.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)))
+    }
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cb)
+      val sums = vecs.mapPartitions { it =>
+        val cs = bc.value
+        // (subspace, code) -> (dim sums, count)
+        val acc = new java.util.HashMap[Int, (LVec, Long)]()
+        it.foreach { case (_, v) =>
+          var s = 0
+          while (s < m) {
+            val code = nearestCode(cs(s), v, s * subDim)
+            val key = s * k + code
+            val cur = acc.get(key)
+            if (cur == null) {
+              val sum = java.util.Arrays.copyOfRange(v, s * subDim,
+                (s + 1) * subDim)
+              acc.put(key, (sum, 1L))
+            } else {
+              var i = 0
+              while (i < subDim) { cur._1(i) += v(s * subDim + i); i += 1 }
+              acc.put(key, (cur._1, cur._2 + 1))
+            }
+            s += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        acc.asScala.iterator.map { case (key, (sum, n)) => (key, sum, n) }
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val sArr = a._2.clone()
+          var i = 0
+          while (i < sArr.length) { sArr(i) += b._2(i); i += 1 }
+          (a._1, sArr, a._3 + b._3)
+        }
+        .map(_._2).collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.foreach { case (key, sum, n) =>
+        next(key / k)(key % k) = sum.map(x => Math.floorDiv(x, n))
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** First-minimal argmin (ties → lower code id). */
+  private def nearestCode(cents: Array[LVec], v: LVec, off: Int): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val d = sqDistSub(v, off, cents(j))
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Exploded codebook for the oracle dump: (subspace, code, dim, cval) —
+    * dim is subspace-LOCAL (global dim = subspace·subDim + dim). */
+  def codebookDf(spark: SparkSession,
+                 cb: Array[Array[LVec]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      s <- cb.indices; j <- cb(s).indices; i <- cb(s)(j).indices
+    } yield (s.toLong, j.toLong, i.toLong, cb(s)(j)(i))).toSeq
+      .toDF("subspace", "code", "dim", "cval")
+  }
+
+  /** Per-vector codes, exploded for the oracle: (vec_id, subspace, code). */
+  def encode(emb: DataFrame, cb: Array[Array[LVec]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val m = cb.length
+    quantized(emb).flatMap { case (id, v) =>
+      val cs = bc.value
+      val subDim = v.length / m
+      Iterator.range(0, m).map(s =>
+        (id, s.toLong, nearestCode(cs(s), v, s * subDim).toLong))
+    }.toDF("vec_id", "subspace", "code")
+  }
+
+  /** ADC recall audit from the DUMPED codebook + codes tables (the same
+    * parquet the DuckDB oracle reads — p13's topKFrom contract): per
+    * query, |ADC top-k ∩ exact top-k| plus both rank-1 ids. The ADC pass
+    * reads ONLY codes (m bytes/vector of information) against the
+    * per-query lookup tables; the exact pass is the p07-class broadcast
+    * scan that exists to grade the sketch, not to scale. */
+  def adcRecallFrom(emb: DataFrame, codes: DataFrame, cbDf: DataFrame,
+                    numQueries: Int = 10, topK: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // reconstruct the codebook from the dump (tiny: m·k·subDim rows)
+    val cbRows = cbDf.select(col("subspace").cast("int"),
+      col("code").cast("int"), col("dim").cast("int"),
+      col("cval").cast("long")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val subDim = cbRows.map(_.getInt(2)).max + 1
+    val cb = Array.fill(m, k)(new Array[Long](subDim))
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+    // query set: first numQueries quantized vectors + their ADC tables
+    val qs = quantized(emb).orderBy(col("_1")).limit(numQueries).collect()
+    // dtab(q)(s)(j) = ||query_s - centroid_{s,j}||² (exact integers)
+    val dtab = qs.map { case (_, v) =>
+      Array.tabulate(m)(s => Array.tabulate(k)(j => sqDistSub(v, s * subDim, cb(s)(j))))
+    }
+    val qIds = qs.map(_._1)
+    val bcT = spark.sparkContext.broadcast((qIds, dtab))
+    // group exploded codes to (vec_id, codes[m]) and score via lookups
+    val adcTop = codes
+      .select(col("vec_id").cast("long").as("_1"),
+        col("subspace").cast("int").as("_2"), col("code").cast("int").as("_3"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val arr = new Array[Int](m)
+        it.foreach { case (_, s, c) => arr(s) = c }
+        (id, arr)
+      }
+      .flatMap { case (id, cArr) =>
+        val (ids, tabs) = bcT.value
+        Iterator.range(0, ids.length).flatMap { qi =>
+          if (ids(qi) == id) Iterator.empty
+          else {
+            var d = 0L
+            var s = 0
+            while (s < m) { d += tabs(qi)(s)(cArr(s)); s += 1 }
+            Iterator.single((ids(qi), id, -d.toDouble))
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .agg(new TopK.TopKIds(topK).toColumn.name("adc_topk"))
+      .toDF("query_id", "adc_topk")
+    // exact integer-L2 ranking against the broadcast query vectors
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val exactTop = quantized(emb)
+      .flatMap { case (id, v) =>
+        bcQ.value.iterator.flatMap { case (qid, qv) =>
+          if (qid == id) Iterator.empty
+          else {
+            var d = 0L
+            var i = 0
+            while (i < v.length) { val x = v(i) - qv(i); d += x * x; i += 1 }
+            Iterator.single((qid, id, -d.toDouble))
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .agg(new TopK.TopKIds(topK).toColumn.name("exact_topk"))
+      .toDF("query_id", "exact_topk")
+    adcTop.join(exactTop, "query_id")
+      .select(col("query_id"),
+        size(array_intersect(col("adc_topk"), col("exact_topk")))
+          .cast("long").as("n_overlap"),
+        element_at(col("adc_topk"), 1).cast("long").as("adc_top1"),
+        element_at(col("exact_topk"), 1).cast("long").as("exact_top1"))
+      .orderBy(col("query_id"))
+  }
+}

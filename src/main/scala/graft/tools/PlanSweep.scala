@@ -64,7 +64,11 @@ object PlanSweep {
       "p93_repetition_plan" -> Set("BroadcastNestedLoop"),
       // p94 streams the corpus against the broadcast eval-benchmark
       // vectors — p07's documented keyless broadcast-probe class
-      "p94_semantic_decon" -> Set("BroadcastNestedLoop"))
+      "p94_semantic_decon" -> Set("BroadcastNestedLoop"),
+      // p104 crosses the 1-row (total, n) aggregate and the 1-row
+      // (k, pk, lev, rem) water-level row into the tiny per-source
+      // table — the p47/p50 1-row-aggregate class twice over
+      "p104_budget_waterfill" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

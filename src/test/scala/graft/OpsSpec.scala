@@ -801,6 +801,92 @@ class OpsSpec extends AnyFunSuite {
     assert(out(200L) === -1L)  // key has no right rows at all
   }
 
+  test("as-of tolerance rejects stale matches but keeps the boundary (inclusive)") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val left = Seq( // (key, ts, id)
+      (1L, t(5), 100L),   // latest right is 3 min old — within 10-min SLA
+      (1L, t(19), 101L),  // latest right is exactly 10 min old — inclusive
+      (1L, t(30), 102L),  // latest right is 21 min old — stale, nulled
+      (2L, t(3), 200L))   // key has no right rows at all
+      .toDF("key", "ts", "id")
+    val right = Seq(
+      (1L, t(2), 900L), (1L, t(9), 901L)).toDF("key", "ts", "id")
+    val out = graft.ops.AsOfJoin.join(left, right,
+        toleranceMicros = Some(10L * 60L * 1000000L)).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(100L) === 900L)
+    assert(out(101L) === 901L) // exactly at the bound still matches
+    assert(out(102L) === -1L)  // stale: nulled, NOT served from further back
+    assert(out(200L) === -1L)
+    // tolerance=None degrades to the plain as-of join
+    val plain = graft.ops.AsOfJoin.join(left, right).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(plain(102L) === 901L)
+  }
+
+  test("budget waterfill: exact budget, row-wise caps, max-min fairness") {
+    import graft.ops.CorpusOps
+    // supplies: a=2, b=5, c=11, d=30 tokens → total=48, budget=48*2/5=19
+    // k: cost_1=2+... sorted (a=2,b=5,c=11,d=30): cost_a=2*4=8≤19 ✓;
+    // cost_b=2+5*3=17≤19 ✓; cost_c=7+11*2=29>19 ✗ → k=2, pk=7,
+    // lev=(19-7)/2=6, rem=0 → a=2, b=5, c=6, d=6; sum=19 ✓
+    val df = Seq(
+      (1L, "t1 t2", "a"), (2L, "t1 t2 t3 t4 t5", "b"),
+      (3L, (1 to 11).map("x" + _).mkString(" "), "c"),
+      (4L, (1 to 30).map("y" + _).mkString(" "), "d"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.budgetWaterfill(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === (2L, 2L, 1L))
+    assert(out("b") === (5L, 5L, 1L))
+    assert(out("c") === (11L, 6L, 0L))
+    assert(out("d") === (30L, 6L, 0L))
+    assert(out.values.map(_._2).sum === 48L * 2L / 5L)
+    // remainder path: budget=21 with budgetNum=7, budgetDen=16 →
+    // floor(48*7/16)=21 → k=2, pk=7, lev=(21-7)/2=7, rem=0... use a total
+    // that forces rem>0: budgetNum=5, budgetDen=12 → B=20, lev=6 rem=1 →
+    // bump goes to c (first unsaturated in supply-asc order), not d
+    val out2 = CorpusOps.budgetWaterfill(df, budgetNum = 5L, budgetDen = 12L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2 === Map("a" -> 2L, "b" -> 5L, "c" -> 7L, "d" -> 6L))
+    assert(out2.values.sum === 20L)
+  }
+
+  test("PQ: codes compress, ADC ranking recovers exact neighbors on separated clusters") {
+    import graft.ops.PqOps
+    // two well-separated clusters in 8 dims (m=2 subspaces of 4): PQ with
+    // k=4 codes per subspace must rank in-cluster vectors above the other
+    // cluster for every query
+    val vecs = (0 until 24).map { i =>
+      val base = if (i < 12) 0.5 else -0.5
+      val v = Array.tabulate(8)(d => (base + (i % 12) * 0.001 + d * 0.0001).toFloat)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = PqOps.train(df, m = 2, k = 4, iters = 3)
+    assert(cb.length === 2 && cb(0).length === 4 && cb(0)(0).length === 4)
+    val codes = PqOps.encode(df, cb)
+    assert(codes.count() === 24L * 2)
+    // in-cluster vectors share codes; cross-cluster vectors differ
+    val byVec = codes.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(byVec(0L) !== byVec(23L))
+    val out = PqOps.adcRecallFrom(df, codes,
+      PqOps.codebookDf(spark, cb), numQueries = 4, topK = 5).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      // queries 0..3 live in cluster one; exact top-5 are in-cluster, and
+      // ADC must agree (clusters are far apart vs quantization error)
+      assert(r.getLong(1) === 5L, s"recall@5 for query ${r.getLong(0)}")
+      assert(r.getLong(2) < 12L && r.getLong(3) < 12L)
+    }
+  }
+
   test("range join finds exactly the rights within the window (bucket edges)") {
     import java.sql.Timestamp
     def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
