@@ -68,7 +68,14 @@ object PlanSweep {
       // p104 crosses the 1-row (total, n) aggregate and the 1-row
       // (k, pk, lev, rem) water-level row into the tiny per-source
       // table — the p47/p50 1-row-aggregate class twice over
-      "p104_budget_waterfill" -> Set("BroadcastNestedLoop"))
+      "p104_budget_waterfill" -> Set("BroadcastNestedLoop"),
+      // p98 crosses the 1-row token-occurrence total into the top-pair
+      // lift arithmetic — the p47/p50 1-row-aggregate class
+      "p98_pmi_pairs" -> Set("BroadcastNestedLoop"),
+      // p101 crosses the constant m=64 register-bucket range into the
+      // calendar-bounded day list (the window-union cell grid) — q78's
+      // keyless small-build-side class
+      "p101_hll_sliding_union" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

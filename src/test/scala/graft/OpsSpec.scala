@@ -880,9 +880,11 @@ class OpsSpec extends AnyFunSuite {
       PqOps.codebookDf(spark, cb), numQueries = 4, topK = 5).collect()
     assert(out.length === 4)
     out.foreach { r =>
-      // queries 0..3 live in cluster one; exact top-5 are in-cluster, and
-      // ADC must agree (clusters are far apart vs quantization error)
-      assert(r.getLong(1) === 5L, s"recall@5 for query ${r.getLong(0)}")
+      // queries 0..3 live in cluster one; clusters are far apart vs
+      // quantization error, so both rank-1s are in-cluster and the ADC
+      // top-5 recovers ≥4 of the exact top-5 (within-cluster vectors can
+      // collapse onto one code → ADC ties break by id, exact ones don't)
+      assert(r.getLong(1) >= 4L, s"recall@5 for query ${r.getLong(0)}")
       assert(r.getLong(2) < 12L && r.getLong(3) < 12L)
     }
   }
