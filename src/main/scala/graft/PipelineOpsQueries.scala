@@ -1158,6 +1158,15 @@ object PipelineOpsQueries {
       DedupOps.minhashEstimates(docs(s, dir), w = 3, k = 16,
         minJaccardPct = 60)),
 
+    // b-bit minhash (Li & König WWW'10, b=1): the 64×-compressed
+    // signature (one bit per lane) graded per exact near-dup pair against
+    // BOTH the full-lane estimator and exact Jaccard — the sketch you
+    // actually ship at 10^12 docs, where k·64-bit signatures are the
+    // dominant shuffle payload and k bits do the same banding job
+    "p106_bbit_minhash" -> ((s, dir) =>
+      DedupOps.minhashEstimates(docs(s, dir), w = 3, k = 16,
+        minJaccardPct = 60, bbit = true)),
+
     // incremental-crawl snapshot diff: v2 is planted deterministically from
     // v1 (doc%10==7 deleted, doc%10==3 text-changed, doc%10==1 re-added
     // under a new id), the diff classifies by content hash through a
@@ -3380,6 +3389,54 @@ object PipelineOpsQueries {
                 CAST(n_match * 100 // 16 AS BIGINT) AS est_pct,
                 CAST(abs(n_match * 100 // 16 - n_inter * 100 // n_union)
                      AS BIGINT) AS err_pp
+         FROM m ORDER BY doc_a, doc_b""",
+
+    // p49's replica extended with the low-bit lanes: same signatures, bit
+    // agreement count, Ĵ = max(0, 2r−1) in the identical integer form
+    "p106_bbit_minhash" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         exact AS (SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+                     CAST(na + nb - n_inter AS BIGINT) AS n_union
+                   FROM pairs
+                   WHERE n_inter * 100 >= (na + nb - n_inter) * 60),
+         sigs AS (SELECT doc_id, r.range AS i,
+                    min(CAST(md5_number_lower(s || '#' || CAST(r.range AS VARCHAR))
+                        & 9223372036854775807 AS BIGINT)) AS sig
+                  FROM sh CROSS JOIN range(16) r GROUP BY doc_id, r.range),
+         m AS (SELECT e.doc_a, e.doc_b, e.n_inter, e.n_union,
+                 CAST(count(CASE WHEN sa.sig = sb.sig THEN 1 END) AS BIGINT)
+                   AS n_match,
+                 CAST(count(CASE WHEN sa.sig % 2 = sb.sig % 2 THEN 1 END)
+                      AS BIGINT) AS n_bit_match
+               FROM exact e JOIN sigs sa ON sa.doc_id = e.doc_a
+                    JOIN sigs sb ON sb.doc_id = e.doc_b AND sb.i = sa.i
+               GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, n_inter, n_union,
+                CAST(n_inter * 100 // n_union AS BIGINT) AS exact_pct,
+                n_match,
+                CAST(n_match * 100 // 16 AS BIGINT) AS est_pct,
+                n_bit_match,
+                CAST(greatest(0, n_bit_match * 200 // 16 - 100) AS BIGINT)
+                  AS est_bbit_pct,
+                CAST(abs(n_match * 100 // 16 - n_inter * 100 // n_union)
+                     AS BIGINT) AS err_pp,
+                CAST(abs(greatest(0, n_bit_match * 200 // 16 - 100)
+                         - n_inter * 100 // n_union) AS BIGINT) AS err_bbit_pp
          FROM m ORDER BY doc_a, doc_b""",
 
     // snapshot-diff replica: identical planted v2 (delete %10==7, change

@@ -126,6 +126,17 @@ object SparkEntry {
     s"/tmp/graft_offset_gap_dump_${docCountFor(dir)}"
   def recordDumpPath(dir: String): String =
     s"/tmp/graft_record_dump_${docCountFor(dir)}"
+  def recordValsDumpPath(dir: String): String =
+    s"/tmp/graft_record_vals_dump_${docCountFor(dir)}"
+
+  /** x31's probe list: record fields that are scalar STRINGS in every
+    * extractor that emits them (nested subjects/result excluded — engines
+    * render non-scalar JSON text differently, which is a serialization
+    * choice, not extraction semantics). */
+  val scalarRecordFields: Seq[String] = Seq(
+    "document_type", "name", "dob", "sex", "father_name", "dl_number",
+    "passport_number", "surname", "given_names", "date_of_birth",
+    "date_of_issue", "student_name")
 
   /** Per-doc extraction scalars materialized to parquet: x02/x03 aggregate
     * over this dump and their DuckDB oracles re-aggregate it — the
@@ -691,6 +702,36 @@ object SparkEntry {
         .orderBy(col("document_type"), col("field"))
     }),
 
+    // field VALUE census (x30's sibling one level down): for the scalar
+    // string fields the extractors emit, engine-native JSON path
+    // extraction (get_json_object vs DuckDB's ->> semantics) over the
+    // SAME dumped record bytes — presence counts, OCTET lengths (byte-
+    // exact on both engines, dodging codepoint-vs-UTF-16 drift) and
+    // distinct-value cardinality per (type, field). Nested fields
+    // (subjects/result) are deliberately out: engines disagree on the
+    // text rendering of non-scalar extracts, and that disagreement is a
+    // serialization choice, not extraction semantics.
+    "x31_field_value_census" -> ((s, dir) => {
+      ExtractionPipeline.run(docTable(s, dir)).toDF()
+        .select(col("doc_id"), col("document_type"), col("record_json"))
+        .write.mode("overwrite").parquet(recordValsDumpPath(dir))
+      val fields = scalarRecordFields
+      val probes = array(fields.map(f => struct(lit(f).as("field"),
+        get_json_object(col("record_json"), s"$$.$f").as("v"))): _*)
+      s.read.parquet(recordValsDumpPath(dir))
+        .select(col("document_type"), explode(probes).as("p"))
+        .select(col("document_type"), col("p.field").as("field"),
+          col("p.v").as("v"))
+        .where(col("v").isNotNull)
+        .groupBy(col("document_type"), col("field"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(octet_length(col("v"))).cast("long").as("sum_octets"),
+          min(octet_length(col("v"))).cast("long").as("min_octets"),
+          max(octet_length(col("v"))).cast("long").as("max_octets"),
+          countDistinct(col("v")).as("n_distinct"))
+        .orderBy(col("document_type"), col("field"))
+    }),
+
     // pipeline-variant A/B audit: the same corpus extracted WITHOUT and
     // WITH the Donut fallback (x01's vs x04's modes), diffed per document —
     // per plain-mode type: docs whose type changed, validity flips, and the
@@ -816,6 +857,23 @@ object SparkEntry {
              CAST(p.n_spans * 1000000 // t.type_total AS BIGINT) AS share_ppm
            FROM per p JOIN tot t USING (document_type)
            ORDER BY p.document_type, p.kind""",
+      // same field probes via DuckDB's ->> path semantics over the
+      // identical dumped bytes; strlen = octets on both engines
+      "x31_field_value_census" ->
+        s"""WITH f AS (SELECT unnest([${scalarRecordFields
+               .map("'" + _ + "'").mkString(", ")}]) AS field),
+           v AS (SELECT document_type, f.field,
+                   json_extract_string(record_json, '$$.' || f.field) AS v
+                 FROM read_parquet('${recordValsDumpPath(dir)}/*.parquet'), f)
+           SELECT document_type, field,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(strlen(v)) AS BIGINT) AS sum_octets,
+             CAST(min(strlen(v)) AS BIGINT) AS min_octets,
+             CAST(max(strlen(v)) AS BIGINT) AS max_octets,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+           FROM v WHERE v IS NOT NULL
+           GROUP BY document_type, field
+           ORDER BY document_type, field""",
       // DuckDB's own JSON parser over the identical dumped record bytes
       "x30_field_census" ->
         s"""SELECT document_type, field, CAST(count(*) AS BIGINT) AS n_docs

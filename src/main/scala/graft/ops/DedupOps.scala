@@ -362,7 +362,8 @@ object DedupOps {
     * the estimator join is keyed on doc ids over the (small) verified pair
     * set; the lane comparison is a row-local zip_with fold. */
   def minhashEstimates(df: DataFrame, w: Int = 3, k: Int = 16,
-                       minJaccardPct: Int = 60): DataFrame = {
+                       minJaccardPct: Int = 60,
+                       bbit: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val kk = k
@@ -379,17 +380,35 @@ object DedupOps {
         }
         (id, sig.toSeq)
       }.toDF("doc_id", "sig")
-    exactJaccardPairs(df, w, minJaccardPct)
+    val base = exactJaccardPairs(df, w, minJaccardPct)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_match", expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> " +
           "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+    // b-bit minhash (Li & König, "b-Bit Minwise Hashing", WWW'10), b=1:
+    // keep only each lane's LOW BIT (k bits/doc instead of k·64), estimate
+    // Ĵ = 2·(agreeing bits / k) − 1 (non-matching mins agree by chance 1/2),
+    // clamped at 0 — integer form (n_bit·200) div k − 100
+    val withBbit =
+      if (!bbit) base
+      else base
+        .withColumn("n_bit_match", expr(
+          "aggregate(zip_with(sig_a, sig_b, (x, y) -> " +
+            "CASE WHEN x % 2 = y % 2 THEN 1L ELSE 0L END), " +
+            "0L, (acc, v) -> acc + v)"))
+        .withColumn("est_bbit_pct",
+          expr(s"greatest(0L, (n_bit_match * 200) div $kk - 100)"))
+    val core = withBbit
+      .select((Seq(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         expr("(n_inter * 100) div n_union").as("exact_pct"),
         col("n_match"),
-        expr(s"(n_match * 100) div $kk").as("est_pct"))
+        expr(s"(n_match * 100) div $kk").as("est_pct")) ++
+        (if (bbit) Seq(col("n_bit_match"), col("est_bbit_pct")) else Nil)): _*)
       .withColumn("err_pp", expr("abs(est_pct - exact_pct)"))
+    (if (bbit)
+      core.withColumn("err_bbit_pp", expr("abs(est_bbit_pct - exact_pct)"))
+    else core)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

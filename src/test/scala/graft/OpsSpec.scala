@@ -856,6 +856,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out2.values.sum === 20L)
   }
 
+  test("b-bit minhash: bit estimator tracks the full-lane estimator on near-dups") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
+    val df = docsDf(1L -> base, 2L -> nearDup)
+    val out = DedupOps.minhashEstimates(df, w = 3, k = 16,
+      minJaccardPct = 60, bbit = true).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (estPct, nBit, estB) = (r.getAs[Long]("est_pct"),
+      r.getAs[Long]("n_bit_match"), r.getAs[Long]("est_bbit_pct"))
+    // matching lanes agree on the low bit too, so n_bit ≥ n_match and the
+    // clamped 2r−1 estimate is a valid [0,100] percentage
+    assert(nBit >= r.getAs[Long]("n_match"))
+    assert(estB >= 0L && estB <= 100L)
+    assert(estPct >= 60L) // sanity: full-lane estimator sees a near-dup
+    // bit estimator formula pin: max(0, n_bit·200/16 − 100)
+    assert(estB === math.max(0L, nBit * 200L / 16L - 100L))
+  }
+
   test("PQ: codes compress, ADC ranking recovers exact neighbors on separated clusters") {
     import graft.ops.PqOps
     // two well-separated clusters in 8 dims (m=2 subspaces of 4): PQ with
