@@ -56,6 +56,10 @@ object PipelineOpsQueries {
     s"/tmp/graft_pq_codebook_${SparkEntry.docCountFor(dir)}"
   def pqCodesPath(dir: String): String =
     s"/tmp/graft_pq_codes_${SparkEntry.docCountFor(dir)}"
+  def pqRerankCodebookPath(dir: String): String =
+    s"/tmp/graft_pq_rr_codebook_${SparkEntry.docCountFor(dir)}"
+  def pqRerankCodesPath(dir: String): String =
+    s"/tmp/graft_pq_rr_codes_${SparkEntry.docCountFor(dir)}"
 
   /** p77's banned-phrase list — literal, border-free (no pattern has a
     * proper prefix that is also a suffix), so Aho–Corasick all-matches ==
@@ -713,6 +717,29 @@ object PipelineOpsQueries {
         s.read.parquet(pqCodesPath(dir)),
         s.read.parquet(pqCodebookPath(dir)))
     }),
+
+    // two-stage retrieval audit (the production ANN serving shape):
+    // ADC top-50 candidate scan over codes, then exact re-rank of only
+    // those candidates — graded vs the global exact top-10. Own dumps
+    // (identical deterministic training) so query order can't matter.
+    "p108_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = graft.ops.PqOps.train(e)
+      graft.ops.PqOps.codebookDf(s, cb)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(pqRerankCodebookPath(dir))
+      graft.ops.PqOps.encode(e, cb)
+        .write.mode("overwrite").parquet(pqRerankCodesPath(dir))
+      graft.ops.PqOps.rerankRecall(e,
+        s.read.parquet(pqRerankCodesPath(dir)),
+        s.read.parquet(pqRerankCodebookPath(dir)))
+    }),
+
+    // Matryoshka truncation audit: the first-16-dims ranking vs the full
+    // 64-dim ranking, integer L2 both sides — what an adaptive-retrieval
+    // candidate scan loses before the full-vector re-rank step
+    "p107_matryoshka_recall" -> ((s, dir) =>
+      graft.ops.PqOps.prefixRecall(emb(s, dir))),
 
     // rolling distinct via daily-HLL register-max algebra vs the exact
     // recount — the 10^12-row replacement for q78's distinct-band-join
@@ -1639,6 +1666,92 @@ object PipelineOpsQueries {
          FROM qs
          LEFT JOIN ov ON ov.query_id = qs.vec_id
          JOIN adcr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
+         JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
+         ORDER BY query_id""",
+    // prefix (first-16-dims) vs full integer-L2 rankings, both re-derived
+    // from raw embeddings alone
+    "p107_matryoshka_recall" ->
+      """WITH qv AS (SELECT vec_id,
+             CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v,
+             CAST(dim AS BIGINT) AS dim
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(0, len(embedding))) AS dim FROM embeddings)),
+         qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10),
+         q AS (SELECT * FROM qv WHERE vec_id IN (SELECT vec_id FROM qs)),
+         pre AS (SELECT q.vec_id AS query_id, c.vec_id AS cand,
+             CAST(sum((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS dist
+           FROM q JOIN qv c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+           WHERE q.dim < 16 GROUP BY 1, 2),
+         prer AS (SELECT query_id, cand, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, cand) AS rk FROM pre),
+         ex AS (SELECT q.vec_id AS query_id, c.vec_id AS cand,
+             CAST(sum((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS dist
+           FROM q JOIN qv c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         exr AS (SELECT query_id, cand, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, cand) AS rk FROM ex),
+         ov AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM prer a JOIN exr e
+             ON a.query_id = e.query_id AND a.cand = e.cand
+           WHERE a.rk <= 10 AND e.rk <= 10 GROUP BY 1)
+         SELECT qs.vec_id AS query_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           a1.cand AS prefix_top1, e1.cand AS exact_top1
+         FROM qs
+         LEFT JOIN ov ON ov.query_id = qs.vec_id
+         JOIN prer a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
+         JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
+         ORDER BY query_id""",
+    // ADC top-50 candidates from the p108 dumps, exact re-rank of only
+    // those candidates, graded vs the global exact top-10
+    "p108_pq_rerank" ->
+      s"""WITH qv AS (SELECT vec_id,
+             CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v,
+             CAST(dim AS BIGINT) AS dim
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(0, len(embedding))) AS dim FROM embeddings)),
+         qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10),
+         q AS (SELECT * FROM qv WHERE vec_id IN (SELECT vec_id FROM qs)),
+         cb AS (SELECT subspace, code, dim, cval
+                FROM read_parquet('${pqRerankCodebookPath(dir)}/*.parquet')),
+         sd AS (SELECT max(dim) + 1 AS subdim FROM cb),
+         cd AS (SELECT vec_id, subspace, code
+                FROM read_parquet('${pqRerankCodesPath(dir)}/*.parquet')),
+         adc AS (SELECT q.vec_id AS query_id, cd.vec_id AS cand,
+             CAST(sum((q.v - cb.cval) * (q.v - cb.cval)) AS BIGINT) AS dist
+           FROM cd
+           JOIN cb ON cb.subspace = cd.subspace AND cb.code = cd.code
+           JOIN sd ON true
+           JOIN q ON q.dim = cd.subspace * sd.subdim + cb.dim
+           WHERE cd.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         cands AS (SELECT query_id, cand FROM (
+             SELECT query_id, cand, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, cand) AS rk FROM adc)
+           WHERE rk <= 50),
+         rr AS (SELECT q.vec_id AS query_id, c.vec_id AS cand,
+             CAST(sum((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS dist
+           FROM q JOIN qv c ON q.dim = c.dim
+           JOIN cands ON cands.query_id = q.vec_id AND cands.cand = c.vec_id
+           GROUP BY 1, 2),
+         rrr AS (SELECT query_id, cand, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, cand) AS rk FROM rr),
+         ex AS (SELECT q.vec_id AS query_id, c.vec_id AS cand,
+             CAST(sum((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS dist
+           FROM q JOIN qv c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         exr AS (SELECT query_id, cand, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, cand) AS rk FROM ex),
+         ov AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM rrr a JOIN exr e
+             ON a.query_id = e.query_id AND a.cand = e.cand
+           WHERE a.rk <= 10 AND e.rk <= 10 GROUP BY 1)
+         SELECT qs.vec_id AS query_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           a1.cand AS rerank_top1, e1.cand AS exact_top1
+         FROM qs
+         LEFT JOIN ov ON ov.query_id = qs.vec_id
+         JOIN rrr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
          JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
          ORDER BY query_id""",
     // identical bitlen arithmetic via bin(); per-(source, token) counts

@@ -103,6 +103,14 @@ object RelationalQueries {
         .withColumnRenamed("right_id", "click_id")
     }),
 
+    // per-key ordered recurrence scan (integer EWMA): the window class
+    // Spark has no native function for — output t depends on output t−1,
+    // not on an input frame. One keyed shuffle + sort + O(1)-state sweep
+    // (the AsOfJoin plan); DuckDB replays the identical trajectory with a
+    // recursive CTE stepping rn → rn+1.
+    "q104_ewma_scan" -> ((s, dir) =>
+      graft.ops.EventOps.ewmaScan(t(s, dir, "events"))),
+
     // staleness-bounded as-of join (pandas merge_asof tolerance / feature-
     // store point-in-time lookup with a freshness SLA): q20's sweep, but a
     // click older than 30 minutes is REJECTED — the purchase emits null
@@ -785,6 +793,23 @@ object RelationalQueries {
           sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
             .cast("long")).as("sum_price_c"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // the third join strategy, SHUFFLE_HASH-pinned (q14 pins broadcast,
+    // q91 pins sort-merge): both sides exchange but the build side hashes
+    // per-partition instead of sorting — the plan for large×large joins
+    // where one side's PARTITIONS fit executor memory and the sort would
+    // dominate (lineitem never sorts here). PlanSpec asserts
+    // ShuffledHashJoin; the oracle is strategy-blind by design.
+    "q105_shj_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long")).as("sum_qty_c"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // year-over-year monthly revenue trend: month index = year·12+month−1
@@ -1867,6 +1892,26 @@ object RelationalQueries {
          SELECT p.event_id AS purchase_id, c.event_id AS click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // identical integer recurrence replayed via recursive CTE: rn-ordered
+    // per user, s1 = cents, s_t = (cents + 7·s_{t−1}) // 8 (floor == the
+    // engine's floorDiv on the non-negative cents domain)
+    "q104_ewma_scan" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         r AS (SELECT user_id, cents, row_number() OVER (
+             PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+         w AS (SELECT user_id, rn, cents AS s FROM r WHERE rn = 1
+               UNION ALL
+               SELECT r2.user_id, r2.rn, (r2.cents + 7 * w.s) // 8
+               FROM w JOIN r r2
+                 ON r2.user_id = w.user_id AND r2.rn = w.rn + 1),
+         mx AS (SELECT user_id, max(rn) AS n_events FROM r GROUP BY user_id)
+         SELECT m.user_id, CAST(m.n_events AS BIGINT) AS n_events,
+           CAST(w.s AS BIGINT) AS last_ewma_cents
+         FROM mx m JOIN w ON w.user_id = m.user_id AND w.rn = m.n_events
+         ORDER BY m.user_id""",
+
     // native ASOF LEFT JOIN, then the staleness SLA nulls the match —
     // identical inclusive boundary (exactly 30 min old still matches)
     "q103_asof_tolerance" ->
@@ -2241,6 +2286,13 @@ object RelationalQueries {
              AS BIGINT)) AS BIGINT) AS sum_price_c
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // strategy-blind replica of the SHUFFLE_HASH-pinned rollup
+    "q105_shj_rollup" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS sum_qty_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // same integer month index + mix = mix+12 self-join
     "q92_yoy_trend" ->
       """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1

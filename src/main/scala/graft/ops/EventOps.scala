@@ -297,4 +297,51 @@ object EventOps {
         expr("abs(est_int - n_exact) * 1000L div n_exact").as("err_permille"))
       .orderBy(col("wday"))
   }
+
+  /** Per-key ordered RECURRENCE scan — the window class Spark has no
+    * native function for: each output depends on the PREVIOUS output, not
+    * on a frame of inputs (running exponential decay here; per-key FSMs
+    * and compound-interest scans are the same shape). SQL window frames
+    * can't express it; the engine runs it as the AsOfJoin plan — ONE hash
+    * shuffle keyed by user, an in-partition Tungsten sort, and a linear
+    * sweep with O(1) state per key, so a key with 10^9 events streams
+    * through without per-key materialization.
+    *
+    * Recurrence, exact integer form (every engine replays the trajectory
+    * bit-identically): s₁ = x₁;  sₜ = (aNum·xₜ + (aDen−aNum)·sₜ₋₁) div aDen
+    * over cents, ordered by (ts, event_id). Values must be ≥ 0 (cents
+    * here): Spark's `div`/Java floorDiv and SQL `//` agree on the
+    * non-negative domain, which the events table satisfies.
+    * Output: one row per key (user_id, n_events, last_ewma_cents). */
+  def ewmaScan(events: DataFrame, aNum: Long = 1L,
+               aDen: Long = 8L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(aNum > 0 && aDen > aNum, s"need 0 < aNum < aDen, got $aNum/$aDen")
+    val ev = withUs(events)
+      .select(col("user_id").cast("long").as("_1"), col("us").as("_2"),
+        col("event_id").cast("long").as("_3"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("_4"))
+      .as[(Long, Long, Long, Long)]
+    ev.repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var cur = Long.MinValue
+        var seen = false
+        var n = 0L
+        var s = 0L
+        def flush(): Unit = if (seen) out += ((cur, n, s))
+        it.foreach { case (u, _, _, cents) =>
+          if (u != cur) { flush(); cur = u; seen = true; n = 0L; s = 0L }
+          s = if (n == 0L) cents
+              else Math.floorDiv(aNum * cents + (aDen - aNum) * s, aDen)
+          n += 1L
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("user_id", "n_events", "last_ewma_cents")
+      .orderBy(col("user_id"))
+  }
 }

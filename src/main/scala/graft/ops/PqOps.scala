@@ -149,17 +149,8 @@ object PqOps {
     }.toDF("vec_id", "subspace", "code")
   }
 
-  /** ADC recall audit from the DUMPED codebook + codes tables (the same
-    * parquet the DuckDB oracle reads — p13's topKFrom contract): per
-    * query, |ADC top-k ∩ exact top-k| plus both rank-1 ids. The ADC pass
-    * reads ONLY codes (m bytes/vector of information) against the
-    * per-query lookup tables; the exact pass is the p07-class broadcast
-    * scan that exists to grade the sketch, not to scale. */
-  def adcRecallFrom(emb: DataFrame, codes: DataFrame, cbDf: DataFrame,
-                    numQueries: Int = 10, topK: Int = 10): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // reconstruct the codebook from the dump (tiny: m·k·subDim rows)
+  /** Codebook reconstructed from its exploded dump: ((m, k, subDim), cb). */
+  private def loadCodebook(cbDf: DataFrame): Array[Array[LVec]] = {
     val cbRows = cbDf.select(col("subspace").cast("int"),
       col("code").cast("int"), col("dim").cast("int"),
       col("cval").cast("long")).collect()
@@ -168,16 +159,19 @@ object PqOps {
     val subDim = cbRows.map(_.getInt(2)).max + 1
     val cb = Array.fill(m, k)(new Array[Long](subDim))
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
-    // query set: first numQueries quantized vectors + their ADC tables
-    val qs = quantized(emb).orderBy(col("_1")).limit(numQueries).collect()
-    // dtab(q)(s)(j) = ||query_s - centroid_{s,j}||² (exact integers)
-    val dtab = qs.map { case (_, v) =>
-      Array.tabulate(m)(s => Array.tabulate(k)(j => sqDistSub(v, s * subDim, cb(s)(j))))
-    }
-    val qIds = qs.map(_._1)
+    cb
+  }
+
+  /** ADC top-k per query over the exploded codes table: the candidates
+    * pass that reads only m codes/vector against the per-query lookup
+    * tables dtab(q)(s)(j) = ||query_s − centroid_{s,j}||². */
+  private def adcTopDf(codes: DataFrame, qIds: Array[Long],
+                       dtab: Array[Array[Array[Long]]], m: Int,
+                       topK: Int, outCol: String): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val bcT = spark.sparkContext.broadcast((qIds, dtab))
-    // group exploded codes to (vec_id, codes[m]) and score via lookups
-    val adcTop = codes
+    codes
       .select(col("vec_id").cast("long").as("_1"),
         col("subspace").cast("int").as("_2"), col("code").cast("int").as("_3"))
       .as[(Long, Int, Int)]
@@ -200,30 +194,124 @@ object PqOps {
         }
       }
       .groupByKey(_._1)
-      .agg(new TopK.TopKIds(topK).toColumn.name("adc_topk"))
-      .toDF("query_id", "adc_topk")
-    // exact integer-L2 ranking against the broadcast query vectors
+      .agg(new TopK.TopKIds(topK).toColumn.name(outCol))
+      .toDF("query_id", outCol)
+  }
+
+  /** Exact integer-L2 top-k of every vector against the broadcast query
+    * set over the FIRST `dims` dimensions (dims = full length → exact
+    * ranking; a prefix → the Matryoshka truncated ranking). The p07-class
+    * broadcast scan that grades sketches, not the scale path. */
+  private def intL2TopDf(vecs: Dataset[(Long, LVec)], qs: Array[(Long, LVec)],
+                         dims: Int, topK: Int, outCol: String): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val bcQ = spark.sparkContext.broadcast(qs)
-    val exactTop = quantized(emb)
-      .flatMap { case (id, v) =>
-        bcQ.value.iterator.flatMap { case (qid, qv) =>
-          if (qid == id) Iterator.empty
-          else {
-            var d = 0L
-            var i = 0
-            while (i < v.length) { val x = v(i) - qv(i); d += x * x; i += 1 }
-            Iterator.single((qid, id, -d.toDouble))
-          }
+    vecs.flatMap { case (id, v) =>
+      bcQ.value.iterator.flatMap { case (qid, qv) =>
+        if (qid == id) Iterator.empty
+        else {
+          var d = 0L
+          var i = 0
+          while (i < dims) { val x = v(i) - qv(i); d += x * x; i += 1 }
+          Iterator.single((qid, id, -d.toDouble))
         }
       }
+    }
       .groupByKey(_._1)
-      .agg(new TopK.TopKIds(topK).toColumn.name("exact_topk"))
-      .toDF("query_id", "exact_topk")
+      .agg(new TopK.TopKIds(topK).toColumn.name(outCol))
+      .toDF("query_id", outCol)
+  }
+
+  /** ADC recall audit from the DUMPED codebook + codes tables (the same
+    * parquet the DuckDB oracle reads — p13's topKFrom contract): per
+    * query, |ADC top-k ∩ exact top-k| plus both rank-1 ids. */
+  def adcRecallFrom(emb: DataFrame, codes: DataFrame, cbDf: DataFrame,
+                    numQueries: Int = 10, topK: Int = 10): DataFrame = {
+    val cb = loadCodebook(cbDf)
+    val (m, k, subDim) = (cb.length, cb(0).length, cb(0)(0).length)
+    val vecs = quantized(emb)
+    val qs = vecs.orderBy(col("_1")).limit(numQueries).collect()
+    val dtab = qs.map { case (_, v) =>
+      Array.tabulate(m)(s => Array.tabulate(k)(j => sqDistSub(v, s * subDim, cb(s)(j))))
+    }
+    val adcTop = adcTopDf(codes, qs.map(_._1), dtab, m, topK, "adc_topk")
+    val exactTop = intL2TopDf(vecs, qs, m * subDim, topK, "exact_topk")
     adcTop.join(exactTop, "query_id")
       .select(col("query_id"),
         size(array_intersect(col("adc_topk"), col("exact_topk")))
           .cast("long").as("n_overlap"),
         element_at(col("adc_topk"), 1).cast("long").as("adc_top1"),
+        element_at(col("exact_topk"), 1).cast("long").as("exact_top1"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Two-stage retrieval (the production ANN serving shape): stage 1 =
+    * ADC over codes produces `candidates` ids per query (compressed-domain
+    * scan, m lookups/vector); stage 2 = exact integer L2 over ONLY those
+    * candidates (one equi-join on vec_id brings ≤ candidates raw vectors
+    * per query back) re-ranks to top-k. Graded against the global exact
+    * top-k: rerank recall ≥ raw-ADC recall by construction whenever the
+    * true neighbors survive stage 1 — the audit shows what candidate
+    * depth buys. */
+  def rerankRecall(emb: DataFrame, codes: DataFrame, cbDf: DataFrame,
+                   candidates: Int = 50, numQueries: Int = 10,
+                   topK: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = loadCodebook(cbDf)
+    val (m, k, subDim) = (cb.length, cb(0).length, cb(0)(0).length)
+    val vecs = quantized(emb)
+    val qs = vecs.orderBy(col("_1")).limit(numQueries).collect()
+    val dtab = qs.map { case (_, v) =>
+      Array.tabulate(m)(s => Array.tabulate(k)(j => sqDistSub(v, s * subDim, cb(s)(j))))
+    }
+    val cand = adcTopDf(codes, qs.map(_._1), dtab, m, candidates, "cand")
+      .select(col("query_id"), explode(col("cand")).as("vec_id"))
+    val bcQ = spark.sparkContext.broadcast(qs.toMap)
+    // stage 2: fetch candidate vectors (vec_id equi-join) + exact re-rank
+    val reranked = vecs.toDF("vec_id", "qv")
+      .join(cand, "vec_id")
+      .select(col("query_id").cast("long").as("_1"),
+        col("vec_id").cast("long").as("_2"), col("qv").as("_3"))
+      .as[(Long, Long, Array[Long])]
+      .map { case (qid, id, v) =>
+        val qv = bcQ.value(qid)
+        var d = 0L
+        var i = 0
+        while (i < v.length) { val x = v(i) - qv(i); d += x * x; i += 1 }
+        (qid, id, -d.toDouble)
+      }
+      .groupByKey(_._1)
+      .agg(new TopK.TopKIds(topK).toColumn.name("rerank_topk"))
+      .toDF("query_id", "rerank_topk")
+    val exactTop = intL2TopDf(vecs, qs, m * subDim, topK, "exact_topk")
+    reranked.join(exactTop, "query_id")
+      .select(col("query_id"),
+        size(array_intersect(col("rerank_topk"), col("exact_topk")))
+          .cast("long").as("n_overlap"),
+        element_at(col("rerank_topk"), 1).cast("long").as("rerank_top1"),
+        element_at(col("exact_topk"), 1).cast("long").as("exact_top1"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Matryoshka (MRL) truncation audit: ranking quality of the FIRST
+    * `prefixDims` dimensions vs the full vector — the adaptive-retrieval
+    * trick where a d/4 prefix serves the candidate scan at 4× less memory
+    * bandwidth and the full vector only re-ranks. Integer L2 both sides. */
+  def prefixRecall(emb: DataFrame, prefixDims: Int = 16,
+                   numQueries: Int = 10, topK: Int = 10): DataFrame = {
+    val vecs = quantized(emb)
+    val qs = vecs.orderBy(col("_1")).limit(numQueries).collect()
+    val dim = qs.head._2.length
+    require(prefixDims > 0 && prefixDims <= dim)
+    val pre = intL2TopDf(vecs, qs, prefixDims, topK, "prefix_topk")
+    val full = intL2TopDf(vecs, qs, dim, topK, "exact_topk")
+    pre.join(full, "query_id")
+      .select(col("query_id"),
+        size(array_intersect(col("prefix_topk"), col("exact_topk")))
+          .cast("long").as("n_overlap"),
+        element_at(col("prefix_topk"), 1).cast("long").as("prefix_top1"),
         element_at(col("exact_topk"), 1).cast("long").as("exact_top1"))
       .orderBy(col("query_id"))
   }

@@ -856,6 +856,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out2.values.sum === 20L)
   }
 
+  test("EWMA recurrence scan replays the exact integer trajectory in event order") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 1 cents [80, 160, 40]: s1=80, s2=(160+7·80)/8=90,
+    // s3=(40+7·90)/8=⌊83.75⌋=83; rows arrive ts-shuffled, and the last two
+    // share a ts — event_id must break the tie
+    val ev = Seq(
+      (1L, 103L, t(9), "a", 1.60),
+      (1L, 101L, t(5), "a", 0.80),
+      (1L, 104L, t(9), "a", 0.40), // same ts as 103, higher event_id → last
+      (2L, 201L, t(1), "b", 2.00))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = graft.ops.EventOps.ewmaScan(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === (3L, 83L))
+    assert(out(2L) === (1L, 200L))
+  }
+
   test("b-bit minhash: bit estimator tracks the full-lane estimator on near-dups") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")

@@ -316,6 +316,16 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q105 shuffle_hash-hinted join compiles to ShuffledHashJoin with no " +
+    "sort on either side — the large×large strategy when partitions fit " +
+    "executor memory and the SMJ sort would dominate") {
+    val df = RelationalQueries.queries("q105_shj_rollup")(spark, dir)
+    val plan = staticPlan(df).toString
+    assert(plan.contains("ShuffledHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("AQE converts a statically-planned SortMergeJoin to broadcast at " +
     "runtime when the built side turns out tiny — the re-plan that saves " +
     "an exchange when a filter is more selective than the stats say") {
