@@ -42,6 +42,33 @@ class TableIOSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("nested schema pruning: a spans.kind census reads ONLY kind from " +
+    "the struct — spans.text dominates table bytes at 10^12 docs and must " +
+    "never reach the scan for a kind-only query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsp").toString
+    Synthesizer.docs(spark, 200, 7L).toDF()
+      .write.mode("overwrite").parquet(dir)
+    // AQE wraps the plan; disable it while the physical plan materializes
+    // so FileSourceScanExec is collectible
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (census, scans) = try {
+      val df = spark.read.parquet(dir)
+        .select(explode(col("spans")).as("sp"))
+        .select(col("sp.kind").as("kind"))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      (df, df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(scans.nonEmpty)
+    val readSchema = scans.head.requiredSchema.catalogString
+    assert(readSchema.contains("kind"), readSchema)
+    assert(!readSchema.contains("text") && !readSchema.contains("media_ref"),
+      s"struct not pruned — scan reads: $readSchema")
+    assert(census.count() > 0)
+  }
+
   test("partitioned+clustered layout: dir pruning at plan time, row-group " +
     "skipping from min/max stats at read time") {
     import spark.implicits._
