@@ -60,6 +60,10 @@ object PipelineOpsQueries {
     s"/tmp/graft_pq_rr_codebook_${SparkEntry.docCountFor(dir)}"
   def pqRerankCodesPath(dir: String): String =
     s"/tmp/graft_pq_rr_codes_${SparkEntry.docCountFor(dir)}"
+  def pqDriftCodebookPath(dir: String): String =
+    s"/tmp/graft_pq_drift_codebook_${SparkEntry.docCountFor(dir)}"
+  def pqDriftCodesPath(dir: String): String =
+    s"/tmp/graft_pq_drift_codes_${SparkEntry.docCountFor(dir)}"
 
   /** p77's banned-phrase list — literal, border-free (no pattern has a
     * proper prefix that is also a suffix), so Aho–Corasick all-matches ==
@@ -740,6 +744,24 @@ object PipelineOpsQueries {
     // candidate scan loses before the full-vector re-rank step
     "p107_matryoshka_recall" -> ((s, dir) =>
       graft.ops.PqOps.prefixRecall(emb(s, dir))),
+
+    // frozen-codebook drift audit: codebook trained on the EVEN-vec_id
+    // cohort only, everything encoded under it, per-cohort quantization
+    // error compared — the retrain trigger a production PQ/IVF index
+    // watches; error computed from the dumped codes, as the oracle does
+    "p109_pq_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, dir)
+      val cb = graft.ops.PqOps.train(e.where(col("vec_id") % 2 === 0))
+      graft.ops.PqOps.codebookDf(s, cb)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(pqDriftCodebookPath(dir))
+      graft.ops.PqOps.encode(e, cb)
+        .write.mode("overwrite").parquet(pqDriftCodesPath(dir))
+      graft.ops.PqOps.driftAudit(e,
+        s.read.parquet(pqDriftCodesPath(dir)),
+        s.read.parquet(pqDriftCodebookPath(dir)))
+    }),
 
     // rolling distinct via daily-HLL register-max algebra vs the exact
     // recount — the 10^12-row replacement for q78's distinct-band-join
@@ -1754,6 +1776,32 @@ object PipelineOpsQueries {
          JOIN rrr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
          JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
          ORDER BY query_id""",
+    // per-vector quantization error re-derived from the drift dumps +
+    // raw embeddings; identical integer cohort rollup
+    "p109_pq_drift" ->
+      s"""WITH qv AS (SELECT vec_id,
+             CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v,
+             CAST(dim AS BIGINT) AS dim
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(0, len(embedding))) AS dim FROM embeddings)),
+         cb AS (SELECT subspace, code, dim, cval
+                FROM read_parquet('${pqDriftCodebookPath(dir)}/*.parquet')),
+         sd AS (SELECT max(dim) + 1 AS subdim FROM cb),
+         cd AS (SELECT vec_id, subspace, code
+                FROM read_parquet('${pqDriftCodesPath(dir)}/*.parquet')),
+         err AS (SELECT cd.vec_id,
+             CAST(sum((qv.v - cb.cval) * (qv.v - cb.cval)) AS BIGINT) AS err
+           FROM cd
+           JOIN cb ON cb.subspace = cd.subspace AND cb.code = cd.code
+           JOIN sd ON true
+           JOIN qv ON qv.vec_id = cd.vec_id
+                  AND qv.dim = cd.subspace * sd.subdim + cb.dim
+           GROUP BY 1)
+         SELECT CAST(vec_id % 2 AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(err) AS BIGINT) AS sum_err,
+           CAST(sum(err) // count(*) AS BIGINT) AS mean_err
+         FROM err GROUP BY 1 ORDER BY 1""",
     // identical bitlen arithmetic via bin(); per-(source, token) counts
     // then the post-agg projection
     "p100_source_entropy" ->

@@ -162,15 +162,11 @@ object PqOps {
     cb
   }
 
-  /** ADC top-k per query over the exploded codes table: the candidates
-    * pass that reads only m codes/vector against the per-query lookup
-    * tables dtab(q)(s)(j) = ||query_s − centroid_{s,j}||². */
-  private def adcTopDf(codes: DataFrame, qIds: Array[Long],
-                       dtab: Array[Array[Array[Long]]], m: Int,
-                       topK: Int, outCol: String): DataFrame = {
+  /** Exploded codes regrouped to one (vec_id, codes[m]) row per vector. */
+  private def groupedCodes(codes: DataFrame,
+                           m: Int): Dataset[(Long, Array[Int])] = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val bcT = spark.sparkContext.broadcast((qIds, dtab))
     codes
       .select(col("vec_id").cast("long").as("_1"),
         col("subspace").cast("int").as("_2"), col("code").cast("int").as("_3"))
@@ -181,6 +177,18 @@ object PqOps {
         it.foreach { case (_, s, c) => arr(s) = c }
         (id, arr)
       }
+  }
+
+  /** ADC top-k per query over the exploded codes table: the candidates
+    * pass that reads only m codes/vector against the per-query lookup
+    * tables dtab(q)(s)(j) = ||query_s − centroid_{s,j}||². */
+  private def adcTopDf(codes: DataFrame, qIds: Array[Long],
+                       dtab: Array[Array[Array[Long]]], m: Int,
+                       topK: Int, outCol: String): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bcT = spark.sparkContext.broadcast((qIds, dtab))
+    groupedCodes(codes, m)
       .flatMap { case (id, cArr) =>
         val (ids, tabs) = bcT.value
         Iterator.range(0, ids.length).flatMap { qi =>
@@ -293,6 +301,42 @@ object PqOps {
         element_at(col("rerank_topk"), 1).cast("long").as("rerank_top1"),
         element_at(col("exact_topk"), 1).cast("long").as("exact_top1"))
       .orderBy(col("query_id"))
+  }
+
+  /** Frozen-codebook DRIFT audit — the index-maintenance signal: encode
+    * everything (old and new cohorts) under a codebook trained on the OLD
+    * cohort alone, and compare per-cohort quantization error
+    * ||v − decode(codes(v))||². A new-cohort mean error pulling away from
+    * the training cohort's is the retrain trigger every production PQ/IVF
+    * deployment watches (codebooks go stale as the embedding distribution
+    * shifts). Error is computed FROM THE DUMPED CODES (one vec_id
+    * equi-join), exactly as the oracle recomputes it — never from a
+    * re-derived assignment. Output: one row per cohort
+    * (cohort, n_vecs, sum_err, mean_err). */
+  def driftAudit(emb: DataFrame, codes: DataFrame,
+                 cbDf: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = loadCodebook(cbDf)
+    val (m, subDim) = (cb.length, cb(0)(0).length)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    quantized(emb).toDF("vec_id", "v")
+      .join(groupedCodes(codes, m).toDF("vec_id", "cds"), "vec_id")
+      .select(col("vec_id").as("_1"), col("v").as("_2"), col("cds").as("_3"))
+      .as[(Long, Array[Long], Array[Int])]
+      .map { case (id, v, cArr) =>
+        val cs = bcCb.value
+        var err = 0L
+        var s = 0
+        while (s < m) { err += sqDistSub(v, s * subDim, cs(s)(cArr(s))); s += 1 }
+        (id % 2, err)
+      }
+      .toDF("cohort", "err")
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).cast("long").as("sum_err"))
+      .select(col("cohort").cast("long").as("cohort"), col("n_vecs"),
+        col("sum_err"), expr("sum_err div n_vecs").as("mean_err"))
+      .orderBy(col("cohort"))
   }
 
   /** Matryoshka (MRL) truncation audit: ranking quality of the FIRST

@@ -926,6 +926,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ rerank, prefix and drift audits behave on the separated-cluster fixture") {
+    import graft.ops.PqOps
+    val vecs = (0 until 24).map { i =>
+      val base = if (i < 12) 0.5 else -0.5
+      val v = Array.tabulate(8)(d => (base + (i % 12) * 0.001 + d * 0.0001).toFloat)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = PqOps.train(df, m = 2, k = 4, iters = 3)
+    val codes = PqOps.encode(df, cb)
+    val cbDf = PqOps.codebookDf(spark, cb)
+    // two-stage: ADC candidates deep enough to cover the cluster → exact
+    // re-rank recovers the exact top-5 perfectly (ties resolved by stage 2)
+    val rr = PqOps.rerankRecall(df, codes, cbDf, candidates = 12,
+      numQueries = 4, topK = 5).collect()
+    rr.foreach(r => assert(r.getLong(1) === 5L,
+      s"rerank recall for query ${r.getLong(0)}"))
+    // Matryoshka: a 4-dim prefix of this fixture still separates clusters
+    val pr = PqOps.prefixRecall(df, prefixDims = 4, numQueries = 4,
+      topK = 5).collect()
+    pr.foreach { r =>
+      assert(r.getLong(1) >= 4L)
+      assert(r.getLong(2) < 12L && r.getLong(3) < 12L)
+    }
+    // drift: codebook trained on even ids only still reconstructs both
+    // cohorts; two rollup rows, errors non-negative
+    val even = df.where(col("vec_id") % 2 === 0)
+    val cbOld = PqOps.train(even, m = 2, k = 4, iters = 3)
+    val drift = PqOps.driftAudit(df, PqOps.encode(df, cbOld),
+      PqOps.codebookDf(spark, cbOld)).collect()
+    assert(drift.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    drift.foreach { r =>
+      assert(r.getLong(1) === 12L)
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+      assert(r.getLong(3) === r.getLong(2) / 12L)
+    }
+  }
+
   test("range join finds exactly the rights within the window (bucket edges)") {
     import java.sql.Timestamp
     def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
