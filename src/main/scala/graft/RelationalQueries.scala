@@ -103,6 +103,59 @@ object RelationalQueries {
         .withColumnRenamed("right_id", "click_id")
     }),
 
+    // percentile_cont INTERPOLATION pin: Spark's percentile() and
+    // DuckDB's quantile_cont() must agree on the (n−1)·q positional rule
+    // and linear interpolation. Quartile positions are dyadic (≤2
+    // fraction bits), cents are integers, so interpolated×4 is an EXACT
+    // integer in both engines — the hash pins interpolation itself, not a
+    // tolerance. (q25 pins the rank-based discrete formulation.)
+    "q106_percentile_cont_pin" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      o.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("p"))
+        .select(col("o_orderstatus"),
+          (element_at(col("p"), 1) * 4).cast("long").as("q25_x4"),
+          (element_at(col("p"), 2) * 4).cast("long").as("q50_x4"),
+          (element_at(col("p"), 3) * 4).cast("long").as("q75_x4"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // snapshot EXPIRY + orphan cleanup (Iceberg expire_snapshots — the
+    // maintenance op that bounds metadata and reclaims storage): commit
+    // v1→v2→v3, expire all but the last 2, emit the LATEST rollup plus
+    // the surviving-manifest count the expiry contract fixes at 2.
+    // TableIOSpec pins the sharper facts (expired version unreadable,
+    // orphan dir gone, kept versions byte-stable).
+    "q107_snapshot_expiry" -> ((s, dir) => {
+      val base = s"/tmp/graft_expiry_${SparkEntry.docCountFor(dir)}"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.io.TableIO.commitSnapshot(v1, base, 1)
+      val v2 = graft.io.TableIO.readSnapshot(s, base, Some(1))
+        .where(col("doc_id") % 13 =!= 0)
+      graft.io.TableIO.commitSnapshot(v2, base, 2)
+      val v3 = graft.io.TableIO.readSnapshot(s, base, Some(2))
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 7 === 0, col("n_chars") + 11L)
+            .otherwise(col("n_chars")).as("n_chars"))
+      graft.io.TableIO.commitSnapshot(v3, base, 3)
+      val (nExpired, nOrphans) =
+        graft.io.TableIO.expireSnapshots(s, base, keepLast = 2)
+      graft.io.TableIO.readSnapshot(s, base) // latest = v3, post-expiry
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          lit(nExpired.toLong).as("n_expired"),
+          lit(nOrphans.toLong).as("n_orphan_dirs_deleted"))
+        .orderBy(col("lang"))
+    }),
+
     // per-key ordered recurrence scan (integer EWMA): the window class
     // Spark has no native function for — output t depends on output t−1,
     // not on an input frame. One keyed shuffle + sort + O(1)-state sweep
@@ -1892,6 +1945,28 @@ object RelationalQueries {
          SELECT p.event_id AS purchase_id, c.event_id AS click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // DuckDB's quantile_cont on the same cents — interpolated×4 is an
+    // exact integer in both engines (dyadic quartile positions)
+    "q106_percentile_cont_pin" ->
+      """SELECT o_orderstatus,
+           CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q25_x4,
+           CAST(quantile_cont(cents, 0.50) * 4 AS BIGINT) AS q50_x4,
+           CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS q75_x4
+         FROM (SELECT o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // v3 state re-derived from documents (drop %13, then +11 where %7);
+    // the expiry counters are the contract's constants: 3 commits − 2
+    // kept = 1 manifest expired = 1 orphan dir deleted
+    "q107_snapshot_expiry" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars + 11
+                    ELSE n_chars END) AS BIGINT) AS sum_chars,
+           CAST(1 AS BIGINT) AS n_expired,
+           CAST(1 AS BIGINT) AS n_orphan_dirs_deleted
+         FROM documents WHERE doc_id % 13 <> 0
+         GROUP BY lang ORDER BY lang""",
     // identical integer recurrence replayed via recursive CTE: rn-ordered
     // per user, s1 = cents, s_t = (cents + 7·s_{t−1}) // 8 (floor == the
     // engine's floorDiv on the non-negative cents domain)

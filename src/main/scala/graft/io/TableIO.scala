@@ -225,6 +225,43 @@ object TableIO {
     out.close()
   }
 
+  /** Snapshot expiry + orphan cleanup (Iceberg `expire_snapshots`): drop
+    * every manifest except the newest `keepLast`, then delete data
+    * directories no surviving manifest references. Readers pinned to an
+    * expired version fail fast at manifest resolution (the time-travel
+    * window shrank); latest-readers are untouched. Returns
+    * (manifests expired, orphan data dirs deleted). */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val mDir = new org.apache.hadoop.fs.Path(s"$table/_manifests")
+    val fs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(mDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).sorted
+    val (expire, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
+    // surviving manifests' referenced paths (a dir may back several
+    // versions under append-style commits; only truly orphaned dirs go)
+    val referenced = keep.flatMap { v =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$table/_manifests/v$v.txt"))
+      val paths = scala.io.Source.fromInputStream(in).getLines().toSeq
+      in.close()
+      paths
+    }.toSet
+    var orphans = 0
+    expire.foreach { v =>
+      val mPath = new org.apache.hadoop.fs.Path(s"$table/_manifests/v$v.txt")
+      val in = fs.open(mPath)
+      val paths = scala.io.Source.fromInputStream(in).getLines().toSeq
+      in.close()
+      fs.delete(mPath, false)
+      paths.filterNot(referenced.contains).foreach { p =>
+        if (fs.delete(new org.apache.hadoop.fs.Path(p), true)) orphans += 1
+      }
+    }
+    (expire.length, orphans)
+  }
+
   /** Time-travel read: load the file list of `version` (or the latest
     * committed version when None) from its manifest and read exactly
     * those files — a v1 reader sees v1 bytes even after v2 commits. */

@@ -42,6 +42,31 @@ class TableIOSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("snapshot expiry: expired version unreadable, orphan dir reclaimed, " +
+    "kept versions byte-stable") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_expire").toString + "/t"
+    def snap(n: Int) = (0 until n).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    TableIO.commitSnapshot(snap(10), base, 1)
+    TableIO.commitSnapshot(snap(20), base, 2)
+    TableIO.commitSnapshot(snap(30), base, 3)
+    val (nExp, nOrph) = TableIO.expireSnapshots(spark, base, keepLast = 2)
+    assert((nExp, nOrph) === (1, 1))
+    // expired version fails fast; kept versions read their exact bytes
+    intercept[IllegalArgumentException] {
+      TableIO.readSnapshot(spark, base, Some(1)).count()
+    }
+    assert(TableIO.readSnapshot(spark, base, Some(2)).count() === 20)
+    assert(TableIO.readSnapshot(spark, base).count() === 30) // latest = v3
+    // the orphaned v1 data dir is physically gone
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v2")))
+    // expiry is idempotent: nothing more to expire at keepLast=2
+    assert(TableIO.expireSnapshots(spark, base, keepLast = 2) === ((0, 0)))
+  }
+
   test("nested schema pruning: a spans.kind census reads ONLY kind from " +
     "the struct — spans.text dominates table bytes at 10^12 docs and must " +
     "never reach the scan for a kind-only query") {
