@@ -745,6 +745,11 @@ object PipelineOpsQueries {
     "p107_matryoshka_recall" -> ((s, dir) =>
       graft.ops.PqOps.prefixRecall(emb(s, dir))),
 
+    // classifier feature-table export: p02 + p03 + p75 signals in ONE
+    // zero-shuffle projection (PlanSpec-pinned) — the wide integer frame
+    // a quality classifier trains on; exporting 10^12 docs costs one pass
+    "p110_feature_table" -> ((s, dir) => TextOps.featureTable(docs(s, dir))),
+
     // frozen-codebook drift audit: codebook trained on the EVEN-vec_id
     // cohort only, everything encoded under it, per-cohort quantization
     // error compared — the retrain trigger a production PQ/IVF index
@@ -1776,6 +1781,31 @@ object PipelineOpsQueries {
          JOIN rrr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
          JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
          ORDER BY query_id""",
+    // the p02/p03/p75 signal fragments verbatim, assembled into one row
+    "p110_feature_table" ->
+      """WITH c AS (SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\s+')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(w AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_bpeish_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             AS BIGINT) AS n_punct,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+             AS n_stopwords,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+             AS n_upper,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_vowel_groups,
+           CAST(206835 - (1015 * w) // s
+                - (84600 * y) // greatest(w, 1) AS BIGINT) AS flesch_milli
+         FROM c ORDER BY doc_id""",
     // per-vector quantization error re-derived from the drift dumps +
     // raw embeddings; identical integer cohort rollup
     "p109_pq_drift" ->

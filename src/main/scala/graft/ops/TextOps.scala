@@ -90,6 +90,39 @@ object TextOps {
       length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
   }
 
+  /** Classifier feature-table EXPORT: every cheap per-doc quality signal
+    * (p02 token counts, p03 quality counts, p75 readability surrogates)
+    * materialized side by side in ONE projection — the wide integer
+    * feature frame a fastText/logistic quality classifier trains on.
+    * All columns are codegen'd regexp/length expressions inside the same
+    * whole-stage-codegen span: ONE scan, ZERO shuffles (PlanSpec-pinned),
+    * so exporting features for 10^12 docs costs exactly one pass. */
+  def featureTable(df: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val w = size(toks).cast("long")
+    val sents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val vow = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    df.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      w.as("n_ws_tokens"),
+      bpeishCount(col("text")).cast("long").as("n_bpeish_tokens"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long")
+        .as("n_punct"),
+      size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+        .cast("long").as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long")
+        .as("n_upper"),
+      sents.as("n_sentences"),
+      vow.as("n_vowel_groups"))
+      .withColumn("flesch_milli", expr(
+        "206835L - (1015L * n_ws_tokens) div n_sentences" +
+          " - (84600L * n_vowel_groups) div greatest(n_ws_tokens, 1L)"))
+  }
+
   /** Composite document-quality FILTER — the Gopher/C4-style keep-or-drop
     * decision (Rae et al. 2021 appendix A1.1, re-expressed as integer
     * arithmetic so the decision is float-free and the SQL oracle replicates

@@ -316,6 +316,19 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("p110 feature-table export is ONE scan with ZERO shuffles — the " +
+    "wide quality-feature frame costs exactly one pass at 10^12 docs") {
+    val plan = staticPlan(
+      PipelineOpsQueries.queries("p110_feature_table")(spark, dir))
+    assert(shuffles(plan) === 0, s"plan:\n$plan")
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, s"expected one scan:\n$plan")
+    // "*(n)" is simpleString's whole-stage-codegen marker
+    assert(plan.toString.contains("*("), s"no codegen span:\n$plan")
+  }
+
   test("q105 shuffle_hash-hinted join compiles to ShuffledHashJoin with no " +
     "sort on either side — the large×large strategy when partitions fit " +
     "executor memory and the SMJ sort would dominate") {
