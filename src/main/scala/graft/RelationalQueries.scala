@@ -103,6 +103,34 @@ object RelationalQueries {
         .withColumnRenamed("right_id", "click_id")
     }),
 
+    // corrupt-object-resilient ingest: at 10^12 docs some storage objects
+    // WILL be truncated/garbage, and one bad footer must not kill a
+    // 6-hour scan. A garbage .parquet is planted among good files; the
+    // read runs with ignoreCorruptFiles + an explicit schema (schema
+    // inference must not trip on the bad footer either) and the census
+    // sees exactly the good rows. The no-flag read throws — spec-pinned.
+    "q108_corrupt_skip" -> ((s, dir) => {
+      val base = s"/tmp/graft_corrupt_${SparkEntry.docCountFor(dir)}"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val good = t(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      good.write.mode("overwrite").parquet(base)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/part-corrupt-0000.parquet"), true)
+      out.write(("PAR1 this is not a parquet file " * 64).getBytes("UTF-8"))
+      out.close()
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(base)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // percentile_cont INTERPOLATION pin: Spark's percentile() and
     // DuckDB's quantile_cont() must agree on the (n−1)·q positional rule
     // and linear interpolation. Quartile positions are dyadic (≤2
@@ -1945,6 +1973,13 @@ object RelationalQueries {
          SELECT p.event_id AS purchase_id, c.event_id AS click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // the good rows alone (same %3 slice straight off documents) — the
+    // planted corrupt object must contribute nothing
+    "q108_corrupt_skip" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id % 3 = 0
+         GROUP BY lang ORDER BY lang""",
     // DuckDB's quantile_cont on the same cents — interpolated×4 is an
     // exact integer in both engines (dyadic quartile positions)
     "q106_percentile_cont_pin" ->

@@ -67,6 +67,27 @@ class TableIOSpec extends AnyFunSuite {
     assert(TableIO.expireSnapshots(spark, base, keepLast = 2) === ((0, 0)))
   }
 
+  test("corrupt-file ingest: ignoreCorruptFiles skips the garbage object, " +
+    "the default read fails loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_corrupt").toString + "/t"
+    (0 until 50).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$base/part-corrupt-0000.parquet"), true)
+    out.write(("PAR1 garbage " * 100).getBytes("UTF-8"))
+    out.close()
+    val resilient = spark.read.schema("id BIGINT, v BIGINT")
+      .option("ignoreCorruptFiles", "true").parquet(base)
+    assert(resilient.count() === 50)
+    assert(resilient.agg(sum(col("v"))).head.getLong(0) === (0 until 50).map(_ * 2L).sum)
+    // without the flag the same scan must fail loudly, not silently skip
+    val strict = spark.read.schema("id BIGINT, v BIGINT").parquet(base)
+    intercept[org.apache.spark.SparkException] { strict.count() }
+  }
+
   test("nested schema pruning: a spans.kind census reads ONLY kind from " +
     "the struct — spans.text dominates table bytes at 10^12 docs and must " +
     "never reach the scan for a kind-only query") {
