@@ -745,6 +745,11 @@ object PipelineOpsQueries {
     "p107_matryoshka_recall" -> ((s, dir) =>
       graft.ops.PqOps.prefixRecall(emb(s, dir))),
 
+    // vector-QA census (the gate BEFORE indexing): per-vector NaN/Inf,
+    // zero-norm and dimension census rolled up by norm² log2-bucket —
+    // ANN/PQ/IVF all assume finite non-degenerate fixed-dim vectors
+    "p111_vector_qa" -> ((s, dir) => graft.ops.PqOps.vectorQa(emb(s, dir))),
+
     // classifier feature-table export: p02 + p03 + p75 signals in ONE
     // zero-shuffle projection (PlanSpec-pinned) — the wide integer frame
     // a quality classifier trains on; exporting 10^12 docs costs one pass
@@ -1781,6 +1786,23 @@ object PipelineOpsQueries {
          JOIN rrr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
          JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
          ORDER BY query_id""",
+    // identical per-vector derivation: bad = any NaN/Inf, norm² over the
+    // integer grid excluding bad dims, bucket = bitlen−1 via bin()
+    "p111_vector_qa" ->
+      """WITH u AS (SELECT vec_id, len(embedding) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         per AS (SELECT vec_id, any_value(dim) AS dim,
+             max(CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END) AS bad,
+             sum(CASE WHEN isnan(x) OR isinf(x) THEN 0
+                 ELSE CAST(floor(x * 1000) AS BIGINT)
+                    * CAST(floor(x * 1000) AS BIGINT) END) AS norm2
+           FROM u GROUP BY vec_id)
+         SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(CASE WHEN bad = 1 THEN -2 WHEN norm2 = 0 THEN -1
+                ELSE length(bin(norm2)) - 1 END AS BIGINT)
+             AS norm2_log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors
+         FROM per GROUP BY 1, 2 ORDER BY 1, 2""",
     // the p02/p03/p75 signal fragments verbatim, assembled into one row
     "p110_feature_table" ->
       """WITH c AS (SELECT doc_id, text,

@@ -339,6 +339,44 @@ object PqOps {
       .orderBy(col("cohort"))
   }
 
+  /** Vector-QA census — the data-quality gate BEFORE any indexing
+    * (ANN/PQ/IVF all assume finite, non-degenerate, fixed-dim vectors):
+    * per vector, NaN/Inf presence, dimension, and the integer-grid
+    * squared norm; rolled up to (dim, norm² log2-bucket) with NaN and
+    * zero-vector counts split out. One narrow pass; the census is tiny.
+    * NaN detection runs on the RAW doubles (the integer grid would mask
+    * them — floor(NaN·1000).toLong is 0 on the JVM). */
+  def vectorQa(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long").as("_1"),
+        col("embedding").cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+      .map { case (_, v) =>
+        var bad = false
+        var norm2 = 0L
+        var i = 0
+        while (i < v.length) {
+          val x = v(i)
+          if (x.isNaN || x.isInfinite) bad = true
+          else {
+            val q = math.floor(x * 1000).toLong
+            norm2 += q * q
+          }
+          i += 1
+        }
+        val bucket =
+          if (bad) -2L
+          else if (norm2 == 0L) -1L
+          else (63 - java.lang.Long.numberOfLeadingZeros(norm2)).toLong
+        (v.length.toLong, bucket)
+      }
+      .toDF("dim", "norm2_log2_bucket")
+      .groupBy(col("dim"), col("norm2_log2_bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("dim"), col("norm2_log2_bucket"))
+  }
+
   /** Matryoshka (MRL) truncation audit: ranking quality of the FIRST
     * `prefixDims` dimensions vs the full vector — the adaptive-retrieval
     * trick where a d/4 prefix serves the candidate scan at 4× less memory

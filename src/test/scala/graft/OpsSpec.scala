@@ -926,6 +926,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vector QA buckets NaN, zero and healthy vectors separately") {
+    import graft.ops.PqOps
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f)),                 // norm2 = 500²·2 → bucket 18
+      (2L, Array(Float.NaN, 1.0f)),            // NaN → -2
+      (3L, Array(0.0f, 0.0f)),                 // zero → -1
+      (4L, Array(Float.PositiveInfinity, 0f)), // Inf → -2
+      (5L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = PqOps.vectorQa(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((2L, -2L)) === 2L)
+    assert(out((2L, -1L)) === 1L)
+    // 500² · 2 = 500000, bitlen(500000) = 19 → bucket 18
+    assert(out((2L, 18L)) === 2L)
+  }
+
   test("PQ rerank, prefix and drift audits behave on the separated-cluster fixture") {
     import graft.ops.PqOps
     val vecs = (0 until 24).map { i =>
