@@ -745,6 +745,12 @@ object PipelineOpsQueries {
     "p107_matryoshka_recall" -> ((s, dir) =>
       graft.ops.PqOps.prefixRecall(emb(s, dir))),
 
+    // chunk→document embedding pooling (integer mean on the grid): one
+    // keyed partial+final agg via a typed vector-sum Aggregator — the
+    // shuffle carries one partial row per (doc, partition), never chunks
+    "p112_chunk_pooling" -> ((s, dir) =>
+      graft.ops.PqOps.chunkPooling(emb(s, dir))),
+
     // vector-QA census (the gate BEFORE indexing): per-vector NaN/Inf,
     // zero-norm and dimension census rolled up by norm² log2-bucket —
     // ANN/PQ/IVF all assume finite non-degenerate fixed-dim vectors
@@ -1786,6 +1792,19 @@ object PipelineOpsQueries {
          JOIN rrr a1 ON a1.query_id = qs.vec_id AND a1.rk = 1
          JOIN exr e1 ON e1.query_id = qs.vec_id AND e1.rk = 1
          ORDER BY query_id""",
+    // identical floor-mean pooling on the grid. DuckDB's integer // and %
+    // truncate toward zero, so floor-division is rebuilt integer-exactly:
+    // subtract the non-negative remainder ((s % n) + n) % n, then divide
+    "p112_chunk_pooling" ->
+      """WITH u AS (SELECT vec_id // 5 AS group_id, dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(0, len(embedding))) AS dim FROM embeddings)
+           WHERE dim < 8)
+         SELECT group_id, CAST(dim AS BIGINT) AS dim,
+           CAST((sum(q) - ((sum(q) % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS pooled_q
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical per-vector derivation: bad = any NaN/Inf, norm² over the
     // integer grid excluding bad dims, bucket = bitlen−1 via bin()
     "p111_vector_qa" ->

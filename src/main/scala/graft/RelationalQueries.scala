@@ -103,6 +103,16 @@ object RelationalQueries {
         .withColumnRenamed("right_id", "click_id")
     }),
 
+    // GROUP BY ALL parity pin (the DuckDB-originated sugar Spark adopted
+    // in 3.4): every non-aggregate select item becomes a grouping key —
+    // identical expansion in both engines on a mixed rollup
+    "q109_group_by_all" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_gba")
+      s.sql("""SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+               FROM docs_gba GROUP BY ALL ORDER BY source, lang""")
+    }),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -1973,6 +1983,11 @@ object RelationalQueries {
          SELECT p.event_id AS purchase_id, c.event_id AS click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // the same GROUP BY ALL sugar, natively
+    "q109_group_by_all" ->
+      """SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ALL ORDER BY source, lang""",
     // the good rows alone (same %3 slice straight off documents) — the
     // planted corrupt object must contribute nothing
     "q108_corrupt_skip" ->

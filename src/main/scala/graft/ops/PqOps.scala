@@ -339,6 +339,65 @@ object PqOps {
       .orderBy(col("cohort"))
   }
 
+  /** Chunk→document embedding pooling: long documents are embedded as
+    * CHUNKS (context-window bound) and a document vector is the mean of
+    * its chunk vectors — the standard retrieval aggregation. Mean is
+    * computed on the integer grid with floorDiv so both engines agree
+    * bit-for-bit. One keyed partial+final aggregation; the vector sum
+    * runs as a typed Aggregator merging fixed-width long arrays, so the
+    * shuffle carries ONE partial-sum row per (doc, partition), never the
+    * chunk set. Output exploded (group_id, dim, pooled_q) for the first
+    * `outDims` dims (the oracle-friendly projection; the full array is
+    * the same buffer). Chunk→doc assignment here: vec_id div chunksPerDoc. */
+  def chunkPooling(emb: DataFrame, chunksPerDoc: Int = 5,
+                   outDims: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb)
+      .map { case (id, v) => (id / chunksPerDoc, v) }
+    q.groupByKey(_._1)
+      .agg(new VecSumAgg().toColumn.name("acc"))
+      .flatMap { case (g, (sum, n)) =>
+        Iterator.range(0, math.min(outDims, sum.length)).map(d =>
+          (g, d.toLong, Math.floorDiv(sum(d), n)))
+      }
+      .toDF("group_id", "dim", "pooled_q")
+      .orderBy(col("group_id"), col("dim"))
+  }
+
+  /** Typed vector-sum aggregator: buffer = (per-dim long sums, count).
+    * Partial sums merge map-side — the piece every pooled-embedding or
+    * centroid computation reuses. */
+  class VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Array[Long]), (Array[Long], Long), (Array[Long], Long)] {
+    def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
+    def reduce(b: (Array[Long], Long),
+               in: (Long, Array[Long])): (Array[Long], Long) = {
+      val v = in._2
+      if (b._2 == 0L) (v.clone(), 1L)
+      else {
+        var i = 0
+        while (i < v.length) { b._1(i) += v(i); i += 1 }
+        (b._1, b._2 + 1)
+      }
+    }
+    def merge(x: (Array[Long], Long),
+              y: (Array[Long], Long)): (Array[Long], Long) = {
+      if (x._2 == 0L) y
+      else if (y._2 == 0L) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    }
+    def finish(b: (Array[Long], Long)): (Array[Long], Long) = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Vector-QA census — the data-quality gate BEFORE any indexing
     * (ANN/PQ/IVF all assume finite, non-degenerate, fixed-dim vectors):
     * per vector, NaN/Inf presence, dimension, and the integer-grid

@@ -926,6 +926,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk pooling: integer floor-mean per dim, one row per (group, dim)") {
+    import graft.ops.PqOps
+    // dyadic coordinates so the grid is exact: q = (250·i, −250·i)
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array(i * 0.25f, -i * 0.25f))).toDF("vec_id", "embedding")
+    val out = PqOps.chunkPooling(vecs, chunksPerDoc = 5, outDims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // group 0 = ids 0..4: Σ250i = 2500 → 500; negative side floors to −500
+    assert(out((0L, 0L)) === 500L)
+    assert(out((0L, 1L)) === -500L)
+    // group 1 = ids 5..9: Σ = 8750 → 1750
+    assert(out((1L, 0L)) === 1750L)
+    assert(out((1L, 1L)) === -1750L)
+    assert(out.size === 4)
+  }
+
   test("vector QA buckets NaN, zero and healthy vectors separately") {
     import graft.ops.PqOps
     val vecs = Seq(
