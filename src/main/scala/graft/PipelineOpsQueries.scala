@@ -751,6 +751,13 @@ object PipelineOpsQueries {
     "p112_chunk_pooling" -> ((s, dir) =>
       graft.ops.PqOps.chunkPooling(emb(s, dir))),
 
+    // prefix-filtered EXACT Jaccard (AllPairs/PPJoin): only the rarest
+    // |x|−⌈t·|x|⌉+1 shingles per doc enter the self-join — stop-shingles
+    // never generate candidates — yet the oracle computes the FULL
+    // inverted-index join independently, so losslessness is checked
+    "p113_jaccard_prefix" -> ((s, dir) =>
+      DedupOps.prefixFilteredJaccardPairs(docs(s, dir), materialize = true)),
+
     // vector-QA census (the gate BEFORE indexing): per-vector NaN/Inf,
     // zero-norm and dimension census rolled up by norm² log2-bucket —
     // ANN/PQ/IVF all assume finite non-degenerate fixed-dim vectors
@@ -2776,6 +2783,28 @@ object PipelineOpsQueries {
     // exact shingle-Jaccard pairs over md5-low63 shingle hashes (the
     // inverted-index join the Spark side runs, replicated hash-exactly)
     "p22_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         hn AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM hs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS n_inter
+                   FROM hn a JOIN hn b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
+         FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50
+         ORDER BY doc_a, doc_b""",
+    // the FULL inverted-index join, computed independently of the engine's
+    // prefix filter — identical rows prove the prefix candidates lossless
+    "p113_jaccard_prefix" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
                        FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

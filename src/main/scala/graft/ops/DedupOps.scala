@@ -281,13 +281,7 @@ object DedupOps {
                         maxDf: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val hs = shingleArr(text, w).map(TextOps.md5Low63).distinct
-        val n = hs.length
-        hs.iterator.map(h => (id, h, n))
-      }
-      .toDF("doc_id", "h", "n_sh")
+    val hashed = shingleHashTable(df, w)
     // df-cap: keys-only aggregation + semi-join, both keyed on `h` — the
     // same partitioning the self-join needs, so AQE/exchange-reuse keeps
     // the extra pass cheap relative to the fan-out it prevents.
@@ -303,6 +297,96 @@ object DedupOps {
                col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
+  /** Distinct shingle-hash postings (doc_id, h, n_sh) — the shared front
+    * of every exact set-similarity join. Hash = DuckDB `md5_number_lower`
+    * masked to 63 bits, so SQL oracles replicate hash-exactly. */
+  private def shingleHashTable(df: DataFrame, w: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleArr(text, w).map(TextOps.md5Low63).distinct
+        val n = hs.length
+        hs.iterator.map(h => (id, h, n))
+      }
+      .toDF("doc_id", "h", "n_sh")
+  }
+
+  /** Candidate pairs under PREFIX FILTERING (AllPairs/PPJoin, Bayardo et
+    * al. WWW'07; Xiao et al. WWW'08): shingles get a global total order by
+    * (df ASC, hash) — rarest first — and each doc indexes only its first
+    * |x| − ⌈t·|x|⌉ + 1 shingles in that order. Pigeonhole guarantee: a
+    * pair with Jaccard ≥ t shares ≥ max(⌈t·|x|⌉, ⌈t·|y|⌉) shingles, so
+    * its order-smallest COMMON shingle lies inside BOTH prefixes (each
+    * suffix holds only ⌈t·|n|⌉ − 1 slots — too few for all common
+    * shingles); the prefix-prefix equi-join is therefore a candidate
+    * SUPERSET. Length filter t·|y| ≤ |x| ≤ |y|/t prunes further (a size
+    * mismatch alone caps Jaccard below t). The 10^12-doc win: boilerplate
+    * stop-shingles (df in the millions) sort LAST and never enter the
+    * index, so the self-join fan-out is Σ df² over RARE keys only —
+    * p25's df cap gets the same fan-out bound by sacrificing recall;
+    * this keeps the answer exact. */
+  private[ops] def prefixJaccardCandidates(hashed: DataFrame,
+                                           minJaccardPct: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val dfTab = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = hashed.join(dfTab, Seq("h"))
+      .select(col("doc_id"), col("h"), col("n_sh"), col("df"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        val arr = it.toArray.sortBy(r => (r._4, r._2)) // (df, h): total order
+        val n = arr.head._3
+        val need = (minJaccardPct * n + 99) / 100      // ⌈t·n⌉
+        arr.iterator.take(n - need + 1).map(r => (id, r._2, r._3))
+      }
+      .toDF("doc_id", "h", "n_sh")
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .where(col("n_a") * 100 >= col("n_b") * minJaccardPct &&
+             col("n_b") * 100 >= col("n_a") * minJaccardPct)
+      .distinct()
+  }
+
+  /** Docs-level wrapper over the candidate generator (spec/audit entry:
+    * candidate counts are the observable the prefix filter exists to cut). */
+  def prefixJaccardCandidates(df: DataFrame, w: Int,
+                              minJaccardPct: Int): DataFrame =
+    prefixJaccardCandidates(shingleHashTable(df, w), minJaccardPct)
+
+  /** Exact Jaccard pairs via prefix filtering — bit-identical output to
+    * `exactJaccardPairs` (the driver oracle computes the FULL inverted-
+    * index join independently, so losslessness is checked, not assumed)
+    * with web-scale candidate generation: only per-doc PREFIX postings
+    * enter the self-join, and verification gathers full shingle sets only
+    * for docs that appear in some candidate (left-semi reduce first), so
+    * wide set rows never cross an exchange for the non-candidate bulk.
+    * `materialize` localCheckpoints the postings — they feed the df
+    * count, the prefix join and the verify sets, and exchange reuse does
+    * not fire across the typed flatMap subtree. */
+  def prefixFilteredJaccardPairs(df: DataFrame, w: Int = 3,
+                                 minJaccardPct: Int = 50,
+                                 materialize: Boolean = false): DataFrame = {
+    val hashedRaw = shingleHashTable(df, w)
+    val hashed = if (materialize) hashedRaw.localCheckpoint(false) else hashedRaw
+    val cands = prefixJaccardCandidates(hashed, minJaccardPct)
+    val needed = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = hashed.join(needed, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_union",
+        col("n_a").cast("long") + col("n_b").cast("long") - col("n_inter"))
       .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }

@@ -1197,6 +1197,35 @@ class OpsSpec extends AnyFunSuite {
       s"df cap did not cut the shuffle: $recCapped vs $recUncapped")
   }
 
+  test("prefix-filtered jaccard: identical to the full inverted-index join; " +
+    "stop-shingles (df=120) generate zero candidate pairs") {
+    // same crowd shape as the df-cap spec: 120 docs share a boilerplate
+    // block and carry unique tails; one planted CONTENT near-dup pair.
+    // Crowd ids offset past 101 — doc_id is the per-doc prefix key, so a
+    // collision with the planted pair would merge two docs' shingle sets
+    val boiler = (1 to 12).map(i => s"common$i").mkString(" ")
+    val crowd = (1 to 120).map { i =>
+      (200L + i, boiler + " " + (1 to 20).map(j => s"u${i}_$j").mkString(" "))
+    }
+    val base = (1 to 40).map(i => s"pair$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"pair$i").mkString(" ")
+    val docs = docsDf(crowd ++ Seq(100L -> base, 101L -> nearDup): _*)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))).toSet
+    val full = rows(graft.ops.DedupOps.exactJaccardPairs(docs))
+    val pref = rows(graft.ops.DedupOps.prefixFilteredJaccardPairs(docs))
+    assert(full.map(p => (p._1, p._2)) === Set((100L, 101L)))
+    assert(pref === full) // lossless, set sizes included
+    // the crowd's only SHARED shingles are boilerplate (df=120): they sort
+    // last in the (df, h) order and fall outside every 16-of-30 prefix, so
+    // the candidate join emits ONLY the planted pair — not the ~120²/2
+    // crowd pairs the full index must feed through its aggregation
+    val cands = graft.ops.DedupOps.prefixJaccardCandidates(docs, 3, 50).collect()
+    assert(cands.length === 1)
+    assert(cands.head.getLong(0) === 100L && cands.head.getLong(1) === 101L)
+  }
+
   test("tfidf top-k: doc sharing the query's rare token outranks common-only overlap") {
     // q shares rare token "needle" with d1; d2 overlaps only on the common
     // token "the" (df=4 → tiny idf) — d1 must rank first
