@@ -113,6 +113,24 @@ object RelationalQueries {
                FROM docs_gba GROUP BY ALL ORDER BY source, lang""")
     }),
 
+    // ingest-completeness audit: deterministic deletions planted into the
+    // dense doc_id domain (runs of 10 + isolated singles), then the
+    // maximal missing ranges recovered WITHOUT a global sort — block-local
+    // windows + a boundary stitch over the tiny per-block summary
+    "q110_missing_ranges" -> ((s, dir) => {
+      val landed = t(s, dir, "documents")
+        .where(!(col("doc_id") % 1000 >= 430 && col("doc_id") % 1000 < 440) &&
+               col("doc_id") % 97 =!= 13)
+      graft.ops.ProfileOps.missingIdRanges(landed, "doc_id", blockBits = 8)
+    }),
+
+    // leading-digit (Benford) census over order totals in cents — the
+    // fabricated/truncated-numbers screen; digit via the decimal string
+    // head, integer-exact at every power-of-ten boundary
+    "q111_benford" -> ((s, dir) =>
+      graft.ops.ProfileOps.leadingDigitCensus(t(s, dir, "orders"),
+        col("o_totalprice").cast("decimal(18,2)") * 100)),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -1988,6 +2006,26 @@ object RelationalQueries {
       """SELECT source, lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY ALL ORDER BY source, lang""",
+    // the one-level formulation: lead() over every landed id — the answer
+    // the two-level block computation must reproduce exactly
+    "q110_missing_ranges" ->
+      """WITH landed AS (SELECT doc_id FROM documents
+           WHERE NOT (doc_id % 1000 >= 430 AND doc_id % 1000 < 440)
+             AND doc_id % 97 <> 13),
+         g AS (SELECT doc_id, lead(doc_id) OVER (ORDER BY doc_id) AS nxt
+               FROM landed)
+         SELECT doc_id + 1 AS gap_start, nxt - 1 AS gap_end
+         FROM g WHERE nxt - doc_id > 1 ORDER BY gap_start""",
+    // identical digit extraction off the decimal string; // truncation
+    // equals div on positive counts
+    "q111_benford" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS c FROM orders WHERE o_totalprice > 0),
+         d AS (SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit FROM v),
+         n AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+         SELECT digit, n,
+           CAST(n * 1000000 // (SELECT sum(n) FROM n) AS BIGINT) AS ppm
+         FROM n ORDER BY digit""",
     // the good rows alone (same %3 slice straight off documents) — the
     // planted corrupt object must contribute nothing
     "q108_corrupt_skip" ->

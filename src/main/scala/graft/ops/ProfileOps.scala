@@ -54,6 +54,55 @@ object ProfileOps {
       .orderBy(col("bucket"))
   }
 
+  /** Ingest-completeness audit: the maximal MISSING id ranges of a table
+    * whose key is expected dense (upload manifests, shard row counters) —
+    * after a 6-hour 10^12-doc ingest, "which id ranges never landed" is
+    * THE resumability question, and rescanning must not cost a global
+    * sort. Two-level exact formulation: ids are bucketed into fixed
+    * 2^blockBits blocks, gaps WITHIN a block come from a block-local
+    * window (embarrassingly parallel — one keyed shuffle), and gaps that
+    * CROSS block boundaries (including entirely-missing blocks) come from
+    * a second window over the per-block (min, max) summary — one row per
+    * non-empty block, thousands of rows where the naive global-sort
+    * window would order 10^12. Union of the two is exactly the lead()-
+    * over-all-ids answer, which is how the oracle computes it. */
+  def missingIdRanges(df: DataFrame, idCol: String,
+                      blockBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("blk", shiftright(col("id"), blockBits))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("id"))
+    val local = ids.withColumn("nxt", lead(col("id"), 1).over(wLocal))
+      .where(col("nxt") - col("id") > 1)
+      .select((col("id") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    val summary = ids.groupBy(col("blk"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val wBlocks = Window.orderBy(col("mn")) // rows = non-empty blocks: tiny
+    val boundary = summary
+      .withColumn("nxt_mn", lead(col("mn"), 1).over(wBlocks))
+      .where(col("nxt_mn") - col("mx") > 1)
+      .select((col("mx") + 1).as("gap_start"), (col("nxt_mn") - 1).as("gap_end"))
+    local.union(boundary).orderBy(col("gap_start"))
+  }
+
+  /** Leading-digit (Benford) census over a positive integer measure —
+    * the classic fabricated-or-truncated-numbers screen in data-quality
+    * sweeps. Digit extraction is integer-exact via the decimal string
+    * head (no float log10 at power-of-ten boundaries); output carries the
+    * observed count and its ppm share, both integers, against which the
+    * caller compares the Benford expectation (constants, not computed
+    * here — log10(1+1/d) is irrational and engines may differ in ulp). */
+  def leadingDigitCensus(df: DataFrame, valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val digits = df.select(valueExpr.cast("long").as("v"))
+      .where(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total")) // 9 rows in, 1 out
+    counts.crossJoin(total) // broadcast of a scalar, not a shuffle
+      .select(col("digit"), col("n"), expr("n * 1000000 div total").as("ppm"))
+      .orderBy(col("digit"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),

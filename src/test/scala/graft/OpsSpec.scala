@@ -1226,6 +1226,25 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.head.getLong(0) === 100L && cands.head.getLong(1) === 101L)
   }
 
+  test("missing id ranges: block-local gaps, boundary gaps and a " +
+    "fully-missing block recovered exactly") {
+    // blockBits=2 → blocks {0,2,3} {5} {8} — {16,17}; block 3 (12..15)
+    // is entirely absent and must surface inside the 9..15 boundary gap
+    val ids = Seq(0L, 2L, 3L, 5L, 8L, 16L, 17L).toDF("doc_id")
+    val out = graft.ops.ProfileOps.missingIdRanges(ids, "doc_id", blockBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L), (4L, 4L), (6L, 7L), (9L, 15L)))
+  }
+
+  test("leading-digit census: integer-exact digits at power-of-ten " +
+    "boundaries, non-positive values excluded") {
+    val vals = Seq(1L, 5L, 10L, 19L, 99L, 100L, 950L, 0L, -3L).toDF("v")
+    val out = graft.ops.ProfileOps.leadingDigitCensus(vals, col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("1", 4L, 571428L), ("5", 1L, 142857L),
+      ("9", 2L, 285714L)))
+  }
+
   test("tfidf top-k: doc sharing the query's rare token outranks common-only overlap") {
     // q shares rare token "needle" with d1; d2 overlaps only on the common
     // token "the" (df=4 → tiny idf) — d1 must rank first
