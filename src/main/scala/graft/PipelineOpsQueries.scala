@@ -12,6 +12,10 @@ import graft.ops.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 object PipelineOpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** The ten Cyrillic lookalikes of [[CorpusOps.confusableFrom]] (minus
+    * the zero-widths) — interpolated into the p115 oracle so engine and
+    * oracle can never disagree on the confusable table. */
+  private val CYRILLIC_LOOKALIKES = CorpusOps.confusableFrom.substring(0, 10)
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -757,6 +761,26 @@ object PipelineOpsQueries {
     // inverted-index join independently, so losslessness is checked
     "p113_jaccard_prefix" -> ((s, dir) =>
       DedupOps.prefixFilteredJaccardPairs(docs(s, dir), materialize = true)),
+
+    // weighted (bag) Jaccard: Σmin(tf)/Σmax(tf) over token term
+    // frequencies — catches repetition-divergent near-dups set-Jaccard
+    // scores identically; postings = (doc, hash, tf, wsum) only
+    "p114_weighted_jaccard" -> ((s, dir) =>
+      DedupOps.weightedJaccardPairs(docs(s, dir))),
+
+    // homoglyph-skeleton dedup: spoofed copies planted by swapping Latin
+    // letters for Cyrillic lookalikes + a zero-width tail — byte dedup
+    // sees distinct docs, the skeleton collides them; exact dups excluded
+    "p115_homoglyph_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val spoof = d.where(col("doc_id") % 251 === 7)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(translate(col("text"), graft.ops.CorpusOps.confusableTo,
+            graft.ops.CorpusOps.confusableFrom.substring(0, 10)),
+            lit("\u200B")).as("text"))
+      graft.ops.CorpusOps.homoglyphDedup(d.unionByName(spoof))
+    }),
 
     // vector-QA census (the gate BEFORE indexing): per-vector NaN/Inf,
     // zero-norm and dimension census rolled up by norm² log2-bucket —
@@ -2802,6 +2826,51 @@ object PipelineOpsQueries {
          SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
          FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50
          ORDER BY doc_a, doc_b""",
+    // identical bag-Jaccard derivation over NON-distinct shingles: tf maps
+    // keyed by the masked md5-low64 hash, Σmax = wsum_a + wsum_b − Σmin
+    "p114_weighted_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END) AS t
+                FROM toks),
+         tf AS (SELECT doc_id,
+             CAST(md5_number_lower(t) & 9223372036854775807 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+         ws AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS wsum
+                FROM tf GROUP BY 1),
+         j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS w_inter
+               FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b, w_inter,
+           CAST(wa.wsum + wb.wsum - w_inter AS BIGINT) AS w_union
+         FROM j JOIN ws wa ON wa.doc_id = j.doc_a
+                JOIN ws wb ON wb.doc_id = j.doc_b
+         WHERE w_inter * 100 >= (wa.wsum + wb.wsum - w_inter) * 50
+         ORDER BY doc_a, doc_b""",
+    // identical spoof planting and skeleton rule (translate folds the ten
+    // Cyrillic lookalikes, zero-widths deleted by the short 'to' string)
+    "p115_homoglyph_dedup" ->
+      ("""WITH spoof AS (SELECT doc_id + 1000000000 AS doc_id,
+             translate(text, 'aeopcyxisj', '""" + CYRILLIC_LOOKALIKES +
+        """') || chr(8203) AS text
+           FROM documents WHERE doc_id % 251 = 7),
+         u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM spoof),
+         k AS (SELECT doc_id,
+             md5(lower(translate(text, '""" + CYRILLIC_LOOKALIKES +
+        """' || chr(8203) || chr(8204) || chr(8205) || chr(65279),
+               'aeopcyxisj'))) AS skeleton_md5,
+             md5(text) AS raw_md5 FROM u)
+         SELECT skeleton_md5, count(*) AS n_docs,
+           CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_raw,
+           min(doc_id) AS keeper_doc_id
+         FROM k GROUP BY 1
+         HAVING count(*) >= 2 AND count(DISTINCT raw_md5) >= 2
+         ORDER BY skeleton_md5"""),
     // the FULL inverted-index join, computed independently of the engine's
     // prefix filter — identical rows prove the prefix candidates lossless
     "p113_jaccard_prefix" ->

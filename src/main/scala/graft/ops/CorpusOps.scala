@@ -876,6 +876,36 @@ object CorpusOps {
       (length(col(textCol)) - length(norm)).cast("long").as("n_removed"))
   }
 
+  /** Confusable characters the skeleton folds to ASCII (Unicode TR39
+    * style, BMP one-to-one so Spark's UTF-16 translate and DuckDB's
+    * codepoint translate agree): Cyrillic lookalikes а е о р с у х і ѕ ј,
+    * plus zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) deleted outright. */
+  val confusableFrom = "\u0430\u0435\u043E\u0440\u0441\u0443\u0445\u0456\u0455\u0458" +
+    "\u200B\u200C\u200D\uFEFF"
+  val confusableTo = "aeopcyxisj"
+
+  /** Homoglyph-skeleton dedup — the mixed-script spoof detector a web
+    * corpus needs before exact dedup: SEO spam and template farms evade
+    * hash dedup by swapping Latin letters for identical-looking Cyrillic
+    * ones or sprinkling zero-width characters, so byte-level dedup sees
+    * distinct documents. Skeleton = lower(translate(confusables→ASCII,
+    * zero-widths→deleted)); groups whose skeletons collide while RAW
+    * hashes differ are exactly the spoof clusters (exact duplicates stay
+    * n_raw=1 and are excluded — they belong to p01). Pure codegen
+    * translate/lower/md5 chain: the skeleton never leaves the scan stage,
+    * only (16-byte hash) rows reach the one keyed aggregation. */
+  def homoglyphDedup(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val skeleton = lower(translate(col(textCol), confusableFrom, confusableTo))
+    df.select(col("doc_id"), md5(skeleton.cast("binary")).as("skeleton_md5"),
+        md5(col(textCol).cast("binary")).as("raw_md5"))
+      .groupBy(col("skeleton_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("raw_md5")).as("n_raw"),
+           min(col("doc_id")).as("keeper_doc_id"))
+      .where(col("n_docs") >= 2 && col("n_raw") >= 2)
+      .orderBy(col("skeleton_md5"))
+  }
+
   /** Source-mixture token-budget planner (p50) — the data-MIXING step a
     * pretraining corpus build runs after per-source accounting (the
     * SlimPajama/Dolma-style weighting pass): given md5-derived per-source

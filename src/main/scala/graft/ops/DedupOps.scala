@@ -391,6 +391,64 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** WEIGHTED Jaccard pairs — the bag (multiset) generalization of p22:
+    * similarity = Σ_s min(tf_a, tf_b) / Σ_s max(tf_a, tf_b) over w-shingle
+    * multiplicities. Set-Jaccard misses near-dups whose difference is
+    * REPETITION (one doc loops a paragraph the other states once: same
+    * shingle SET, very different bags); the weighted form scores both
+    * correctly and is the standard similarity for dedup scoring over tf
+    * vectors. The bag unit is the SHINGLE, not the token: shingles keep
+    * the p22 fan-out profile (Σ df² over rare keys — measured 1.4M at
+    * sf0.1 vs 224M for token bags over this corpus' 31-token vocabulary).
+    * One typed pass builds per-doc multiplicity maps KEYED BY md5-low63
+    * (counts merge by hash, exactly as the SQL oracle groups — shingle
+    * strings never shuffle); the self-join carries (doc, 8-byte hash, tf,
+    * wsum) postings only. Σmax is derived, not joined: Σmax = wsum_a +
+    * wsum_b − Σmin. `maxDf` is the p25-style production cap: postings on
+    * shingles carried by more than `maxDf` docs (boilerplate) are dropped
+    * before the join; wsum stays uncapped so w_union is exact and only
+    * w_inter can undercount. */
+  def weightedJaccardPairs(df: DataFrame, w: Int = 3, minPct: Int = 50,
+                           maxDf: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = wsPat.split(text.trim)
+        val counts = new java.util.HashMap[Long, Long]()
+        var wsum = 0L
+        if (toks.length < w) {
+          counts.put(TextOps.md5Low63(toks.mkString(" ")), 1L)
+          wsum = 1L
+        } else {
+          var i = 0
+          while (i <= toks.length - w) {
+            val s = toks.slice(i, i + w).mkString(" ")
+            counts.merge(TextOps.md5Low63(s), 1L, (a, b) => a + b)
+            wsum += 1
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counts.asScala.iterator.map { case (h, tf) => (id, h, tf, wsum) }
+      }
+      .toDF("doc_id", "h", "tf", "wsum")
+    val indexed = maxDf.fold(postings) { cap =>
+      val rare = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("h"))
+      postings.join(rare, Seq("h"), "left_semi")
+    }
+    indexed.as("a").join(indexed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.wsum").as("ws_a"), col("b.wsum").as("ws_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("w_inter"))
+      .withColumn("w_union", col("ws_a") + col("ws_b") - col("w_inter"))
+      .where(col("w_inter") * 100 >= col("w_union") * minPct)
+      .select(col("doc_a"), col("doc_b"), col("w_inter"), col("w_union"))
+  }
+
   /** Fingerprint CONTAINMENT pairs — the ASYMMETRIC near-dup detector
     * Jaccard misses: a short doc quoted wholesale inside a much longer one
     * has tiny Jaccard (union is dominated by the long doc) but containment

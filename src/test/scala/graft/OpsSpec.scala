@@ -1226,6 +1226,36 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.head.getLong(0) === 100L && cands.head.getLong(1) === 101L)
   }
 
+  test("weighted jaccard: repetition-divergent docs with identical token " +
+    "SETS score below threshold; true duplicate pairs at 100%") {
+    val docs = docsDf(
+      1L -> "w1 w2 w3 w4",
+      2L -> (Seq.fill(8)("w1") ++ Seq("w2", "w3", "w4")).mkString(" "),
+      3L -> "w1 w2 w3 w4")
+    val out = graft.ops.DedupOps.weightedJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("w_inter"), r.getAs[Long]("w_union"))).toSet
+    // doc2's repetition inflates its shingle bag to 9 (6× "w1 w1 w1");
+    // set-Jaccard(1,2) over distinct shingles is 2/4, bag = 2/9 — cut.
+    // (1,3) is a true duplicate: 2/2
+    assert(out === Set((1L, 3L, 2L, 2L)))
+  }
+
+  test("homoglyph skeleton collides Cyrillic-spoofed + zero-width variants; " +
+    "byte-exact duplicates are excluded") {
+    val docs = docsDf(
+      1L -> "hello spam offer",
+      2L -> "h\u0435llo sp\u0430m \u200Boffer", // Cyrillic e, a + ZWSP
+      3L -> "unrelated text",
+      4L -> "exact dup body",
+      5L -> "exact dup body") // same bytes → p01's job, not this op's
+    val out = graft.ops.CorpusOps.homoglyphDedup(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+    assert(out.head.getAs[Long]("n_raw") === 2L)
+    assert(out.head.getAs[Long]("keeper_doc_id") === 1L)
+  }
+
   test("missing id ranges: block-local gaps, boundary gaps and a " +
     "fully-missing block recovered exactly") {
     // blockBits=2 → blocks {0,2,3} {5} {8} — {16,17}; block 3 (12..15)
