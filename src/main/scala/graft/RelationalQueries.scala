@@ -131,6 +131,40 @@ object RelationalQueries {
       graft.ops.ProfileOps.leadingDigitCensus(t(s, dir, "orders"),
         col("o_totalprice").cast("decimal(18,2)") * 100)),
 
+    // string-function semantics pins: LIKE with explicit ESCAPE (escaped _
+    // is a literal; bare _ a wildcard), ILIKE case folding, 1-based
+    // instr, split_part, lpad fill, custom-char trim, repeat/reverse —
+    // the workhorse scalar surface a query port silently breaks on
+    "q112_string_semantics" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_str")
+      s.sql("""SELECT doc_id,
+          instr(substring(text, 1, 40), ' ') AS first_space,
+          split_part(substring(text, 1, 40), ' ', 2) AS second_word,
+          lpad(lang, 6, '*') AS lang_pad,
+          trim(BOTH 'n' FROM lang) AS lang_trim,
+          CAST(lang ILIKE 'EN%' AS INT) AS ilike_en,
+          CAST(source LIKE 'src1!_%' ESCAPE '!' AS INT) AS esc_underscore,
+          CAST(source LIKE 'src1_' AS INT) AS wild_underscore,
+          repeat(lang, 2) AS lang_x2,
+          reverse(source) AS source_rev
+        FROM docs_str WHERE doc_id % 29 = 0 ORDER BY doc_id""")
+    }),
+
+    // binary-collation ordering pin: mixed case, '_', digits and
+    // multi-digit strings ranked under the default codepoint order both
+    // engines use ('0' < 'A' < '_' < 'a'; '10' < '9') — the silent
+    // divergence locale-aware collations introduce
+    "q113_binary_collation" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_coll")
+      s.sql("""WITH ks AS (
+          SELECT DISTINCT upper(lang) AS k FROM docs_coll
+          UNION SELECT DISTINCT lower(lang) FROM docs_coll
+          UNION SELECT DISTINCT concat('_', lang) FROM docs_coll
+          UNION SELECT DISTINCT concat(upper(lang), '0') FROM docs_coll
+          UNION SELECT DISTINCT CAST(n_chars % 12 AS STRING) FROM docs_coll)
+        SELECT row_number() OVER (ORDER BY k) AS rk, k FROM ks ORDER BY rk""")
+    }),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -2006,6 +2040,30 @@ object RelationalQueries {
       """SELECT source, lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY ALL ORDER BY source, lang""",
+    // identical scalar chain natively (strpos = instr; DuckDB CAST of
+    // boolean to INT yields 0/1 like Spark's)
+    "q112_string_semantics" ->
+      """SELECT doc_id,
+           CAST(strpos(substring(text, 1, 40), ' ') AS BIGINT) AS first_space,
+           split_part(substring(text, 1, 40), ' ', 2) AS second_word,
+           lpad(lang, 6, '*') AS lang_pad,
+           trim(lang, 'n') AS lang_trim,
+           CAST(lang ILIKE 'EN%' AS INT) AS ilike_en,
+           CAST(source LIKE 'src1!_%' ESCAPE '!' AS INT) AS esc_underscore,
+           CAST(source LIKE 'src1_' AS INT) AS wild_underscore,
+           repeat(lang, 2) AS lang_x2,
+           reverse(source) AS source_rev
+         FROM documents WHERE doc_id % 29 = 0 ORDER BY doc_id""",
+    // same key set, DuckDB's default binary collation
+    "q113_binary_collation" ->
+      """WITH ks AS (
+           SELECT DISTINCT upper(lang) AS k FROM documents
+           UNION SELECT DISTINCT lower(lang) FROM documents
+           UNION SELECT DISTINCT '_' || lang FROM documents
+           UNION SELECT DISTINCT upper(lang) || '0' FROM documents
+           UNION SELECT DISTINCT CAST(n_chars % 12 AS VARCHAR) FROM documents)
+         SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rk, k
+         FROM ks ORDER BY rk""",
     // the one-level formulation: lead() over every landed id — the answer
     // the two-level block computation must reproduce exactly
     "q110_missing_ranges" ->
