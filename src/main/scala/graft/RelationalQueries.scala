@@ -165,6 +165,37 @@ object RelationalQueries {
         SELECT row_number() OVER (ORDER BY k) AS rk, k FROM ks ORDER BY rk""")
     }),
 
+    // timezone conversion pin across a DST transition: events shifted +69
+    // days straddle America/New_York's 2024-03-10 spring-forward, so the
+    // joint (NY hour, Kolkata hour) census must encode BOTH the -5/-4
+    // offset split and Kolkata's half-hour offset — identical IANA rules
+    // in both engines, session-timezone-independent by construction
+    "q114_timezone_dst" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_tz")
+      s.sql("""WITH sh AS (SELECT ts + INTERVAL '69' DAY AS ts2 FROM events_tz)
+        SELECT hour(from_utc_timestamp(ts2, 'America/New_York')) AS h_ny,
+               hour(from_utc_timestamp(ts2, 'Asia/Kolkata')) AS h_kolkata,
+               count(*) AS n
+        FROM sh GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
+    // epoch round-trip pin: micros extraction, reconstruction, and the
+    // second/milli truncation ladder — the serialization boundary every
+    // cross-system timestamp handoff crosses
+    "q115_epoch_roundtrip" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_ep")
+      // parquet reads ts as TIMESTAMP_NTZ; the UTC session makes the cast
+      // to instant the identity on the wall clock, matching DuckDB's
+      // naive epoch_us
+      s.sql("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+                          FROM events_ep WHERE event_id % 97 = 0)
+        SELECT event_id, unix_micros(ts) AS us,
+          hour(timestamp_micros(unix_micros(ts))) AS h_rt,
+          unix_micros(date_trunc('second', ts)) AS us_sec,
+          unix_micros(date_trunc('millisecond', ts)) AS us_ms
+        FROM e ORDER BY event_id""")
+    }),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -2064,6 +2095,23 @@ object RelationalQueries {
            UNION SELECT DISTINCT CAST(n_chars % 12 AS VARCHAR) FROM documents)
          SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rk, k
          FROM ks ORDER BY rk""",
+    // identical ladder natively (epoch_us / make_timestamp / date_trunc)
+    "q115_epoch_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS us,
+           CAST(hour(make_timestamp(epoch_us(ts))) AS INT) AS h_rt,
+           epoch_us(date_trunc('second', ts)) AS us_sec,
+           epoch_us(date_trunc('millisecond', ts)) AS us_ms
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
+    // same instants via explicit-zone AT TIME ZONE chains (naive → UTC
+    // instant → target wall clock), no session-timezone dependence
+    "q114_timezone_dst" ->
+      """WITH sh AS (SELECT ts + INTERVAL 69 DAY AS ts2 FROM events)
+         SELECT CAST(hour((ts2 AT TIME ZONE 'UTC')
+                  AT TIME ZONE 'America/New_York') AS INT) AS h_ny,
+                CAST(hour((ts2 AT TIME ZONE 'UTC')
+                  AT TIME ZONE 'Asia/Kolkata') AS INT) AS h_kolkata,
+                count(*) AS n
+         FROM sh GROUP BY 1, 2 ORDER BY 1, 2""",
     // the one-level formulation: lead() over every landed id — the answer
     // the two-level block computation must reproduce exactly
     "q110_missing_ranges" ->
