@@ -196,6 +196,28 @@ object RelationalQueries {
         FROM e ORDER BY event_id""")
     }),
 
+    // global dense row numbering WITHOUT a global sort (the 10^12-row
+    // zipWithIndex): block-local row_number + prefix-sum offsets over the
+    // tiny per-block count summary; gaps planted so rank ≠ identity
+    "q116_dense_ids" -> ((s, dir) =>
+      graft.ops.ProfileOps.denseRanks(
+        t(s, dir, "documents").where(col("doc_id") % 7 =!= 3),
+        "doc_id", blockBits = 5)),
+
+    // Merkle-style replica anti-entropy diff: right replica planted with
+    // drops, changes and extra rows; per-block xor fingerprints prune the
+    // drill-down to differing blocks, yet the output must equal the
+    // direct full-outer row diff the oracle computes
+    "q117_merkle_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val right = d.where(col("doc_id") % 577 =!= 23)
+        .withColumn("text", when(col("doc_id") % 389 === 11,
+          concat(col("text"), lit("X"))).otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 613 === 5)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      graft.ops.CorpusOps.merkleDiff(d, right)
+    }),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -2095,6 +2117,29 @@ object RelationalQueries {
            UNION SELECT DISTINCT CAST(n_chars % 12 AS VARCHAR) FROM documents)
          SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rk, k
          FROM ks ORDER BY rk""",
+    // the one-partition formulation the engine must reproduce exactly
+    "q116_dense_ids" ->
+      """SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+         FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""",
+    // the DIRECT full-outer row diff, no Merkle pruning — identical rows
+    // prove the fingerprint drill-down lossless
+    "q117_merkle_diff" ->
+      """WITH l AS (SELECT doc_id, md5(text) AS h FROM documents),
+         r0 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 389 = 11 THEN text || 'X' ELSE text END AS text
+                FROM documents WHERE doc_id % 577 <> 23),
+         r AS (SELECT doc_id, md5(text) AS h FROM r0
+               UNION ALL
+               SELECT doc_id + 1000000000, md5(text) FROM documents
+               WHERE doc_id % 613 = 5)
+         SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+           CASE WHEN l.doc_id IS NULL THEN 'missing_left'
+                WHEN r.doc_id IS NULL THEN 'missing_right'
+                ELSE 'changed' END AS status
+         FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+         WHERE l.doc_id IS NULL OR r.doc_id IS NULL OR l.h <> r.h
+         ORDER BY doc_id""",
     // identical ladder natively (epoch_us / make_timestamp / date_trunc)
     "q115_epoch_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS us,

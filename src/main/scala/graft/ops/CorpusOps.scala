@@ -906,6 +906,49 @@ object CorpusOps {
       .orderBy(col("skeleton_md5"))
   }
 
+  /** Merkle-style replica diff — anti-entropy for 10^12-row table copies:
+    * comparing two replicas row-by-row costs a full-table join, but drift
+    * is rare, so each side first folds to per-block fingerprints
+    * (bit_xor of per-doc md5-low63 — order-independent, overflow-free;
+    * the p88 etag algebra) and ONLY rows of blocks whose (fingerprint,
+    * count) disagree are re-read and row-diffed. The differing-block set
+    * is tiny by construction (drift is the exception), so the drill-down
+    * joins are broadcast-pruned semi-joins: the bulk of both replicas is
+    * touched once, by the narrow fingerprint pass. Output is exactly the
+    * direct full-outer row diff — (doc_id, status ∈ changed /
+    * missing_left / missing_right) — which is what the oracle computes
+    * WITHOUT the Merkle pruning, so losslessness is driver-checked. */
+  def merkleDiff(left: DataFrame, right: DataFrame,
+                 blockBits: Int = 8): DataFrame = {
+    def rows(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, id >> blockBits, TextOps.md5Low63(t)) }
+        .toDF("doc_id", "blk", "h")
+    }
+    def fp(t: DataFrame, side: String): DataFrame =
+      t.groupBy(col("blk"))
+        .agg(expr("bit_xor(h)").as(s"fp_$side"), count(lit(1)).as(s"n_$side"))
+    val l = rows(left)
+    val r = rows(right)
+    val diffBlocks = fp(l, "l").join(fp(r, "r"), Seq("blk"), "full_outer")
+      .where(!(col("fp_l") <=> col("fp_r")) || !(col("n_l") <=> col("n_r")))
+      .select(col("blk"))
+    val lrows = l.join(broadcast(diffBlocks), Seq("blk"), "left_semi")
+      .select(col("doc_id"), col("h").as("h_l"))
+    val rrows = r.join(broadcast(diffBlocks), Seq("blk"), "left_semi")
+      .select(col("doc_id"), col("h").as("h_r"))
+    lrows.join(rrows, Seq("doc_id"), "full_outer")
+      .where(col("h_l").isNull || col("h_r").isNull ||
+             col("h_l") =!= col("h_r"))
+      .select(col("doc_id"),
+        when(col("h_l").isNull, lit("missing_left"))
+          .when(col("h_r").isNull, lit("missing_right"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Source-mixture token-budget planner (p50) — the data-MIXING step a
     * pretraining corpus build runs after per-source accounting (the
     * SlimPajama/Dolma-style weighting pass): given md5-derived per-source

@@ -85,6 +85,33 @@ object ProfileOps {
     local.union(boundary).orderBy(col("gap_start"))
   }
 
+  /** Global DENSE row numbering without a global sort — the 10^12-row
+    * zipWithIndex: a single `row_number() OVER (ORDER BY key)` funnels the
+    * whole table through ONE partition, so the rank is computed in two
+    * levels instead. Keys are bucketed into 2^blockBits blocks (monotone
+    * in the key, so block order IS key order); each block ranks locally
+    * (keyed shuffle, embarrassingly parallel) and a prefix-sum over the
+    * tiny per-block count summary supplies each block's global offset.
+    * dense_id = block offset + local rank − 1 — exactly row_number()−1,
+    * which is how the oracle computes it. Requires unique keys (ties
+    * within a key would make the local order nondeterministic). */
+  def denseRanks(df: DataFrame, keyCol: String,
+                 blockBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(keyCol).cast("long").as("k"))
+      .withColumn("blk", shiftright(col("k"), blockBits))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("k"))
+    val local = keyed.withColumn("rn", row_number().over(wLocal))
+    val wBlocks = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1) // rows = blocks: tiny
+    val offsets = keyed.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wBlocks), lit(0L)))
+      .select(col("blk"), col("off"))
+    local.join(offsets, Seq("blk")) // offsets ≈ #blocks rows → broadcast
+      .select(col("k").as(keyCol),
+        (col("off") + col("rn") - 1).as("dense_id"))
+  }
+
   /** Leading-digit (Benford) census over a positive integer measure —
     * the classic fabricated-or-truncated-numbers screen in data-quality
     * sweeps. Digit extraction is integer-exact via the decimal string

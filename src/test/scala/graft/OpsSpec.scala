@@ -1266,6 +1266,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L), (4L, 4L), (6L, 7L), (9L, 15L)))
   }
 
+  test("dense ranks: block-local numbering + offsets equal the global " +
+    "row_number over sparse cross-block keys") {
+    val ids = Seq(3L, 10L, 11L, 40L, 1000L).toDF("doc_id")
+    val out = graft.ops.ProfileOps.denseRanks(ids, "doc_id", blockBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(3L -> 0L, 10L -> 1L, 11L -> 2L, 40L -> 3L,
+      1000L -> 4L))
+  }
+
+  test("merkle diff: changed, missing-left and missing-right rows surface; " +
+    "identical blocks contribute nothing") {
+    val left = docsDf(1L -> "alpha", 2L -> "bravo", 3L -> "charlie",
+      900L -> "far block")
+    val right = docsDf(1L -> "alpha", 2L -> "bravo CHANGED",
+      900L -> "far block", 5000L -> "right only")
+    val out = graft.ops.CorpusOps.merkleDiff(
+        left.select("doc_id", "text"), right.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((2L, "changed"), (3L, "missing_right"),
+      (5000L, "missing_left")))
+  }
+
   test("leading-digit census: integer-exact digits at power-of-ten " +
     "boundaries, non-positive values excluded") {
     val vals = Seq(1L, 5L, 10L, 19L, 99L, 100L, 950L, 0L, -3L).toDF("v")
