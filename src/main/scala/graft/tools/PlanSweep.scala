@@ -75,7 +75,10 @@ object PlanSweep {
       // p101 crosses the constant m=64 register-bucket range into the
       // calendar-bounded day list (the window-union cell grid) — q78's
       // keyless small-build-side class
-      "p101_hll_sliding_union" -> Set("BroadcastNestedLoop"))
+      "p101_hll_sliding_union" -> Set("BroadcastNestedLoop"),
+      // q111 crosses the 1-row digit-count total into the 9-digit ppm
+      // arithmetic — the p47/p50 1-row-aggregate class
+      "q111_benford" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
