@@ -762,6 +762,12 @@ object PipelineOpsQueries {
     "p113_jaccard_prefix" -> ((s, dir) =>
       DedupOps.prefixFilteredJaccardPairs(docs(s, dir), materialize = true)),
 
+    // rendezvous-hash reshard plan: grow 16 → 17 shards; HRW moves ONLY
+    // the ~1/17 of keys the new shard wins, all INTO shard 16 — the
+    // minimal-disruption census a 10^12-key store reshard is planned from
+    "p116_rendezvous_shards" -> ((s, dir) =>
+      graft.ops.PackingOps.rendezvousShards(docs(s, dir))),
+
     // weighted (bag) Jaccard: Σmin(tf)/Σmax(tf) over token term
     // frequencies — catches repetition-divergent near-dups set-Jaccard
     // scores identically; postings = (doc, hash, tf, wsum) only
@@ -2826,6 +2832,20 @@ object PipelineOpsQueries {
          SELECT doc_a, doc_b, n_inter, (na + nb - n_inter) AS n_union
          FROM pairs WHERE n_inter * 100 >= (na + nb - n_inter) * 50
          ORDER BY doc_a, doc_b""",
+    // identical HRW argmax via arg_max over the same md5 hex-slice weights
+    "p116_rendezvous_shards" ->
+      """WITH w AS (SELECT doc_id, s,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(s AS VARCHAR)), 17, 16) AS wt
+           FROM documents, range(17) t(s)),
+         a16 AS (SELECT doc_id, arg_max(s, wt) AS s_old
+                 FROM w WHERE s < 16 GROUP BY doc_id),
+         a17 AS (SELECT doc_id, arg_max(s, wt) AS s_new
+                 FROM w GROUP BY doc_id)
+         SELECT s_new, count(*) AS n_docs,
+           CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+         FROM a16 JOIN a17 USING (doc_id) GROUP BY 1 ORDER BY 1""",
     // identical bag-Jaccard derivation over NON-distinct shingles: tf maps
     // keyed by the masked md5-low64 hash, Σmax = wsum_a + wsum_b − Σmin
     "p114_weighted_jaccard" ->

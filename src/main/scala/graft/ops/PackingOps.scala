@@ -105,4 +105,33 @@ object PackingOps {
         ((col("global_offset") + greatest(col("n_tokens"), lit(1L)) - 1L) / cap)
           .cast("long").as("end_pack"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment + the rebalance
+    * census for growing `oldShards` → `oldShards`+1: each key's shard is
+    * the argmax over shards of md5(key ":" shard), so adding a shard moves
+    * ONLY the keys the new shard now wins — ~1/(S+1) of the table, every
+    * one of them INTO the new shard (the HRW minimal-disruption
+    * guarantee; hash-mod resharding moves ~S/(S+1)). Weight = the LOW-64
+    * hex slice of the md5 string: fixed-width lowercase hex compares
+    * lexicographically as the unsigned integer it encodes, identically in
+    * both engines, so no integer conversion is needed. Whole computation
+    * is a codegen'd higher-order-function chain per row (transform →
+    * struct array_max) + one keyed aggregate: a 10^12-key reshard PLAN
+    * costs one narrow pass, no shuffle of the payload. */
+  def rendezvousShards(df: DataFrame, oldShards: Int = 16): DataFrame = {
+    def weight(s: Column): Column =
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        s.cast("string")).cast("binary")), 17, 16)
+    val weighted = transform(sequence(lit(0), lit(oldShards)),
+      s => struct(weight(s).as("wt"), s.cast("long").as("s")))
+    val s17 = array_max(weighted).getField("s")
+    val s16 = array_max(filter(weighted,
+      x => x.getField("s") < oldShards)).getField("s")
+    df.select(col("doc_id"), s16.as("s_old"), s17.as("s_new"))
+      .groupBy(col("s_new"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L))
+             .as("n_moved"))
+      .orderBy(col("s_new"))
+  }
 }

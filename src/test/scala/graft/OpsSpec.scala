@@ -1266,6 +1266,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L), (4L, 4L), (6L, 7L), (9L, 15L)))
   }
 
+  test("rendezvous shards: growing 16 to 17 moves keys ONLY into the new " +
+    "shard, and every resident of the new shard is a mover") {
+    val docs = docsDf((0L until 200L).map(i => i -> s"t$i"): _*)
+    val out = graft.ops.PackingOps.rendezvousShards(docs).collect()
+    val movedShards = out.filter(_.getAs[Long]("n_moved") > 0).map(_.getLong(0))
+    assert(movedShards.toSeq === Seq(16L)) // HRW minimal disruption
+    val row16 = out.find(_.getLong(0) == 16L).get
+    assert(row16.getAs[Long]("n_moved") === row16.getAs[Long]("n_docs"))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 200L)
+  }
+
   test("dense ranks: block-local numbering + offsets equal the global " +
     "row_number over sparse cross-block keys") {
     val ids = Seq(3L, 10L, 11L, 40L, 1000L).toDF("doc_id")
