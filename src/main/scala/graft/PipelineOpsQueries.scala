@@ -768,6 +768,18 @@ object PipelineOpsQueries {
     "p116_rendezvous_shards" -> ((s, dir) =>
       graft.ops.PackingOps.rendezvousShards(docs(s, dir))),
 
+    // join-size pre-flight: predict the many-to-many self-join's exact
+    // cardinality + per-key skew contribution from two narrow count
+    // aggregates — the oracle EXECUTES the real join and must agree
+    // row-for-row, proving a 10^12-row join can be sized without running
+    "p117_join_size_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.ProfileOps.joinSizePlan(
+        li.filter(col("l_quantity") >= 10),
+        li.filter(col("l_quantity") < 40), "l_suppkey")
+    }),
+
     // weighted (bag) Jaccard: Σmin(tf)/Σmax(tf) over token term
     // frequencies — catches repetition-divergent near-dups set-Jaccard
     // scores identically; postings = (doc, hash, tf, wsum) only
@@ -2846,6 +2858,22 @@ object PipelineOpsQueries {
            CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
              AS n_moved
          FROM a16 JOIN a17 USING (doc_id) GROUP BY 1 ORDER BY 1""",
+    // the oracle RUNS the join the plan only predicted: per-key counted
+    // output of the real many-to-many join must equal rows_a*rows_b
+    "p117_join_size_plan" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 10),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 40),
+         j AS (SELECT a.l_suppkey AS l_suppkey, count(*) AS join_rows
+               FROM a JOIN b ON a.l_suppkey = b.l_suppkey GROUP BY 1),
+         ca AS (SELECT l_suppkey, count(*) AS rows_a FROM a GROUP BY 1),
+         cb AS (SELECT l_suppkey, count(*) AS rows_b FROM b GROUP BY 1),
+         tot AS (SELECT sum(join_rows) AS t FROM j)
+         SELECT j.l_suppkey, rows_a, rows_b,
+           CAST(join_rows AS BIGINT) AS join_rows,
+           CAST(join_rows * 1000000 // t AS BIGINT) AS share_ppm
+         FROM j JOIN ca ON j.l_suppkey = ca.l_suppkey
+                JOIN cb ON j.l_suppkey = cb.l_suppkey, tot
+         ORDER BY j.l_suppkey""",
     // identical bag-Jaccard derivation over NON-distinct shingles: tf maps
     // keyed by the masked md5-low64 hash, Σmax = wsum_a + wsum_b − Σmin
     "p114_weighted_jaccard" ->

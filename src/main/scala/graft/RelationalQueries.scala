@@ -218,6 +218,40 @@ object RelationalQueries {
       graft.ops.CorpusOps.merkleDiff(d, right)
     }),
 
+    // numeric-semantics ladder pin: the tie-rounding and signed
+    // integer-division rules money/offset arithmetic silently breaks on
+    // when ported. Exact .5 ties constructed integer-side (±(k+0.5) as
+    // DECIMAL), so every column is a BIGINT both engines render
+    // identically: round = HALF_UP (ties away from zero, both engines
+    // native), bround = HALF_EVEN (DuckDB has no bround — the oracle
+    // derives the even neighbor with integer CASE arithmetic), negative-
+    // scale round at the ...50 boundary, DIV/% truncation-toward-zero
+    // with dividend-sign remainder, pmod's always-nonnegative rail, and
+    // floor/ceil on negative halves
+    "q118_numeric_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_num")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey, CAST(o_orderkey % 997 AS BIGINT) AS k,
+            CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+              AS sign,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS cents
+          FROM orders_num WHERE o_orderkey % 61 = 0),
+        v AS (SELECT *, sign * (2*k + 1) AS v2,
+                CAST(sign * (2*k + 1) AS DECIMAL(19,1)) * 0.5 AS vd
+              FROM b)
+        SELECT o_orderkey, k, sign,
+          CAST(round(vd, 0) AS BIGINT) AS half_up,
+          CAST(bround(vd, 0) AS BIGINT) AS half_even,
+          CAST(round(cents, -2) AS BIGINT) AS cents_hundreds,
+          CAST(v2 DIV 7 AS BIGINT) AS idiv,
+          CAST(v2 % 7 AS BIGINT) AS imod,
+          CAST(pmod(v2, 7) AS BIGINT) AS pm,
+          CAST(floor(vd) AS BIGINT) AS flr,
+          CAST(ceil(vd) AS BIGINT) AS cl
+        FROM v ORDER BY o_orderkey""")
+    }),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -2140,6 +2174,32 @@ object RelationalQueries {
          FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
          WHERE l.doc_id IS NULL OR r.doc_id IS NULL OR l.h <> r.h
          ORDER BY doc_id""",
+    // same ladder: round is natively ties-away-from-zero in both engines;
+    // half-even is derived with integer CASE arithmetic (DuckDB has no
+    // bround); // truncates toward zero like Spark's DIV; pmod is
+    // rebuilt as ((x % y) + y) % y
+    "q118_numeric_semantics" ->
+      """WITH b AS (
+           SELECT o_orderkey, CAST(o_orderkey % 997 AS BIGINT) AS k,
+             CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS sign,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderkey % 61 = 0),
+         v AS (SELECT *, sign * (2*k + 1) AS v2,
+                 CAST(sign * (2*k + 1) AS DECIMAL(19,1)) * 0.5 AS vd
+               FROM b)
+         SELECT o_orderkey, k, sign,
+           CAST(round(vd, 0) AS BIGINT) AS half_up,
+           CAST(CASE WHEN k % 2 = 0 THEN sign * k
+                     ELSE sign * (k + 1) END AS BIGINT) AS half_even,
+           CAST(round(cents, -2) AS BIGINT) AS cents_hundreds,
+           CAST(v2 // 7 AS BIGINT) AS idiv,
+           CAST(v2 % 7 AS BIGINT) AS imod,
+           CAST(((v2 % 7) + 7) % 7 AS BIGINT) AS pm,
+           CAST(floor(vd) AS BIGINT) AS flr,
+           CAST(ceil(vd) AS BIGINT) AS cl
+         FROM v ORDER BY o_orderkey""",
     // identical ladder natively (epoch_us / make_timestamp / date_trunc)
     "q115_epoch_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS us,

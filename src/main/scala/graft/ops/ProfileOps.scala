@@ -130,6 +130,29 @@ object ProfileOps {
       .orderBy(col("digit"))
   }
 
+  /** Join-size PLAN without executing the join: for an equi-join on
+    * `key`, the output cardinality is exactly Σ_k |A_k|·|B_k|, so two
+    * narrow per-key count aggregates plus a join of the TINY count tables
+    * (|distinct keys| rows, not |rows|) predict the join's size and its
+    * per-key skew contribution before a single probe row is shuffled.
+    * This is the pre-flight a 10^12×10^12 join runs to choose salting /
+    * AQE skew thresholds: planning cost is two scans, never the join.
+    * `share_ppm` uses integer DIV so the census is engine-exact; an
+    * outer-key absent from either side contributes 0 rows and is
+    * (correctly) absent from the plan. */
+  def joinSizePlan(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val ca = a.groupBy(col(key)).agg(count(lit(1)).as("rows_a"))
+    val cb = b.groupBy(col(key)).agg(count(lit(1)).as("rows_b"))
+    val per = ca.join(cb, Seq(key))
+      .select(col(key), col("rows_a"), col("rows_b"),
+        (col("rows_a") * col("rows_b")).as("join_rows"))
+    val total = per.agg(sum(col("join_rows")).as("total_rows")) // 1 row
+    per.crossJoin(total) // broadcast of a scalar, not a shuffle
+      .select(col(key), col("rows_a"), col("rows_b"), col("join_rows"),
+        expr("join_rows * 1000000L div total_rows").as("share_ppm"))
+      .orderBy(col(key))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),

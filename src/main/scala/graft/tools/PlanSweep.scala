@@ -78,7 +78,10 @@ object PlanSweep {
       "p101_hll_sliding_union" -> Set("BroadcastNestedLoop"),
       // q111 crosses the 1-row digit-count total into the 9-digit ppm
       // arithmetic — the p47/p50 1-row-aggregate class
-      "q111_benford" -> Set("BroadcastNestedLoop"))
+      "q111_benford" -> Set("BroadcastNestedLoop"),
+      // p117 crosses the 1-row predicted-join-size total into the per-key
+      // share arithmetic — the p47/p50 1-row-aggregate class
+      "p117_join_size_plan" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

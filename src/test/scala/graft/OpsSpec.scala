@@ -1299,6 +1299,26 @@ class OpsSpec extends AnyFunSuite {
       (5000L, "missing_left")))
   }
 
+  test("join-size plan: predicted per-key cardinality equals the executed " +
+    "many-to-many join, one-sided keys absent, skew share exact") {
+    // key 1: 3×4=12 rows (the skew key), key 2: 1×2=2, key 3 only in a,
+    // key 4 only in b → both absent from the plan
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 1L, 1L, 2L, 2L, 4L).toDF("k")
+    val plan = graft.ops.ProfileOps.joinSizePlan(a, b, "k").collect()
+    assert(plan.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val byKey = plan.map(r => r.getLong(0) ->
+      (r.getAs[Long]("rows_a"), r.getAs[Long]("rows_b"),
+        r.getAs[Long]("join_rows"), r.getAs[Long]("share_ppm"))).toMap
+    assert(byKey(1L) === ((3L, 4L, 12L, 857142L))) // 12/14 ppm, DIV floor
+    assert(byKey(2L) === ((1L, 2L, 2L, 142857L)))
+    // the prediction must equal the join Spark actually executes
+    val real = a.join(b, "k").groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plan.map(r => r.getLong(0) -> r.getAs[Long]("join_rows")).toMap
+      === real)
+  }
+
   test("leading-digit census: integer-exact digits at power-of-ten " +
     "boundaries, non-positive values excluded") {
     val vals = Seq(1L, 5L, 10L, 19L, 99L, 100L, 950L, 0L, -3L).toDF("v")
