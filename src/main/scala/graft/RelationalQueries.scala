@@ -252,6 +252,43 @@ object RelationalQueries {
         FROM v ORDER BY o_orderkey""")
     }),
 
+    // multi-format date normalization — the extraction-pipeline op the
+    // reference runs on every DOB/issue-date field: raw strings in five
+    // wire formats are routed through an ordered try_to_date ladder.
+    // Pins that the ladder NEVER misroutes (each format is rejected by
+    // every earlier pattern, so roundtrip_ok=1 for the four known
+    // formats), that the unknown format ('7.3.2024') null-rails into the
+    // quarantine class instead of corrupting, and quantifies the
+    // dd/MM↔MM/dd silent-swap hazard as misparse-day deltas the ladder
+    // avoided (both engines strict-parse; DuckDB arg order for the day
+    // diff is date_diff('day', start, end) = Spark datediff(end, start))
+    "q119_date_parse" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_dates")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+            CAST(o_orderkey % 5 AS BIGINT) AS fmt
+          FROM orders_dates WHERE o_orderkey % 13 = 0),
+        r AS (SELECT *, CASE fmt
+            WHEN 0 THEN date_format(d, 'dd/MM/yyyy')
+            WHEN 1 THEN date_format(d, 'yyyy-MM-dd')
+            WHEN 2 THEN date_format(d, 'MMM d, yyyy')
+            WHEN 3 THEN date_format(d, 'yyyyMMdd')
+            ELSE date_format(d, 'd.M.yyyy') END AS raw FROM b),
+        p AS (SELECT *, coalesce(
+            try_to_date(raw, 'dd/MM/yyyy'), try_to_date(raw, 'yyyy-MM-dd'),
+            try_to_date(raw, 'MMM d, yyyy'), try_to_date(raw, 'yyyyMMdd'))
+            AS parsed FROM r)
+        SELECT o_orderkey, fmt, raw,
+          CAST(parsed AS STRING) AS parsed_iso,
+          CAST(coalesce(parsed = d, false) AS BIGINT) AS roundtrip_ok,
+          CAST(CASE WHEN fmt = 0 AND day(d) <= 12 AND day(d) <> month(d)
+               THEN 1 ELSE 0 END AS BIGINT) AS ambiguous,
+          CAST(CASE WHEN fmt = 0 THEN
+                 coalesce(datediff(try_to_date(raw, 'MM/dd/yyyy'), d), 0)
+               ELSE 0 END AS BIGINT) AS misparse_days
+        FROM p ORDER BY o_orderkey""")
+    }),
+
     // corrupt-object-resilient ingest: at 10^12 docs some storage objects
     // WILL be truncated/garbage, and one bad footer must not kill a
     // 6-hour scan. A garbage .parquet is planted among good files; the
@@ -2200,6 +2237,33 @@ object RelationalQueries {
            CAST(floor(vd) AS BIGINT) AS flr,
            CAST(ceil(vd) AS BIGINT) AS cl
          FROM v ORDER BY o_orderkey""",
+    // same five wire formats via strftime, same ordered ladder via
+    // try_strptime (verified strict: no pattern accepts another format's
+    // string); %-d/%-m are the unpadded forms matching Spark's d/M
+    "q119_date_parse" ->
+      """WITH b AS (
+           SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderkey % 5 AS BIGINT) AS fmt
+           FROM orders WHERE o_orderkey % 13 = 0),
+         r AS (SELECT *, CASE fmt
+             WHEN 0 THEN strftime(d, '%d/%m/%Y')
+             WHEN 1 THEN strftime(d, '%Y-%m-%d')
+             WHEN 2 THEN strftime(d, '%b %-d, %Y')
+             WHEN 3 THEN strftime(d, '%Y%m%d')
+             ELSE strftime(d, '%-d.%-m.%Y') END AS raw FROM b),
+         p AS (SELECT *, CAST(coalesce(
+             try_strptime(raw, '%d/%m/%Y'), try_strptime(raw, '%Y-%m-%d'),
+             try_strptime(raw, '%b %-d, %Y'), try_strptime(raw, '%Y%m%d'))
+             AS DATE) AS parsed FROM r)
+         SELECT o_orderkey, fmt, raw,
+           CAST(parsed AS VARCHAR) AS parsed_iso,
+           CAST(coalesce(parsed = d, false) AS BIGINT) AS roundtrip_ok,
+           CAST(CASE WHEN fmt = 0 AND day(d) <= 12 AND day(d) <> month(d)
+                THEN 1 ELSE 0 END AS BIGINT) AS ambiguous,
+           CAST(CASE WHEN fmt = 0 THEN coalesce(date_diff('day', d,
+                  CAST(try_strptime(raw, '%m/%d/%Y') AS DATE)), 0)
+                ELSE 0 END AS BIGINT) AS misparse_days
+         FROM p ORDER BY o_orderkey""",
     // identical ladder natively (epoch_us / make_timestamp / date_trunc)
     "q115_epoch_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS us,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (entity resolution) with Fellegi–Sunter
+  * style integer agreement weights over a blocked candidate join — the
+  * field-based companion to the content-hash dedup family (`DedupOps`):
+  * two record sets with NO shared key are matched on fuzzy field
+  * agreement (name edit distance, amount proximity, categorical
+  * equality), and only pairs whose summed weight clears a threshold are
+  * linked.
+  *
+  * Scale shape: the candidate space is Σ_k |A_k|·|B_k| over the blocking
+  * key — never |A|·|B| — so the block key choice IS the cost model, and
+  * [[ProfileOps.joinSizePlan]] prices it exactly from two narrow count
+  * aggregates before a single candidate is generated. Every comparator is
+  * a codegen'd builtin (`levenshtein`, integer abs/CASE), so scoring
+  * stays inside whole-stage codegen on the joined stream; no UDFs, no
+  * driver collection. Blocking trades recall for cost exactly like LSH
+  * banding: a true pair whose blocking field was corrupted never meets
+  * (the spec pins this miss class), which production absorbs by unioning
+  * several cheap blocking passes.
+  *
+  * Weights are integers (not log-likelihood doubles) so the linkage is
+  * bit-reproducible across engines and the driver oracle can replay the
+  * scoring verbatim.
+  */
+object LinkageOps {
+
+  /** Score all blocked candidate pairs and keep links with
+    * `score >= threshold`. Inputs carry columns
+    * `(key, name, block, cents, seg)`; output one row per linked pair:
+    * `(a_key, b_key, lev, w_name, w_bal, w_seg, score)` ordered by keys.
+    *
+    *  - name: levenshtein 0 → +24 (exact), ≤2 → +12 (typo/transposition
+    *    class), else −8
+    *  - cents: |Δ| ≤ `centsTol` → +10, else −6
+    *  - seg: equal → +6, else −4
+    */
+  def fellegiSunterLinks(a: DataFrame, b: DataFrame,
+                         threshold: Int = 18,
+                         centsTol: Int = 75): DataFrame = {
+    val pa = a.select(col("key").as("a_key"), col("name").as("a_name"),
+      col("block"), col("cents").as("a_cents"), col("seg").as("a_seg"))
+    val pb = b.select(col("key").as("b_key"), col("name").as("b_name"),
+      col("block"), col("cents").as("b_cents"), col("seg").as("b_seg"))
+    val lev = levenshtein(col("a_name"), col("b_name"))
+    pa.join(pb, Seq("block"))
+      .withColumn("lev", lev.cast("long"))
+      .withColumn("w_name",
+        when(col("lev") === 0, 24L).when(col("lev") <= 2, 12L)
+          .otherwise(-8L))
+      .withColumn("w_bal",
+        when(abs(col("a_cents") - col("b_cents")) <= centsTol, 10L)
+          .otherwise(-6L))
+      .withColumn("w_seg",
+        when(col("a_seg") === col("b_seg"), 6L).otherwise(-4L))
+      .withColumn("score", col("w_name") + col("w_bal") + col("w_seg"))
+      .filter(col("score") >= threshold)
+      .select(col("a_key"), col("b_key"), col("lev"), col("w_name"),
+        col("w_bal"), col("w_seg"), col("score"),
+        (col("a_key") === col("b_key")).cast("long").as("is_true"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+}

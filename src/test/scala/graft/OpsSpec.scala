@@ -1319,6 +1319,30 @@ class OpsSpec extends AnyFunSuite {
       === real)
   }
 
+  test("record linkage: exact and transposed names link, blocking miss " +
+    "never meets, one-digit-apart false positives surface with is_true=0") {
+    val a = Seq(
+      (1L, "Customer#000000001", 10L, 1000L, "AUTO"),
+      (2L, "Customer#000000002", 10L, 1010L, "AUTO"),
+      (3L, "Customer#000000003", 20L, 5000L, "HOME"))
+      .toDF("key", "name", "block", "cents", "seg")
+    val b = Seq(
+      (1L, "Customer#000000001", 10L, 1005L, "AUTO"), // exact: 24+10+6
+      (2L, "Customer#000000020", 10L, 1000L, "AUTO"), // transposed: lev 2
+      (3L, "Customer#000000003", 99L, 5000L, "HOME")) // corrupted block
+      .toDF("key", "name", "block", "cents", "seg")
+    val links = graft.ops.LinkageOps.fellegiSunterLinks(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("score"), r.getAs[Long]("is_true")))
+    assert(links.toSeq === Seq(
+      (1L, 1L, 40L, 1L), // true exact
+      (1L, 2L, 28L, 0L), // FP: one digit apart, close balance, same seg
+      (2L, 1L, 28L, 0L), // FP mirror
+      (2L, 2L, 28L, 1L))) // true transposed-name
+    // entity 3 is a blocking recall loss: present in both sides, never met
+    assert(!links.exists(l => l._1 == 3L || l._2 == 3L))
+  }
+
   test("leading-digit census: integer-exact digits at power-of-ten " +
     "boundaries, non-positive values excluded") {
     val vals = Seq(1L, 5L, 10L, 19L, 99L, 100L, 950L, 0L, -3L).toDF("v")
