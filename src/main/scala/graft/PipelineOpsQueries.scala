@@ -780,6 +780,16 @@ object PipelineOpsQueries {
         li.filter(col("l_quantity") < 40), "l_suppkey")
     }),
 
+    // frame-sampling plan: the decode pre-flight manifest — which frames
+    // each video contributes at a uniform 8/clip budget, NTSC-rational
+    // timestamps in exact integer arithmetic (sequence→explode HOFs, no
+    // shuffle, no UDF)
+    "p119_frame_schedule" -> ((s, dir) => {
+      MultimodalOps.mediaStatsDumped(SparkEntry.docTable(s, dir),
+        mediaDumpPath(dir))
+      MultimodalOps.frameSampleSchedule(s.read.parquet(mediaDumpPath(dir)))
+    }),
+
     // record linkage (entity resolution): customers vs a deterministically
     // dirtied copy (digit-transposed names, ±75¢ balance drift, segment
     // wiped to UNKNOWN) linked WITHOUT a shared key via blocked
@@ -2899,6 +2909,19 @@ object PipelineOpsQueries {
          FROM j JOIN ca ON j.l_suppkey = ca.l_suppkey
                 JOIN cb ON j.l_suppkey = cb.l_suppkey, tot
          ORDER BY j.l_suppkey""",
+    // the oracle regenerates the schedule with lateral generate_series and
+    // DuckDB's // integer division over the same dumped media table
+    "p119_frame_schedule" ->
+      s"""WITH m AS (SELECT doc_id, media_ref,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(least(8, n_frames) AS BIGINT) AS sample_k
+           FROM read_parquet('${mediaDumpPath(dir)}/*.parquet'))
+         SELECT doc_id, media_ref, n_frames, sample_k,
+           CAST((j * n_frames) // sample_k AS BIGINT) AS frame_idx,
+           CAST(((j * n_frames) // sample_k * 1001000) // 24000 AS BIGINT)
+             AS ts_ms
+         FROM m, UNNEST(generate_series(0, sample_k - 1)) AS u(j)
+         ORDER BY doc_id, media_ref, frame_idx""",
     // the oracle replays the dirtying AND the integer scoring verbatim:
     // same digit transposition, same drift, same weights — any divergence
     // in levenshtein/substr/CASE semantics between engines surfaces here

@@ -252,6 +252,27 @@ object RelationalQueries {
         FROM v ORDER BY o_orderkey""")
     }),
 
+    // Iceberg v2 merge-on-read read path: positional deletes (file_id,
+    // pos), equality deletes (doc_id), and not-yet-compacted insert files
+    // applied at scan time — broadcast anti-probes, the base never
+    // shuffles; q33's compaction pays down the read amplification
+    "q120_merge_on_read" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id DIV 100").as("file_id"),
+          (col("doc_id") % 100).as("pos"), col("n_chars"),
+          lit("base").as("origin"))
+      val eqDel = base.filter(col("doc_id") % 37 === 0).select("doc_id")
+      val posDel = base.filter(col("doc_id") % 41 === 0)
+        .select("file_id", "pos")
+      val ins = base.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit(-1L).as("file_id"), lit(-1L).as("pos"), col("n_chars"),
+          lit("insert").as("origin"))
+      graft.ops.MergeOps.mergeOnRead(base, eqDel, posDel, ins, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // multi-format date normalization — the extraction-pipeline op the
     // reference runs on every DOB/issue-date field: raw strings in five
     // wire formats are routed through an ordered try_to_date ladder.
@@ -2237,6 +2258,25 @@ object RelationalQueries {
            CAST(floor(vd) AS BIGINT) AS flr,
            CAST(ceil(vd) AS BIGINT) AS cl
          FROM v ORDER BY o_orderkey""",
+    // same delete/insert file derivation; the MoR application is rebuilt
+    // as NOT EXISTS anti-semantics over both delete kinds
+    "q120_merge_on_read" ->
+      """WITH base AS (SELECT doc_id, doc_id // 100 AS file_id,
+             doc_id % 100 AS pos, n_chars, 'base' AS origin FROM documents),
+         eqd AS (SELECT doc_id FROM base WHERE doc_id % 37 = 0),
+         posd AS (SELECT file_id, pos FROM base WHERE doc_id % 41 = 0),
+         ins AS (SELECT doc_id + 10000000 AS doc_id,
+             CAST(-1 AS BIGINT) AS file_id, CAST(-1 AS BIGINT) AS pos,
+             n_chars, 'insert' AS origin FROM base WHERE doc_id % 53 = 0),
+         kept AS (SELECT b.* FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM posd p
+                   WHERE p.file_id = b.file_id AND p.pos = b.pos)
+             AND NOT EXISTS (SELECT 1 FROM eqd e
+                   WHERE e.doc_id = b.doc_id))
+         SELECT doc_id, CAST(file_id AS BIGINT) AS file_id,
+           CAST(pos AS BIGINT) AS pos, n_chars, origin
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY doc_id""",
     // same five wire formats via strftime, same ordered ladder via
     // try_strptime (verified strict: no pattern accepts another format's
     // string); %-d/%-m are the unpadded forms matching Spark's d/M

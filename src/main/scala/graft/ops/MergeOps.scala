@@ -60,6 +60,35 @@ object MergeOps {
         }: _*)
   }
 
+  /** Iceberg v2 merge-on-read READ PATH: apply positional delete files
+    * (`(file_id, pos)` — "row 17 of data file 42 is dead") and equality
+    * delete files (`key` values) to the base scan, then union the
+    * not-yet-compacted insert files — the exact semantics an Iceberg v2
+    * reader executes per scan until compaction (q33) folds the deltas
+    * into data files. A row hit by BOTH delete kinds is removed once
+    * (anti-joins compose idempotently).
+    *
+    * Scale shape: delete files are tiny relative to the base by
+    * construction (they exist precisely because rewriting the base was
+    * too expensive), so both applications plan as broadcast LEFT ANTI
+    * probes on the base scan — the 100 TB base never shuffles, never
+    * sorts, and keeps its partition pruning; inserts append scan-side.
+    * The read-amplification this buys IS the MoR trade: q33's compaction
+    * is the operator that pays it down. */
+  def mergeOnRead(base: DataFrame, eqDeletes: DataFrame,
+                  posDeletes: DataFrame, inserts: DataFrame,
+                  key: String, fileCol: String = "file_id",
+                  posCol: String = "pos"): DataFrame = {
+    require(inserts.columns.sameElements(base.columns),
+      "insert files must carry the base schema")
+    base
+      .join(broadcast(posDeletes.select(fileCol, posCol)),
+        Seq(fileCol, posCol), "left_anti")
+      .join(broadcast(eqDeletes.select(key)), Seq(key), "left_anti")
+      .select(base.columns.map(col): _*) // restore base column order
+      .unionAll(inserts)
+  }
+
   /** Cascade delete (the GDPR/right-to-be-forgotten maintenance job): one
     * delete-key list propagated through every derived table by key, with a
     * per-table lineage row (rows_before / rows_deleted / rows_after) so

@@ -56,6 +56,36 @@ object MultimodalOps {
       }
   }
 
+  /** Frame-sampling PLAN for video media — the decode pre-flight: before
+    * any codec runs, emit exactly which frames each clip contributes at a
+    * uniform budget of `maxSamples` frames/clip, with NTSC-rational
+    * timestamps (`fps = fpsNum/fpsDen`, default 24000/1001) kept in exact
+    * integer arithmetic (`ts_ms = idx·1000·fpsDen DIV fpsNum`) so the
+    * schedule is bit-reproducible — float fps drifts one frame every few
+    * minutes and desyncs re-extraction. The selector
+    * `idx_j = j·n DIV k, j < k = min(maxSamples, n)` is strictly
+    * increasing (n ≥ k), covers the clip uniformly, and degrades to
+    * all-frames for short clips.
+    *
+    * Scale shape: one codegen HOF chain (`sequence → transform`) and an
+    * explode per media row — narrow, no shuffle, no UDF; the output IS the
+    * work manifest a 10^12-doc frame-extraction stage shards by. */
+  def frameSampleSchedule(media: DataFrame, maxSamples: Int = 8,
+                          fpsNum: Long = 24000L,
+                          fpsDen: Long = 1001L): DataFrame = {
+    val k = least(lit(maxSamples.toLong), col("n_frames").cast("long"))
+    media
+      .select(col("doc_id"), col("media_ref"),
+        col("n_frames").cast("long").as("n_frames"), k.as("sample_k"))
+      .withColumn("j", explode(sequence(lit(0L), col("sample_k") - 1)))
+      .withColumn("frame_idx",
+        expr("CAST(j * n_frames DIV sample_k AS BIGINT)"))
+      .withColumn("ts_ms",
+        expr(s"CAST(frame_idx * 1000 * $fpsDen DIV $fpsNum AS BIGINT)"))
+      .drop("j")
+      .orderBy(col("doc_id"), col("media_ref"), col("frame_idx"))
+  }
+
   /** Per-format media statistics over the decoded metadata. */
   def mediaStats(docs: Dataset[Doc]): DataFrame =
     statsOver(mediaTable(docs).toDF())

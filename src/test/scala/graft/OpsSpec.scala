@@ -1319,6 +1319,36 @@ class OpsSpec extends AnyFunSuite {
       === real)
   }
 
+  test("frame-sample schedule: short clips keep every frame, long clips " +
+    "get 8 uniform strictly-increasing indices, NTSC timestamps exact") {
+    val media = Seq((1L, "m1", 3), (2L, "m2", 24), (3L, "m3", 1))
+      .toDF("doc_id", "media_ref", "n_frames")
+    val sched = graft.ops.MultimodalOps.frameSampleSchedule(media).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("ts_ms")))
+    val byDoc = sched.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byDoc(1L) === Seq(0L, 1L, 2L)) // n < budget → all frames
+    assert(byDoc(2L) === (0 until 8).map(j => j * 3L)) // j*24 DIV 8
+    assert(byDoc(3L) === Seq(0L))
+    // 24000/1001 fps: frame 3 is at 3*1001000/24000 ms = 125.125 → 125
+    assert(sched.find(s => s._1 == 2L && s._2 == 3L).get._3 === 125L)
+    // exact rational, not float: frame 21 → 21*1001000/24000 = 875.875
+    assert(sched.find(s => s._1 == 2L && s._2 == 21L).get._3 === 875L)
+  }
+
+  test("merge-on-read: positional and equality deletes both apply, a " +
+    "doubly-deleted row is removed once, inserts append") {
+    val base = Seq((1L, 10L, 1L, "a"), (2L, 10L, 2L, "b"),
+      (3L, 11L, 1L, "c"), (4L, 11L, 2L, "d"))
+      .toDF("doc_id", "file_id", "pos", "v")
+    val eqDel = Seq(3L, 2L).toDF("doc_id") // doc 2 ALSO pos-deleted
+    val posDel = Seq((10L, 2L)).toDF("file_id", "pos")
+    val ins = Seq((9L, -1L, -1L, "new")).toDF("doc_id", "file_id", "pos", "v")
+    val out = graft.ops.MergeOps.mergeOnRead(base, eqDel, posDel, ins,
+      "doc_id").collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(out.toSeq === Seq((1L, "a"), (4L, "d"), (9L, "new")))
+  }
+
   test("record linkage: exact and transposed names link, blocking miss " +
     "never meets, one-digit-apart false positives surface with is_true=0") {
     val a = Seq(
