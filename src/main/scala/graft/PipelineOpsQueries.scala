@@ -16,6 +16,11 @@ object PipelineOpsQueries {
     * the zero-widths) — interpolated into the p115 oracle so engine and
     * oracle can never disagree on the confusable table. */
   private val CYRILLIC_LOOKALIKES = CorpusOps.confusableFrom.substring(0, 10)
+  /** Composed 'café' vs its NFC-equivalent decomposed twin ('e'+U+0301) —
+    * shared by the p120 query and its oracle so both plant identical
+    * bytes. */
+  private val NFC_COMPOSED = "caf\u00e9"
+  private val NFC_DECOMPOSED = "cafe\u0301"
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -778,6 +783,20 @@ object PipelineOpsQueries {
       graft.ops.ProfileOps.joinSizePlan(
         li.filter(col("l_quantity") >= 10),
         li.filter(col("l_quantity") < 40), "l_suppkey")
+    }),
+
+    // NFC-canonical dedup: composed/decomposed Unicode twins planted per
+    // %17 doc (same rendered text, different bytes) must cluster under
+    // md5(NFC(text)) with n_raw=2 distinct byte hashes
+    "p120_nfc_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 17 === 0)
+      val twins = planted.select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(NFC_COMPOSED)).as("text"))
+        .unionAll(planted.select((col("doc_id") + 600000L).as("doc_id"),
+          concat(col("text"), lit(NFC_DECOMPOSED)).as("text")))
+      graft.ops.DedupOps.nfcDupClusters(d.unionAll(twins))
     }),
 
     // frame-sampling plan: the decode pre-flight manifest — which frames
@@ -2909,6 +2928,24 @@ object PipelineOpsQueries {
          FROM j JOIN ca ON j.l_suppkey = ca.l_suppkey
                 JOIN cb ON j.l_suppkey = cb.l_suppkey, tot
          ORDER BY j.l_suppkey""",
+    // same planting via chr() codepoints (233 composed, 769 combining
+    // acute); utf8proc's nfc_normalize must agree with the JDK normalizer
+    "p120_nfc_dedup" ->
+      """WITH plant AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 17 = 0),
+         u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 500000, text || 'caf' || chr(233)
+                 FROM plant
+               UNION ALL SELECT doc_id + 600000,
+                 text || 'cafe' || chr(769) FROM plant),
+         c AS (SELECT md5(nfc_normalize(text)) AS nfc_md5,
+                 count(*) AS n_members,
+                 count(DISTINCT md5(text)) AS n_raw,
+                 min(doc_id) AS min_doc_id
+               FROM u GROUP BY 1)
+         SELECT nfc_md5, CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_raw AS BIGINT) AS n_raw, min_doc_id
+         FROM c WHERE n_members > 1 ORDER BY min_doc_id""",
     // the oracle regenerates the schedule with lateral generate_series and
     // DuckDB's // integer division over the same dumped media table
     "p119_frame_schedule" ->

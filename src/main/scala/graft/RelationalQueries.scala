@@ -252,6 +252,33 @@ object RelationalQueries {
         FROM v ORDER BY o_orderkey""")
     }),
 
+    // window frame semantics pin: RANGE vs ROWS with duplicate order keys
+    // — the silent-corruption class where a running total "randomly"
+    // includes peers. Order key = day-of-week (guaranteed ties); ROWS
+    // frames tiebreak on event_id to stay deterministic, RANGE frames
+    // include the whole peer group by definition; run_range − run_rows ≠ 0
+    // exactly on non-final peer rows, and the value-based 2-PRECEDING
+    // RANGE band spans three weekday groups regardless of row counts
+    "q121_frame_semantics" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_frames")
+      s.sql("""WITH e AS (
+          SELECT event_id, user_id,
+            CAST(unix_seconds(CAST(ts AS TIMESTAMP)) DIV 86400 % 7 AS BIGINT)
+              AS dow,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events_frames WHERE user_id % 13 = 0)
+        SELECT event_id, user_id, dow, cents,
+          sum(cents) OVER (PARTITION BY user_id ORDER BY dow, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_rows,
+          sum(cents) OVER (PARTITION BY user_id ORDER BY dow
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_range,
+          sum(cents) OVER (PARTITION BY user_id ORDER BY dow
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS band_range,
+          count(*) OVER (PARTITION BY user_id ORDER BY dow
+            RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peers
+        FROM e ORDER BY user_id, dow, event_id""")
+    }),
+
     // Iceberg v2 merge-on-read read path: positional deletes (file_id,
     // pos), equality deletes (doc_id), and not-yet-compacted insert files
     // applied at scan time — broadcast anti-probes, the base never
@@ -2258,6 +2285,29 @@ object RelationalQueries {
            CAST(floor(vd) AS BIGINT) AS flr,
            CAST(ceil(vd) AS BIGINT) AS cl
          FROM v ORDER BY o_orderkey""",
+    // identical frames natively; epoch_us//1000000 replaces unix_seconds
+    // (epoch() is a fractional DOUBLE and DuckDB's double→BIGINT cast
+    // ROUNDS where Spark truncates — integer-only arithmetic sidesteps
+    // the whole class); CAST(count(*) ...) keeps peers BIGINT
+    "q121_frame_semantics" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+             CAST(epoch_us(ts) // 1000000 // 86400 % 7 AS BIGINT) AS dow,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE user_id % 13 = 0)
+         SELECT event_id, user_id, dow, cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY dow, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_rows,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY dow
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_range,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY dow
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS band_range,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY dow
+             RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS peers
+         FROM e ORDER BY user_id, dow, event_id""",
     // same delete/insert file derivation; the MoR application is rebuilt
     // as NOT EXISTS anti-semantics over both delete kinds
     "q120_merge_on_read" ->

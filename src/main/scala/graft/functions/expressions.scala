@@ -18,6 +18,41 @@ object PyFuncs {
   def title(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.text.PyText.title(s.toString))
   def round2(d: Double): Double = graft.text.PyText.round2(d)
+  /** Called from generated code. Unicode NFC via the JDK's ICU-derived
+    * normalizer — composed/decomposed sequences ('é' vs 'e'+U+0301)
+    * canonicalize to one form, matching utf8proc's nfc_normalize. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan and almost every
+    // real string is already NFC — avoid the allocation on the 10^12-row
+    // hot path
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization as a codegen'd unary expression — the
+  * canonicalization pass content-hash dedup needs BEFORE hashing: a
+  * composed 'é' (U+00E9) and its decomposed twin ('e' + U+0301) are
+  * different byte strings that render identically, so without NFC every
+  * copy-paste round-trip through a decomposing editor defeats exact
+  * dedup. Complements the homoglyph skeleton (p115), which handles
+  * CONFUSABLE codepoints; NFC handles CANONICAL equivalence. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    PyFuncs.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PyFuncs.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Python `str.title()` as a codegen'd unary expression
@@ -65,6 +100,7 @@ object functions {
   def sign_lsh_bucket(c: Column, planes: Array[Array[Double]]): Column =
     column(SignLshBucket(expression(c), planes))
   def deflate_len(c: Column): Column = column(DeflateLength(expression(c)))
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions

@@ -12,6 +12,25 @@ import java.util.regex.Pattern
   * derived keys (bands/buckets), which is what survives a 100× scale-up.
   */
 object DedupOps {
+
+  /** NFC-canonical duplicate clusters: exact dedup (p01) keyed on
+    * `md5(NFC(text))` instead of `md5(text)`, unifying composed and
+    * decomposed Unicode twins ('é' = U+00E9 vs 'e'+U+0301) that byte-hash
+    * dedup treats as distinct — the canonical-equivalence complement to
+    * the homoglyph skeleton's confusable folding (p115). One codegen'd
+    * normalize+hash per row ([[graft.functions.NfcNormalize]] with an
+    * isNormalized fast path, so already-NFC text — nearly all of it —
+    * pays a scan, not an allocation), then the p01 keyed partial+final
+    * aggregate: 16-byte keys through the shuffle, never text. */
+  def nfcDupClusters(df: DataFrame): DataFrame =
+    df.groupBy(md5(graft.functions.functions.nfc_normalize(col("text"))
+        .cast("binary")).as("nfc_md5"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_raw"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("min_doc_id"))
+
   private val wsPat = Pattern.compile("\\s+")
 
   /** Exact dedup: md5(text) → keeper = min(doc_id), duplicate count. */

@@ -157,4 +157,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out(2L) === None)
     assert(out(3L) === Some(1.0))
   }
+
+  test("nfc_normalize: decomposed folds to composed, already-NFC is " +
+    "identity, null propagates, codegen path active") {
+    import spark.implicits._
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(composed != decomposed) // different bytes...
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, null: String)).toDF("id", "s")
+    val out = df.select(col("id"), gf.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(out(1L) === Some(composed)) // ...same canonical form
+    assert(out(2L) === Some(composed))
+    assert(out(3L) === Some("plain ascii"))
+    assert(out(4L) === None)
+    // stays inside whole-stage codegen (no fallback to interpreted eval;
+    // a literal Seq would constant-fold to LocalTableScan, so drive the
+    // expression over a Range source)
+    val plan = spark.range(2).selectExpr("CAST(id AS STRING) AS s")
+      .select(gf.nfc_normalize(col("s")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // * prefix = codegen stage
+  }
 }
