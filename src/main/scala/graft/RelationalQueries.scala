@@ -252,6 +252,29 @@ object RelationalQueries {
         FROM v ORDER BY o_orderkey""")
     }),
 
+    // calendar arithmetic clamping pin: add_months at month ends (the
+    // Jan-31 + 1 month = Feb-29 clamp, forward/backward/cross-year),
+    // last_day, strictly-next-weekday, and plain day offsets — the
+    // billing/retention date math that silently drifts when an engine
+    // overflows instead of clamps. All outputs cast to ISO strings so the
+    // comparison is representation-independent
+    "q122_date_arith" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_cal")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+          FROM orders_cal WHERE o_orderkey % 29 = 0),
+        e AS (SELECT o_orderkey, d, last_day(d) AS eom FROM b)
+        SELECT o_orderkey, CAST(d AS STRING) AS d_iso,
+          CAST(eom AS STRING) AS eom,
+          CAST(add_months(eom, 1) AS STRING) AS eom_plus1m,
+          CAST(add_months(eom, 13) AS STRING) AS eom_plus13m,
+          CAST(add_months(eom, -1) AS STRING) AS eom_minus1m,
+          CAST(next_day(d, 'MO') AS STRING) AS next_monday,
+          CAST(date_add(d, 45) AS STRING) AS plus45d,
+          CAST(datediff(eom, d) AS BIGINT) AS days_to_eom
+        FROM e ORDER BY o_orderkey""")
+    }),
+
     // window frame semantics pin: RANGE vs ROWS with duplicate order keys
     // — the silent-corruption class where a running total "randomly"
     // includes peers. Order key = day-of-week (guaranteed ties); ROWS
@@ -2285,6 +2308,27 @@ object RelationalQueries {
            CAST(floor(vd) AS BIGINT) AS flr,
            CAST(ceil(vd) AS BIGINT) AS cl
          FROM v ORDER BY o_orderkey""",
+    // interval month addition clamps identically (verified Jan-31+1m →
+    // Feb-29 forward/backward/cross-year); strictly-next-Monday is
+    // rebuilt from isodow since DuckDB has no next_day
+    "q122_date_arith" ->
+      """WITH b AS (
+           SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+           FROM orders WHERE o_orderkey % 29 = 0),
+         e AS (SELECT o_orderkey, d, last_day(d) AS eom FROM b)
+         SELECT o_orderkey, CAST(d AS VARCHAR) AS d_iso,
+           CAST(eom AS VARCHAR) AS eom,
+           CAST(CAST(eom + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+             AS eom_plus1m,
+           CAST(CAST(eom + INTERVAL 13 MONTH AS DATE) AS VARCHAR)
+             AS eom_plus13m,
+           CAST(CAST(eom - INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+             AS eom_minus1m,
+           CAST(d + CAST((7 - isodow(d)) % 7 + 1 AS INTEGER) AS VARCHAR)
+             AS next_monday,
+           CAST(d + 45 AS VARCHAR) AS plus45d,
+           CAST(date_diff('day', d, eom) AS BIGINT) AS days_to_eom
+         FROM e ORDER BY o_orderkey""",
     // identical frames natively; epoch_us//1000000 replaces unix_seconds
     // (epoch() is a fractional DOUBLE and DuckDB's double→BIGINT cast
     // ROUNDS where Spark truncates — integer-only arithmetic sidesteps

@@ -108,6 +108,8 @@ object SparkEntry {
     s"/tmp/graft_lineage_dump_${docCountFor(dir)}"
   def abDumpPath(dir: String): String =
     s"/tmp/graft_ab_dump_${docCountFor(dir)}"
+  def cerDumpPath(dir: String): String =
+    s"/tmp/graft_cer_dump_${docCountFor(dir)}"
   def kindDumpPath(dir: String): String =
     s"/tmp/graft_kind_dump_${docCountFor(dir)}"
   def mediaSkewDumpPath(dir: String): String =
@@ -765,6 +767,39 @@ object SparkEntry {
             .as("n_valid_flips"),
           sum(col("s_donut") - col("s_plain")).as("span_delta"))
         .orderBy(col("document_type"))
+    }),
+
+    // character-error-rate census between the two pipeline modes: per
+    // document type, how FAR apart the plain and donut record_jsons are
+    // (integer levenshtein over a 512-char prefix — the cap bounds the
+    // O(n²) comparator at 10^12 docs; x21 counts WHICH fields flipped,
+    // this measures edit magnitude, the OCR-quality drift signal)
+    "x32_mode_cer" -> ((s, dir) => {
+      def proj(m: String, df: DataFrame): DataFrame = df.select(
+        col("doc_id"), col("document_type"), col("record_json"),
+        lit(m).as("mode"))
+      val plain = proj("plain", ExtractionPipeline.run(docTable(s, dir)).toDF())
+      val donut = proj("donut",
+        ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())
+      plain.unionByName(donut)
+        .write.mode("overwrite").parquet(cerDumpPath(dir))
+      val per = s.read.parquet(cerDumpPath(dir)).groupBy(col("doc_id")).agg(
+        max(when(col("mode") === "plain", col("document_type")))
+          .as("document_type"),
+        max(when(col("mode") === "plain", col("record_json"))).as("r_plain"),
+        max(when(col("mode") === "donut", col("record_json"))).as("r_donut"))
+      per.select(col("document_type"),
+          levenshtein(substring(col("r_plain"), 1, 512),
+            substring(col("r_donut"), 1, 512)).cast("long").as("lev"),
+          greatest(length(substring(col("r_plain"), 1, 512)),
+            length(substring(col("r_donut"), 1, 512))).cast("long").as("den"))
+        .groupBy(col("document_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_identical"),
+          sum(col("lev")).as("sum_edits"),
+          expr("CAST(sum(lev) * 1000000 DIV sum(den) AS BIGINT)")
+            .as("cer_ppm"))
+        .orderBy(col("document_type"))
     })
   )
 
@@ -968,6 +1003,28 @@ object SparkEntry {
                AS n_valid_flips,
              CAST(sum(s_donut - s_plain) AS BIGINT) AS span_delta
            FROM per GROUP BY t_plain ORDER BY t_plain""",
+      // CER recomputed from the mode-tagged record_json dump with DuckDB's
+      // levenshtein over the same 512-char prefixes
+      "x32_mode_cer" ->
+        s"""WITH per AS (SELECT doc_id,
+             max(CASE WHEN mode = 'plain' THEN document_type END)
+               AS document_type,
+             max(CASE WHEN mode = 'plain' THEN record_json END) AS r_plain,
+             max(CASE WHEN mode = 'donut' THEN record_json END) AS r_donut
+             FROM read_parquet('${cerDumpPath(dir)}/*.parquet')
+             GROUP BY doc_id),
+           m AS (SELECT document_type,
+               levenshtein(substring(r_plain, 1, 512),
+                           substring(r_donut, 1, 512)) AS lev,
+               greatest(length(substring(r_plain, 1, 512)),
+                        length(substring(r_donut, 1, 512))) AS den
+             FROM per)
+           SELECT document_type, count(*) AS n_docs,
+             CAST(sum(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_identical,
+             CAST(sum(lev) AS BIGINT) AS sum_edits,
+             CAST(sum(lev) * 1000000 // sum(den) AS BIGINT) AS cer_ppm
+           FROM m GROUP BY document_type ORDER BY document_type""",
       // observe() held to the hash gate: re-aggregate the observed sink's
       // actual bytes — the task-side accumulators must match exactly
       "x16_observed_metrics" ->
