@@ -252,6 +252,60 @@ object RelationalQueries {
         FROM v ORDER BY o_orderkey""")
     }),
 
+    // JSON int64 precision pin: identifiers above 2^53 survive TEXT-path
+    // extraction exactly but silently round to the nearest even double on
+    // the float path — the id-corruption class every JSON ingest risks.
+    // precision_lost marks exactly the rows where the double detour
+    // changed the value (odd offsets above 2^53)
+    "q123_json_bigint" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_json")
+      s.sql("""WITH j AS (
+          SELECT o_orderkey,
+            concat('{"id":', CAST(9007199254740993 + o_orderkey AS STRING),
+                   ',"k":', CAST(o_orderkey AS STRING), '}') AS js
+          FROM orders_json WHERE o_orderkey % 23 = 0)
+        SELECT o_orderkey,
+          CAST(get_json_object(js, '$.id') AS BIGINT) AS id_exact,
+          CAST(CAST(get_json_object(js, '$.id') AS DOUBLE) AS BIGINT)
+            AS id_via_double,
+          CAST(CAST(get_json_object(js, '$.id') AS BIGINT) <>
+               CAST(CAST(get_json_object(js, '$.id') AS DOUBLE) AS BIGINT)
+               AS BIGINT) AS precision_lost,
+          CAST(get_json_object(js, '$.k') AS BIGINT) AS k_exact
+        FROM j ORDER BY o_orderkey""")
+    }),
+
+    // array function semantics pin over planted nulls/duplicates:
+    // 1-based array_position, negative element_at, sort with NULLS FIRST,
+    // slice arithmetic, null-skipping fold — and the documented
+    // divergence: Spark's array_distinct KEEPS one null, DuckDB's
+    // list_distinct DROPS them (the oracle derives Spark's count as
+    // len(list_distinct)+has_null)
+    "q124_array_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_arr")
+      s.sql("""WITH a AS (
+          SELECT o_orderkey, array(
+            CAST(o_orderkey % 7 AS BIGINT),
+            CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                 ELSE CAST(o_orderkey % 5 AS BIGINT) END,
+            CAST(o_orderkey % 7 AS BIGINT),
+            CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                 ELSE CAST(o_orderkey % 11 AS BIGINT) END) AS arr
+          FROM orders_arr WHERE o_orderkey % 19 = 0)
+        SELECT o_orderkey,
+          element_at(sort_array(arr), 1) AS s_first,
+          element_at(sort_array(arr), -1) AS s_last,
+          CAST(array_position(arr, o_orderkey % 7) AS BIGINT) AS pos_dup,
+          CAST(size(array_distinct(arr)) AS BIGINT) AS n_distinct,
+          CAST(size(array_distinct(array_compact(arr))) AS BIGINT)
+            AS n_distinct_nonnull,
+          coalesce(aggregate(
+            filter(slice(sort_array(arr), 2, 2), x -> x IS NOT NULL),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x), 0L) AS slice_sum,
+          CAST(size(filter(arr, x -> x IS NULL)) > 0 AS BIGINT) AS has_null
+        FROM a ORDER BY o_orderkey""")
+    }),
+
     // calendar arithmetic clamping pin: add_months at month ends (the
     // Jan-31 + 1 month = Feb-29 clamp, forward/backward/cross-year),
     // last_day, strictly-next-weekday, and plain day offsets — the
@@ -2308,6 +2362,52 @@ object RelationalQueries {
            CAST(floor(vd) AS BIGINT) AS flr,
            CAST(ceil(vd) AS BIGINT) AS cl
          FROM v ORDER BY o_orderkey""",
+    // json_extract_string is the text path; the correctly-rounded strtod
+    // both engines use makes the double detour identical too
+    "q123_json_bigint" ->
+      """WITH j AS (
+           SELECT o_orderkey,
+             '{"id":' || CAST(9007199254740993 + o_orderkey AS VARCHAR)
+               || ',"k":' || CAST(o_orderkey AS VARCHAR) || '}' AS js
+           FROM orders WHERE o_orderkey % 23 = 0)
+         SELECT o_orderkey,
+           CAST(json_extract_string(js, '$.id') AS BIGINT) AS id_exact,
+           CAST(CAST(json_extract_string(js, '$.id') AS DOUBLE) AS BIGINT)
+             AS id_via_double,
+           CAST(CAST(json_extract_string(js, '$.id') AS BIGINT) <>
+                CAST(CAST(json_extract_string(js, '$.id') AS DOUBLE)
+                     AS BIGINT) AS BIGINT) AS precision_lost,
+           CAST(json_extract_string(js, '$.k') AS BIGINT) AS k_exact
+         FROM j ORDER BY o_orderkey""",
+    // list_sort pinned to Spark's fixed ASC/NULLS-FIRST; list_slice is
+    // inclusive-end (Spark slice takes a LENGTH); Spark array_distinct
+    // keeps one null, DuckDB list_distinct drops them — derived as
+    // len(list_distinct)+has_null
+    "q124_array_semantics" ->
+      """WITH a AS (
+           SELECT o_orderkey, [
+             CAST(o_orderkey % 7 AS BIGINT),
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 5 AS BIGINT) END,
+             CAST(o_orderkey % 7 AS BIGINT),
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 11 AS BIGINT) END] AS arr
+           FROM orders WHERE o_orderkey % 19 = 0),
+         s AS (SELECT o_orderkey, arr,
+             list_sort(arr, 'ASC', 'NULLS FIRST') AS srt,
+             CASE WHEN len(list_filter(arr, x -> x IS NULL)) > 0
+                  THEN 1 ELSE 0 END AS has_null
+           FROM a)
+         SELECT o_orderkey,
+           srt[1] AS s_first, srt[-1] AS s_last,
+           CAST(list_position(arr, o_orderkey % 7) AS BIGINT) AS pos_dup,
+           CAST(len(list_distinct(arr)) + has_null AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_nonnull,
+           CAST(coalesce(list_aggregate(
+             list_filter(list_slice(srt, 2, 3), x -> x IS NOT NULL),
+             'sum'), 0) AS BIGINT) AS slice_sum,
+           CAST(has_null AS BIGINT) AS has_null
+         FROM s ORDER BY o_orderkey""",
     // interval month addition clamps identically (verified Jan-31+1m →
     // Feb-29 forward/backward/cross-year); strictly-next-Monday is
     // rebuilt from isodow since DuckDB has no next_day
