@@ -799,6 +799,14 @@ object PipelineOpsQueries {
       graft.ops.DedupOps.nfcDupClusters(d.unionAll(twins))
     }),
 
+    // Feistel epoch permutation: collision-free deterministic global
+    // shuffle — pos = 4-round Feistel over the 2^32 id domain, a bijection
+    // computed row-locally (no rand() sort, reproducible, seekable). The
+    // census PROVES injectivity (n_distinct_pos == n_docs per shard) and
+    // domain tiling per (epoch, pos>>27) shard
+    "p121_feistel_shuffle" -> ((s, dir) =>
+      graft.ops.PackingOps.feistelShuffle(docs(s, dir))),
+
     // frame-sampling plan: the decode pre-flight manifest — which frames
     // each video contributes at a uniform 8/clip budget, NTSC-rational
     // timestamps in exact integer arithmetic (sequence→explode HOFs, no
@@ -2912,6 +2920,30 @@ object PipelineOpsQueries {
            CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
              AS n_moved
          FROM a16 JOIN a17 USING (doc_id) GROUP BY 1 ORDER BY 1""",
+    // identical 4-round Feistel arithmetic unrolled as chained CTEs; all
+    // intermediates < 2^48 so BIGINT %, >>, & and xor() agree exactly
+    "p121_feistel_shuffle" ->
+      """WITH e AS (SELECT doc_id, e FROM documents, range(2) t(e)),
+         r0 AS (SELECT doc_id, e, doc_id >> 16 AS l, doc_id & 65535 AS r
+                FROM e),
+         r1 AS (SELECT doc_id, e, r AS l, xor(l, ((r * 2654435761 +
+             (e*1000003 + 0*7919 + 104729) * 40503 + 97) % 4294967296) >> 16)
+             AS r FROM r0),
+         r2 AS (SELECT doc_id, e, r AS l, xor(l, ((r * 2654435761 +
+             (e*1000003 + 1*7919 + 104729) * 40503 + 97) % 4294967296) >> 16)
+             AS r FROM r1),
+         r3 AS (SELECT doc_id, e, r AS l, xor(l, ((r * 2654435761 +
+             (e*1000003 + 2*7919 + 104729) * 40503 + 97) % 4294967296) >> 16)
+             AS r FROM r2),
+         r4 AS (SELECT doc_id, e, r AS l, xor(l, ((r * 2654435761 +
+             (e*1000003 + 3*7919 + 104729) * 40503 + 97) % 4294967296) >> 16)
+             AS r FROM r3),
+         p AS (SELECT doc_id, e AS epoch, l*65536 + r AS pos FROM r4)
+         SELECT epoch, pos >> 27 AS shard, count(*) AS n_docs,
+           CAST(count(DISTINCT pos) AS BIGINT) AS n_distinct_pos,
+           min(pos) AS min_pos, max(pos) AS max_pos
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // the oracle RUNS the join the plan only predicted: per-key counted
     // output of the real many-to-many join must equal rows_a*rows_b
     "p117_join_size_plan" ->

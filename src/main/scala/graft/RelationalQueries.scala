@@ -306,6 +306,34 @@ object RelationalQueries {
         FROM a ORDER BY o_orderkey""")
     }),
 
+    // regexp semantics pin over constructed order strings — the dialect
+    // corner every scrub/extract port trips on: greedy vs lazy spans,
+    // \b word boundaries (C17's digits must NOT count), match counting,
+    // global replace (Spark regexp_replace is always-global where DuckDB
+    // needs the 'g' flag), numbered backreferences (Spark $2 ≡ DuckDB \2),
+    // inline (?i), and regex split keeping leading/trailing empties.
+    // Patterns stay in the Java∩RE2 common subset (no lookarounds)
+    "q125_regexp_semantics" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 29 === 0)
+      val str = concat(lit(" Order "), col("o_orderkey").cast("string"),
+        lit(" for cust C"), col("o_custkey").cast("string"),
+        lit(" prio "), col("o_orderpriority"), lit(" "))
+      o.select(col("o_orderkey"),
+        regexp_extract(str, "(\\d+)", 1).cast("long").as("first_num"),
+        regexp_count(str, lit("\\d+")).cast("long").as("n_nums"),
+        length(regexp_extract(str, "C(.*) ", 1)).cast("long")
+          .as("greedy_len"),
+        length(regexp_extract(str, "C(.*?) ", 1)).cast("long")
+          .as("lazy_len"),
+        md5(regexp_replace(str, "(\\w+) (\\w+)", "$2 $1")).as("swapped_md5"),
+        regexp_count(str, lit("(?i)o")).cast("long").as("ci_o"),
+        regexp_count(str, lit("\\b\\d+\\b")).cast("long").as("wb_nums"),
+        size(split(str, "\\s+")).cast("long").as("split_n"),
+        length(regexp_replace(str, "\\d+", "#")).cast("long")
+          .as("masked_len"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // calendar arithmetic clamping pin: add_months at month ends (the
     // Jan-31 + 1 month = Feb-29 clamp, forward/backward/cross-year),
     // last_day, strictly-next-weekday, and plain day offsets — the
@@ -2408,6 +2436,31 @@ object RelationalQueries {
              'sum'), 0) AS BIGINT) AS slice_sum,
            CAST(has_null AS BIGINT) AS has_null
          FROM s ORDER BY o_orderkey""",
+    // RE2 side of the pin: regexp_extract_all lengths count matches,
+    // replace takes the 'g' flag and \2-style backreferences, lazy (.*?)
+    // is supported (no lookarounds anywhere — RE2 has none), and
+    // string_split_regex keeps leading/trailing empties like Java split
+    "q125_regexp_semantics" ->
+      """WITH b AS (SELECT o_orderkey,
+             ' Order ' || CAST(o_orderkey AS VARCHAR) || ' for cust C' ||
+             CAST(o_custkey AS VARCHAR) || ' prio ' || o_orderpriority ||
+             ' ' AS s
+           FROM orders WHERE o_orderkey % 29 = 0)
+         SELECT o_orderkey,
+           CAST(regexp_extract(s, '(\d+)', 1) AS BIGINT) AS first_num,
+           CAST(len(regexp_extract_all(s, '\d+')) AS BIGINT) AS n_nums,
+           CAST(length(regexp_extract(s, 'C(.*) ', 1)) AS BIGINT)
+             AS greedy_len,
+           CAST(length(regexp_extract(s, 'C(.*?) ', 1)) AS BIGINT)
+             AS lazy_len,
+           md5(regexp_replace(s, '(\w+) (\w+)', '\2 \1', 'g'))
+             AS swapped_md5,
+           CAST(len(regexp_extract_all(s, '(?i)o')) AS BIGINT) AS ci_o,
+           CAST(len(regexp_extract_all(s, '\b\d+\b')) AS BIGINT) AS wb_nums,
+           CAST(len(string_split_regex(s, '\s+')) AS BIGINT) AS split_n,
+           CAST(length(regexp_replace(s, '\d+', '#', 'g')) AS BIGINT)
+             AS masked_len
+         FROM b ORDER BY o_orderkey""",
     // interval month addition clamps identically (verified Jan-31+1m →
     // Feb-29 forward/backward/cross-year); strictly-next-Monday is
     // rebuilt from isodow since DuckDB has no next_day

@@ -134,4 +134,52 @@ object PackingOps {
              .as("n_moved"))
       .orderBy(col("s_new"))
   }
+
+  /** Feistel-network epoch permutation — the collision-free deterministic
+    * global shuffle. Training wants every epoch to visit the corpus in a
+    * different pseudo-random order; the naive `orderBy(rand())` is
+    * non-reproducible across retries AND a full global sort of the payload.
+    * A 4-round balanced Feistel network over the 2^32 id domain is a
+    * BIJECTION: `pos = feistel(doc_id, epoch)` assigns every doc a unique
+    * position with zero collisions by construction, computed row-locally
+    * in pure codegen'd integer arithmetic — no shuffle, no materialized
+    * permutation table, and the order is seekable (resume epoch 3 at
+    * position 10^11 = filter `pos >= 10^11`, nothing re-read). Writing the
+    * shuffled corpus is then `repartitionByRange(pos)` — the only exchange
+    * in the whole job, and it replaces the rand() sort's.
+    *
+    * Round function F(r, k) = ((r·2654435761 + k·40503 + 97) mod 2^32) >> 16
+    * (Knuth multiplicative hash; all intermediates < 2^48, exact in BIGINT
+    * in any engine); round keys k = epoch·1000003 + round·7919 + 104729, so
+    * each epoch is an independent permutation of the SAME domain.
+    *
+    * Returned census proves the contract instead of asserting it: per
+    * (epoch, shard = pos >> 27) — the 32 range-shard files a writer would
+    * cut — n_docs with n_distinct_pos (equal ⇔ injective, since equal
+    * positions share a shard), and the min/max position span showing the
+    * shards tile the domain. */
+  def feistelShuffle(df: DataFrame, epochs: Int = 2): DataFrame = {
+    def feistel(id: Column, epoch: Column): Column = {
+      def f(r: Column, round: Int): Column =
+        shiftright((r * lit(2654435761L) +
+          (epoch * lit(1000003L) + lit(round * 7919L + 104729L)) * lit(40503L) +
+          lit(97L)) % lit(4294967296L), 16)
+      var l = shiftright(id, 16)
+      var r = id.bitwiseAND(lit(65535L))
+      for (round <- 0 until 4) {
+        val nl = r
+        val nr = l.bitwiseXOR(f(r, round))
+        l = nl; r = nr
+      }
+      l * lit(65536L) + r
+    }
+    df.select(col("doc_id"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .select(col("epoch"), feistel(col("doc_id"), col("epoch")).as("pos"))
+      .groupBy(col("epoch"), shiftright(col("pos"), 27).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("pos")).as("n_distinct_pos"),
+           min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+      .orderBy(col("epoch"), col("shard"))
+  }
 }

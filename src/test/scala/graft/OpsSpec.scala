@@ -1277,6 +1277,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_docs")).sum === 200L)
   }
 
+  test("feistel shuffle: each epoch is an injective position assignment, " +
+    "epochs are distinct permutations, and the census is repartition-stable") {
+    val docs = docsDf((0L until 300L).map(i => i -> s"t$i"): _*)
+    val out = graft.ops.PackingOps.feistelShuffle(docs, epochs = 3).collect()
+    // injectivity: positions never collide (equal positions would share a
+    // shard, so per-shard distinct counts summing to the total proves it)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 900L)
+    assert(out.map(_.getAs[Long]("n_distinct_pos")).sum === 900L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_pos") === r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_pos") >= 0L)
+      assert(r.getAs[Long]("max_pos") < (1L << 32))
+    }
+    // different epochs permute differently: shard histograms must differ
+    val byEpoch = out.groupBy(_.getAs[Long]("epoch")).view
+      .mapValues(_.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs")))
+        .toSeq.sorted).toMap
+    assert(byEpoch(0L) !== byEpoch(1L))
+    assert(byEpoch(1L) !== byEpoch(2L))
+    // deterministic under physical layout changes
+    val re = graft.ops.PackingOps.feistelShuffle(docs.repartition(7), 3)
+      .collect().map(_.toSeq).toSet
+    assert(re === out.map(_.toSeq).toSet)
+  }
+
   test("dense ranks: block-local numbering + offsets equal the global " +
     "row_number over sparse cross-block keys") {
     val ids = Seq(3L, 10L, 11L, 40L, 1000L).toDF("doc_id")
