@@ -799,6 +799,35 @@ object PipelineOpsQueries {
       graft.ops.DedupOps.nfcDupClusters(d.unionAll(twins))
     }),
 
+    // retraction-IVM: maintain the per-(source,lang) rollup under a CDC
+    // batch (deletes %10==3, updates %10==7 as retract+insert with doubled
+    // n_chars, inserts %10==1 into a NEW source) by folding ONLY the
+    // signed changelog — the oracle recomputes the rollup from the patched
+    // base, so the gate checks the IVM theorem itself
+    "p122_ivm_retracts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))
+      val mv = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      def row(sign: Int, src: org.apache.spark.sql.Column,
+              ch: org.apache.spark.sql.Column)(rows: DataFrame) =
+        rows.select(lit(sign.toLong).as("sign"), src.as("source"),
+          col("lang"), ch.as("n_chars"))
+      val changelog =
+        row(-1, col("source"), col("n_chars"))(
+            d.filter(col("doc_id") % 10 === 3))
+          .unionAll(row(-1, col("source"), col("n_chars"))(
+            d.filter(col("doc_id") % 10 === 7)))
+          .unionAll(row(1, col("source"), col("n_chars") * 2)(
+            d.filter(col("doc_id") % 10 === 7)))
+          .unionAll(row(1, lit("ivm_new"), col("n_chars") + 7)(
+            d.filter(col("doc_id") % 10 === 1)))
+      graft.ops.MergeOps.applyRetracts(mv, changelog,
+          Seq("source", "lang"), "n_docs", "sum_chars", "n_chars")
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Feistel epoch permutation: collision-free deterministic global
     // shuffle — pos = 4-round Feistel over the 2^32 id domain, a bijection
     // computed row-locally (no rand() sort, reproducible, seekable). The
@@ -2920,6 +2949,20 @@ object PipelineOpsQueries {
            CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
              AS n_moved
          FROM a16 JOIN a17 USING (doc_id) GROUP BY 1 ORDER BY 1""",
+    // independent formulation: the oracle RECOMPUTES the rollup from the
+    // patched base (the 100 TB scan IVM avoids) — delta-apply must agree
+    "p122_ivm_retracts" ->
+      """WITH patched AS (
+           SELECT source, lang, n_chars FROM documents
+             WHERE doc_id % 10 <> 3 AND doc_id % 10 <> 7
+           UNION ALL SELECT source, lang, n_chars * 2 FROM documents
+             WHERE doc_id % 10 = 7
+           UNION ALL SELECT 'ivm_new' AS source, lang, n_chars + 7
+             FROM documents WHERE doc_id % 10 = 1)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM patched GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // identical 4-round Feistel arithmetic unrolled as chained CTEs; all
     // intermediates < 2^48 so BIGINT %, >>, & and xor() agree exactly
     "p121_feistel_shuffle" ->

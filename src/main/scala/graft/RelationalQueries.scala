@@ -334,6 +334,36 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // string→number cast strictness ladder: 16 wire forms through
+    // try_cast to BIGINT / DOUBLE / DECIMAL(12,2). Pins found+derived:
+    // Spark's string→BIGINT is strict-integer (rejects '4.9'/'1e3'/'0x1A'
+    // — DuckDB's ROUNDS and accepts hex), '1_000' parses nowhere in Spark
+    // but everywhere in DuckDB, both engines round string→DECIMAL half-up
+    // ('2.345'→2.35), and Spark's double→BIGINT cast follows JVM (long)
+    // semantics — NaN→0, saturating clamp to Long.Max/Min — where DuckDB
+    // null-rails (the oracle derives the JVM rail with explicit CASEs)
+    "q126_cast_ladder" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_cast")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey, element_at(array(
+            ' 42 ', '+7', '-0', '1e3', '.5', '0x1A',
+            '99999999999999999999', '4.9', '-4.9', '', 'nan', '-Infinity',
+            '1_000', '7.0', ' +8.25 ', '2.345'),
+            CAST(o_orderkey % 16 + 1 AS INT)) AS wire
+          FROM orders_cast WHERE o_orderkey % 13 = 0),
+        d AS (SELECT o_orderkey, wire,
+            try_cast(wire AS DOUBLE) AS dv,
+            try_cast(wire AS DECIMAL(12,2)) AS dec FROM b)
+        SELECT o_orderkey, wire,
+          try_cast(wire AS BIGINT) AS big,
+          try_cast(floor(dv) AS BIGINT) AS dbl_floor,
+          CAST(coalesce(isnan(dv), false) AS BIGINT) AS dbl_nan,
+          CAST(coalesce(abs(dv) = CAST('Infinity' AS DOUBLE), false)
+            AS BIGINT) AS dbl_inf,
+          CAST(dec * 100 AS BIGINT) AS dec_cents
+        FROM d ORDER BY o_orderkey""")
+    }),
+
     // calendar arithmetic clamping pin: add_months at month ends (the
     // Jan-31 + 1 month = Feb-29 clamp, forward/backward/cross-year),
     // last_day, strictly-next-weekday, and plain day offsets — the
@@ -2461,6 +2491,35 @@ object RelationalQueries {
            CAST(length(regexp_replace(s, '\d+', '#', 'g')) AS BIGINT)
              AS masked_len
          FROM b ORDER BY o_orderkey""",
+    // Spark semantics DERIVED from DuckDB primitives where they diverge:
+    // strict-integer regexp gate before the BIGINT cast (DuckDB's would
+    // round '4.9'→5 and accept '0x1A'/'1_000'), an underscore guard on
+    // the double/decimal paths, and explicit NaN→0 / ±Long-clamp CASEs
+    // reproducing the JVM (long) rail DuckDB null-rails on
+    "q126_cast_ladder" ->
+      """WITH b AS (SELECT o_orderkey, ([
+             ' 42 ', '+7', '-0', '1e3', '.5', '0x1A',
+             '99999999999999999999', '4.9', '-4.9', '', 'nan', '-Infinity',
+             '1_000', '7.0', ' +8.25 ', '2.345'])
+             [CAST(o_orderkey % 16 + 1 AS INT)] AS wire
+           FROM orders WHERE o_orderkey % 13 = 0),
+         d AS (SELECT o_orderkey, wire,
+             CASE WHEN contains(wire, '_') THEN NULL
+                  ELSE try_cast(wire AS DOUBLE) END AS dv,
+             CASE WHEN contains(wire, '_') THEN NULL
+                  ELSE try_cast(wire AS DECIMAL(12,2)) END AS dec FROM b)
+         SELECT o_orderkey, wire,
+           CASE WHEN regexp_matches(trim(wire), '^[+-]?[0-9]+$')
+                THEN try_cast(wire AS BIGINT) END AS big,
+           CASE WHEN dv IS NULL THEN NULL
+                WHEN isnan(dv) THEN 0
+                WHEN dv >= 9223372036854775807 THEN 9223372036854775807
+                WHEN dv <= -9223372036854775808 THEN -9223372036854775808
+                ELSE try_cast(floor(dv) AS BIGINT) END AS dbl_floor,
+           CAST(coalesce(isnan(dv), false) AS BIGINT) AS dbl_nan,
+           CAST(coalesce(isinf(dv), false) AS BIGINT) AS dbl_inf,
+           CAST(dec * 100 AS BIGINT) AS dec_cents
+         FROM d ORDER BY o_orderkey""",
     // interval month addition clamps identically (verified Jan-31+1m →
     // Feb-29 forward/backward/cross-year); strictly-next-Monday is
     // rebuilt from isodow since DuckDB has no next_day

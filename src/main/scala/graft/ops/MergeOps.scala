@@ -148,6 +148,44 @@ object MergeOps {
       .select(keyCols ++ sumCols ++ maxCols ++ minCols: _*)
   }
 
+  /** Retraction-aware incremental view maintenance — the other half of
+    * [[mergeAggState]]: insert-only deltas merge by addition, but UPDATES
+    * and DELETES need retractions, the standard changelog encoding
+    * (Flink's retract streams, Materialize/DBSP's z-sets): an update is
+    * delete(old image) + insert(new image), a delete is a bare `sign=-1`
+    * row, and every additive measure folds as `sum(sign · measure)`. The
+    * maintained rollup then never re-reads the base: the changelog — delta
+    * -sized by nature — is aggregated with ONE keyed partial+final agg,
+    * and folded into the standing view with one full-outer join (MV
+    * bucketed on its key at scale ⇒ narrow zip, only the delta shuffles).
+    * Groups whose count reaches zero vanish, exactly as a recompute would
+    * drop them; a NEGATIVE count means the producer emitted a retraction
+    * for a row never inserted, and fails fast rather than publishing a
+    * corrupt view. Correctness contract: result ≡ the aggregate recomputed
+    * over the patched base — the driver oracle recomputes exactly that,
+    * so the gate checks the IVM theorem itself, not the implementation.
+    *
+    * @param changelog `sign` (+1 insert / −1 retract) + `keys` + `measure`
+    */
+  def applyRetracts(mv: DataFrame, changelog: DataFrame, keys: Seq[String],
+                    countCol: String, sumCol: String,
+                    measure: String): DataFrame = {
+    val delta = changelog.groupBy(keys.map(col): _*)
+      .agg(sum(col("sign")).as("__d_n"),
+           sum(col("sign") * col(measure)).as("__d_sum"))
+    val merged = mergeAggState(mv, delta.select(
+        keys.map(col) :+ col("__d_n").as(countCol) :+
+          col("__d_sum").as(sumCol): _*),
+      keys, Seq(countCol, sumCol))
+    merged.filter(col(countCol) =!= 0L)
+      .withColumn(countCol,
+        when(col(countCol) < 0L,
+          raise_error(concat(lit("applyRetracts: negative count for key ("),
+            concat_ws(",", keys.map(col): _*),
+            lit(") — retraction without a matching insert"))))
+          .otherwise(col(countCol)))
+  }
+
   /** CDC ops-log apply (Debezium-shape change feed → snapshot): collapse
     * an (key, seq, op ∈ I/U/D, value) log to the LAST op per key (one
     * row_number window keyed like the join), then fold into the snapshot

@@ -181,6 +181,32 @@ class OpsSpec extends AnyFunSuite {
     assert(base.count() == 4) // the slices really overlap nothing
   }
 
+  test("retraction IVM: update=retract+insert, delete retracts, new keys " +
+    "appear, groups reaching zero vanish, and a stray retraction fails") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mv = Seq(("a", "en", 2L, 30L), ("b", "en", 1L, 5L))
+      .toDF("source", "lang", "n_docs", "sum_chars")
+    // update one 'a' row 10→17, delete b's only row, insert into new 'c'
+    val log = Seq((-1L, "a", "en", 10L), (1L, "a", "en", 17L),
+      (-1L, "b", "en", 5L), (1L, "c", "de", 9L))
+      .toDF("sign", "source", "lang", "n_chars")
+    val out = graft.ops.MergeOps.applyRetracts(mv, log,
+        Seq("source", "lang"), "n_docs", "sum_chars", "n_chars")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(("a", "en") -> (2L, 37L), ("c", "de") -> (1L, 9L)))
+    // retraction for a row never inserted → fail fast, not a corrupt view
+    val stray = Seq((-1L, "zzz", "xx", 3L))
+      .toDF("sign", "source", "lang", "n_chars")
+    val ex = intercept[Exception] {
+      graft.ops.MergeOps.applyRetracts(mv, stray,
+        Seq("source", "lang"), "n_docs", "sum_chars", "n_chars").collect()
+    }
+    assert(ex.getMessage.contains("negative count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative count")))
+  }
+
   test("rrf fusion: integer contributions sum per candidate, single-list " +
     "candidates keep their one term, ties break by neighbor id") {
     val a = Seq((0L, 1, 100L), (0L, 2, 101L), (1L, 1, 200L))
