@@ -787,6 +787,20 @@ object PipelineOpsQueries {
 
     // NFC-canonical dedup: composed/decomposed Unicode twins planted per
     // %17 doc (same rendered text, different bytes) must cluster under
+    // distributed suffix array (prefix doubling): global dense
+    // lexicographic rank of EVERY suffix of every doc (128-char prefixes,
+    // deterministic 1/16 corpus slice — n < 46k keeps the 4-tuple rank
+    // packing in 63 bits, so 128 chars are covered in init + 2 rounds) —
+    // the exact-substring-dedup primitive; suffix text never shuffles,
+    // only (doc,pos,rank) triples. Census shards the rank domain and
+    // product-checksums rank↔(doc,pos)
+    "p123_suffix_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.SuffixOps.suffixCensus(
+        docs(s, dir).filter(col("doc_id") % 16 === 0)
+          .select(col("doc_id"), col("text")), maxLen = 128)
+    }),
+
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
     "p120_nfc_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -2949,6 +2963,25 @@ object PipelineOpsQueries {
            CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
              AS n_moved
          FROM a16 JOIN a17 USING (doc_id) GROUP BY 1 ORDER BY 1""",
+    // independent formulation: the oracle MATERIALIZES every suffix
+    // string and sorts it — the Σlen²/2-byte plan prefix doubling exists
+    // to avoid — then dense_rank() must agree with the doubling ranks on
+    // every shard count and both product checksums. Binary-collation
+    // ORDER BY equals the engine's char-code ranks on the ASCII corpus
+    "p123_suffix_ranks" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 128) AS t
+           FROM documents WHERE doc_id % 16 = 0),
+         sfx AS (SELECT doc_id, pos, substr(t, CAST(pos AS INT) + 1) AS s
+                 FROM d, range(128) r(pos) WHERE pos < length(t)),
+         rk AS (SELECT doc_id, pos,
+                  dense_rank() OVER (ORDER BY s) - 1 AS rnk FROM sfx)
+         SELECT rnk >> 9 AS shard, count(*) AS n_suffixes,
+           CAST(count(DISTINCT rnk) AS BIGINT) AS n_distinct,
+           CAST(sum(pos) AS BIGINT) AS sum_pos,
+           CAST(sum(rnk * (pos + 1)) AS BIGINT) AS chk_pos,
+           CAST(sum(rnk * (doc_id % 997 + 1)) AS BIGINT) AS chk_doc
+         FROM rk GROUP BY 1 ORDER BY 1""",
+
     // independent formulation: the oracle RECOMPUTES the rollup from the
     // patched base (the 100 TB scan IVM avoids) — delta-apply must agree
     "p122_ivm_retracts" ->

@@ -334,6 +334,52 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // NULL-propagation semantics pin: the function-by-function map of
+    // where NULL annihilates, where it is skipped, and where it is
+    // three-valued — the silent-corruption class when porting SQL between
+    // engines. Found+pinned divergences: Spark concat() annihilates on
+    // any NULL argument where DuckDB's SKIPS NULLs (concat('a',NULL)='a'
+    // there), and array_contains over a NULL-holding array returns NULL
+    // for an absent needle where DuckDB's list_contains returns false.
+    // Equality pins: concat_ws / array_join / least / greatest all skip
+    // NULLs in both engines, || null-propagates in both, NULL AND FALSE
+    // = FALSE / NULL OR TRUE = TRUE (3VL), <=> vs IS NOT DISTINCT FROM,
+    // and empty-set aggregates (count→0, sum→NULL) via scalar subqueries
+    "q127_null_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_nulls")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'v' END AS sv,
+            CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                 ELSE CAST(o_orderkey % 7 AS BIGINT) END AS nv
+          FROM orders_nulls WHERE o_orderkey % 11 = 0)
+        SELECT o_orderkey,
+          concat('a', sv, 'b') AS cat,
+          concat_ws('-', 'a', sv, 'b') AS cat_ws,
+          sv || 'x' AS pipe_cat,
+          least(nv, CAST(3 AS BIGINT)) AS least_skip,
+          greatest(nv, CAST(3 AS BIGINT)) AS greatest_skip,
+          least(nv, CAST(NULL AS BIGINT)) AS least_two,
+          array_join(array('x', sv, 'y'), ',') AS aj,
+          array_join(array('x', sv, 'y'), ',', '?') AS aj_repl,
+          CAST(array_contains(array('a', sv), 'zz') AS BIGINT) AS ac_missing,
+          CAST(array_contains(array('a', sv), 'a') AS BIGINT) AS ac_hit,
+          CAST(nv = nv AS BIGINT) AS eq_null,
+          CAST(nv <=> nv AS BIGINT) AS eq_nullsafe,
+          CAST(NOT (sv <=> 'v') AS BIGINT) AS isd,
+          CAST((nv > 100) AND (o_orderkey < 0) AS BIGINT) AS tvl_and,
+          CAST((nv > 100) OR (o_orderkey >= 0) AS BIGINT) AS tvl_or,
+          CAST(nv > 100 AS BIGINT) AS tvl_null,
+          CAST(NOT (nv > 100) AS BIGINT) AS tvl_not,
+          nvl2(sv, 'has', 'none') AS nvl2_v,
+          nullif(sv, 'v') AS nullif_v,
+          (SELECT count(*) FROM orders_nulls WHERE o_orderkey < 0)
+            AS empty_cnt,
+          (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders_nulls
+             WHERE o_orderkey < 0) AS empty_sum
+        FROM b ORDER BY o_orderkey""")
+    }),
+
     // string→number cast strictness ladder: 16 wire forms through
     // try_cast to BIGINT / DOUBLE / DECIMAL(12,2). Pins found+derived:
     // Spark's string→BIGINT is strict-integer (rejects '4.9'/'1e3'/'0x1A'
@@ -2490,6 +2536,47 @@ object RelationalQueries {
            CAST(len(string_split_regex(s, '\s+')) AS BIGINT) AS split_n,
            CAST(length(regexp_replace(s, '\d+', '#', 'g')) AS BIGINT)
              AS masked_len
+         FROM b ORDER BY o_orderkey""",
+    // Spark semantics derived where the engines diverge: concat is
+    // rebuilt with || (DuckDB's concat SKIPS NULLs, Spark's annihilates),
+    // array_contains' has-null-and-absent→NULL rail is an explicit CASE
+    // over list_contains, nvl2/array_join-with-replacement rebuilt from
+    // CASE / list_transform+coalesce; everything else pins equal natively
+    "q127_null_semantics" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'v' END AS sv,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 7 AS BIGINT) END AS nv
+           FROM orders WHERE o_orderkey % 11 = 0)
+         SELECT o_orderkey,
+           CASE WHEN sv IS NULL THEN NULL
+                ELSE 'a' || sv || 'b' END AS cat,
+           concat_ws('-', 'a', sv, 'b') AS cat_ws,
+           sv || 'x' AS pipe_cat,
+           least(nv, CAST(3 AS BIGINT)) AS least_skip,
+           greatest(nv, CAST(3 AS BIGINT)) AS greatest_skip,
+           least(nv, CAST(NULL AS BIGINT)) AS least_two,
+           array_to_string(['x', sv, 'y'], ',') AS aj,
+           array_to_string(list_transform(['x', sv, 'y'],
+             z -> coalesce(z, '?')), ',') AS aj_repl,
+           CAST(CASE WHEN list_contains(['a', sv], 'zz') THEN true
+                     WHEN sv IS NULL THEN NULL
+                     ELSE false END AS BIGINT) AS ac_missing,
+           CAST(list_contains(['a', sv], 'a') AS BIGINT) AS ac_hit,
+           CAST(nv = nv AS BIGINT) AS eq_null,
+           CAST(nv IS NOT DISTINCT FROM nv AS BIGINT) AS eq_nullsafe,
+           CAST(sv IS DISTINCT FROM 'v' AS BIGINT) AS isd,
+           CAST((nv > 100) AND (o_orderkey < 0) AS BIGINT) AS tvl_and,
+           CAST((nv > 100) OR (o_orderkey >= 0) AS BIGINT) AS tvl_or,
+           CAST(nv > 100 AS BIGINT) AS tvl_null,
+           CAST(NOT (nv > 100) AS BIGINT) AS tvl_not,
+           CASE WHEN sv IS NULL THEN 'none' ELSE 'has' END AS nvl2_v,
+           nullif(sv, 'v') AS nullif_v,
+           (SELECT count(*) FROM orders WHERE o_orderkey < 0)
+             AS empty_cnt,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+              WHERE o_orderkey < 0) AS empty_sum
          FROM b ORDER BY o_orderkey""",
     // Spark semantics DERIVED from DuckDB primitives where they diverge:
     // strict-integer regexp gate before the BIGINT cast (DuckDB's would

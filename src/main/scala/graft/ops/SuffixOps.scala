@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed suffix-array construction by prefix doubling
+  * (Manber–Myers, generalized to m-tupling) — the exact-substring-dedup
+  * primitive: once every corpus suffix carries its global lexicographic
+  * rank, repeated substrings of any length are adjacent rank runs, which
+  * is how byte-level training-data dedup (Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better") finds the 50-token
+  * verbatim repeats that n-gram methods miss. Reference analogue: none —
+  * engine addition for the curation family (SURVEY §2.3).
+  *
+  * Why this shape at 10^12 docs: the naive formulation materializes every
+  * suffix STRING and globally sorts Σ len²/2 bytes — dead long before one
+  * shard. Here suffix text is touched by exactly one init scan; all later
+  * state is (doc_id, ranks[pos]) with ranks dense in [0, n), the
+  * distributed-memory construction of Flick & Aluru (SC'15) with three
+  * engine-shaped twists:
+  *
+  *   1. per-doc ARRAY state (suffixes never cross a document, docs are
+  *      capped at `maxLen` chars): forming the round's comparison keys
+  *      (rank[pos], rank[pos+k], …) is a row-local codegen `transform` —
+  *      zero shuffle — instead of a self-join;
+  *   2. m-TUPLING, not just doubling: while (n+1)^m fits in a signed
+  *      long, m consecutive block ranks pack into ONE base-(n+1) integer
+  *      whose order is exactly the m·k-prefix order, so each ranking
+  *      round multiplies the covered prefix by m (m=3 at 10^8 suffixes,
+  *      m=4 below 55k; at n ≥ 2^31 packing degenerates to the classic
+  *      two-column (r1, r2) doubling — same densify, two sort keys);
+  *   3. dense re-ranking WITHOUT a global sort: rows bucket by the
+  *      VALUE-derived top rank component (dense in [0, n) — no
+  *      repartitionByRange sampling pass, same determinism rationale as
+  *      [[PackingOps]]'s prefix sum), sort within partitions, per-bucket
+  *      distinct counts (≤ numBuckets rows) prefix-sum on the driver,
+  *      one sweep assigns offset + local index. Equal keys share the
+  *      bucket, so ties stay tied and the ranks are a pure function of
+  *      the data (partition-count invariant).
+  *
+  * Init ranks pack the first 8 chars base-129 (ASCII contract — codepoint
+  * order equals UTF-8 byte order, so ranks agree with binary-collation
+  * `ORDER BY suffix` on both engines; the corpus is ASCII per TESTDATA.md
+  * and the spec pins multi-byte out of scope). Rounds stop early at the
+  * refinement fixpoint — every rank distinct, OR a round that splits no
+  * class (duplicate suffixes keep nd < n forever, so the unchanged-count
+  * test is the one that fires on deduplicatable corpora) — detected for
+  * free from the per-bucket counts the ranking pass already collects.
+  */
+object SuffixOps {
+
+  case class SfxKey(doc_id: Long, pos: Int, bkt: Int, k1: Long, k2: Long)
+  case class SfxRank(doc_id: Long, pos: Int, rnk: Long)
+
+  /** Global suffix ranks over `substring(text, 1, maxLen)` of every doc:
+    * one row per (doc_id, pos) with `rnk` = 0-based dense lexicographic
+    * rank of that suffix among ALL suffixes of ALL docs (equal suffix
+    * strings share a rank — exactly `dense_rank() OVER (ORDER BY
+    * suffix) - 1`).
+    *
+    * @param forcePairwise test hook: pretend (n+1)^2 overflows so the
+    *   huge-n two-column doubling path runs (the path a 10^14-suffix
+    *   corpus takes, where no packing fits 63 bits). */
+  def suffixRanks(docs: DataFrame, maxLen: Int = 192,
+                  forcePairwise: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // one narrow scan — the only pass that touches text: first-8-chars
+    // packed base-129 ((code+1), 0 pads the tail) as the round-0 key
+    val init = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        substring(col("text"), 1, maxLen).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, length(t) - 1), i -> struct(
+          |  i AS pos,
+          |  aggregate(sequence(0, 7), 0L, (acc, j) ->
+          |    acc * 129L + IF(i + j < length(t),
+          |      CAST(ascii(substring(t, i + j + 1, 1)) AS BIGINT) + 1L,
+          |      0L)) AS k1))
+          |""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.pos").cast("int").as("pos"),
+        // bucket by the top two chars: key div 129^6, dense enough
+        expr("CAST(x.k1 DIV 4594972986357 AS INT)").as("bkt0"),
+        col("x.k1"), lit(0L).as("k2"))
+
+    val n = init.count()
+    if (n == 0) return spark.emptyDataset[SfxRank].toDF()
+    val buckets = math.max(spark.sparkContext.defaultParallelism,
+      math.min(1024L, n / 4096L)).toInt
+    val base = n + 1 // rank packing base; ranks are dense < n
+
+    // m-tuple width: largest m with (n+1)^m < 2^62; m < 2 → pairwise path
+    val mWidth: Int = if (forcePairwise) 1 else {
+      var m = 1; var v = base
+      while (m < 4 && v < (1L << 62) / base) { v *= base; m += 1 }
+      m
+    }
+
+    var (cur, curCache, nd0) =
+      densify(init.withColumnRenamed("bkt0", "bkt").as[SfxKey],
+        buckets, None)
+    var prefix = 8L // chars already ordered by the current ranks
+    var prevNd = nd0
+    var done = nd0 == n
+
+    while (prefix < maxLen && !done) {
+      val arr = regroup(cur) // (doc_id, a: array<long> ranks by pos)
+      val k = prefix
+      val keyed: Dataset[SfxKey] =
+        if (mWidth >= 2) {
+          // pack (r[i], r[i+k], …, r[i+(m-1)k]) base (n+1); missing → 0
+          val terms = (0 until mWidth).map { j =>
+            val off = k * j
+            val r = if (j == 0) "a[i]"
+            else s"IF(i + ${off} < size(a), a[i + ${off}], -1L)"
+            s"($r + 1L)"
+          }
+          val packed = terms.reduceLeft((acc, t) => s"($acc * ${base}L + $t)")
+          arr.select(col("doc_id"), explode(expr(
+            s"""transform(sequence(0, size(a) - 1), i -> struct(
+               |  i AS pos, $packed AS k1))""".stripMargin)).as("x"))
+            .select(col("doc_id"), col("x.pos").cast("int").as("pos"),
+              // top component = r[i]+1 ∈ [1, n]: value-derived bucket
+              expr(s"CAST(x.k1 DIV ${pow(base, mWidth - 1)}L" +
+                s" * $buckets DIV ${base}L AS INT)").as("bkt"),
+              col("x.k1"), lit(0L).as("k2")).as[SfxKey]
+        } else {
+          // n too large for any packing: classic (r1, r2) doubling
+          arr.select(col("doc_id"), explode(expr(
+            s"""transform(sequence(0, size(a) - 1), i -> struct(
+               |  i AS pos, a[i] AS k1,
+               |  IF(i + $k < size(a), a[i + $k], -1L) AS k2))"""
+              .stripMargin)).as("x"))
+            .select(col("doc_id"), col("x.pos").cast("int").as("pos"),
+              expr(s"CAST(x.k1 * $buckets DIV ${base}L AS INT)").as("bkt"),
+              col("x.k1"), col("x.k2")).as[SfxKey]
+        }
+      val (next, nextCache, nd) = densify(keyed, buckets, curCache)
+      cur = next; curCache = nextCache
+      // fixpoint: the m-tuple key's top component is the old rank, so the
+      // new partition refines the old; an unchanged distinct count means
+      // no class split this round — and a partition stable under one
+      // spacing-k m-tuple refinement is stable under all larger prefixes
+      // (standard prefix-doubling convergence), so ranks are final even
+      // though duplicate suffixes keep nd < n forever
+      done = nd == n || nd == prevNd
+      prevNd = nd
+      prefix = k * math.max(mWidth, 2)
+    }
+    cur.toDF()
+  }
+
+  private def pow(b: Long, e: Int): Long = {
+    var v = 1L; var i = 0
+    while (i < e) { v *= b; i += 1 }; v
+  }
+
+  /** (doc_id, pos, rnk) rows → (doc_id, a) with a[pos] = rnk. */
+  private def regroup(ranks: Dataset[SfxRank]): DataFrame =
+    ranks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("rnk"))))
+        .as("pr"))
+      .select(col("doc_id"),
+        expr("transform(pr, x -> x.rnk)").as("a"))
+
+  /** Dense 0-based rank of (k1, k2) keys without a global sort: hash
+    * exchange on the value-derived bucket + in-partition sort + a driver
+    * prefix-sum over ≤ `buckets` per-bucket distinct counts. A bucket
+    * lives in exactly one partition and bucket ranges are disjoint in
+    * key space, so offset + local dense index is the global dense rank.
+    * Returns (ranked, itsCache, totalDistinct); unpersists `prev` once
+    * the new cache is materialized. */
+  private def densify(keys: Dataset[SfxKey], buckets: Int,
+                      prev: Option[Dataset[SfxKey]])
+    : (Dataset[SfxRank], Option[Dataset[SfxKey]], Long) = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val sorted = keys
+      .repartition(buckets, col("bkt"))
+      .sortWithinPartitions(col("bkt"), col("k1"), col("k2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1 (materializes the cache): per-bucket distinct-key counts —
+    // rows arrive bucket-contiguous and sorted, one sweep, tiny collect
+    val counts: Array[(Int, Long)] = sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var bkt = Int.MinValue; var nd = 0L
+      var l1 = 0L; var l2 = 0L; var has = false
+      def flush(): Unit = if (bkt != Int.MinValue) out += ((bkt, nd))
+      while (it.hasNext) {
+        val x = it.next()
+        if (x.bkt != bkt) { flush(); bkt = x.bkt; nd = 0L; has = false }
+        if (!has || x.k1 != l1 || x.k2 != l2) {
+          nd += 1L; l1 = x.k1; l2 = x.k2; has = true
+        }
+      }
+      flush(); out.iterator
+    }.collect()
+    prev.foreach(_.unpersist())
+
+    val total = counts.map(_._2).sum
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (b, nd) =>
+      offsets.put(b, acc); acc += nd
+    }
+    val bc: Broadcast[java.util.HashMap[Int, Long]] =
+      spark.sparkContext.broadcast(offsets)
+
+    // pass 2: offset + local dense index, one sweep per partition
+    val ranked = sorted.mapPartitions { it =>
+      var bkt = Int.MinValue; var local = -1L
+      var l1 = 0L; var l2 = 0L; var has = false
+      it.map { x =>
+        if (x.bkt != bkt) { bkt = x.bkt; local = -1L; has = false }
+        if (!has || x.k1 != l1 || x.k2 != l2) {
+          local += 1L; l1 = x.k1; l2 = x.k2; has = true
+        }
+        SfxRank(x.doc_id, x.pos, bc.value.get(x.bkt) + local)
+      }
+    }
+    (ranked, Some(sorted), total)
+  }
+
+  /** Driver-gate census of the full rank array: 512-rank shards carrying
+    * suffix/distinct counts plus two product checksums that bind every
+    * rank to its (doc, pos) — any single wrong rank moves a shard or
+    * breaks a checksum. Integer-exact: rnk < n and the factors are < 2^10,
+    * so shard sums stay far below 2^63. */
+  def suffixCensus(docs: DataFrame, maxLen: Int = 192,
+                   shardShift: Int = 9): DataFrame =
+    suffixRanks(docs, maxLen)
+      .groupBy(shiftright(col("rnk"), shardShift).as("shard"))
+      .agg(count(lit(1)).as("n_suffixes"),
+        countDistinct(col("rnk")).as("n_distinct"),
+        sum(col("pos").cast("long")).as("sum_pos"),
+        sum(col("rnk") * (col("pos").cast("long") + 1L)).as("chk_pos"),
+        sum(col("rnk") * (col("doc_id") % 997L + 1L)).as("chk_doc"))
+      .orderBy(col("shard"))
+}
