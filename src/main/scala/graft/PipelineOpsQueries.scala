@@ -801,6 +801,19 @@ object PipelineOpsQueries {
           .select(col("doc_id"), col("text")), maxLen = 128)
     }),
 
+    // LCP census over the suffix order (Kasai companion to p123): for
+    // each adjacent distinct-rank pair, the common-prefix length of the
+    // two suffixes capped at a 64-char window — the repeated-substring
+    // spectrum exact-substring dedup thresholds on. One representative
+    // per rank class + windowed text (O(nd·64) bytes, never Σlen²),
+    // codegen'd byte-loop LCP; chk_rnk binds each pair's LCP to its rank
+    "p124_lcp_census" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.SuffixOps.lcpCensus(
+        docs(s, dir).filter(col("doc_id") % 16 === 0)
+          .select(col("doc_id"), col("text")), maxLen = 128, window = 64)
+    }),
+
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
     "p120_nfc_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -2981,6 +2994,30 @@ object PipelineOpsQueries {
            CAST(sum(rnk * (pos + 1)) AS BIGINT) AS chk_pos,
            CAST(sum(rnk * (doc_id % 997 + 1)) AS BIGINT) AS chk_doc
          FROM rk GROUP BY 1 ORDER BY 1""",
+
+    // independent formulation: the oracle again materializes and sorts
+    // every suffix string, takes one representative window per distinct
+    // suffix, pairs adjacent ranks, and computes each LCP as a correlated
+    // max-k over prefix equality (the O(W²)-per-pair plan the codegen
+    // byte loop replaces); prefix equality is monotone so max-k is the LCP
+    "p124_lcp_census" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 128) AS t
+           FROM documents WHERE doc_id % 16 = 0),
+         sfx AS (SELECT substr(t, CAST(pos AS INT) + 1) AS s
+                 FROM d, range(128) r(pos) WHERE pos < length(t)),
+         rk AS (SELECT s, dense_rank() OVER (ORDER BY s) - 1 AS rnk
+                FROM sfx),
+         rep AS (SELECT rnk, substr(min(s), 1, 64) AS win
+                 FROM rk GROUP BY rnk),
+         pr AS (SELECT a.rnk AS rnk, a.win AS wa, b.win AS wb
+                FROM rep a JOIN rep b ON b.rnk = a.rnk + 1),
+         l AS (SELECT rnk, coalesce((SELECT max(k) FROM range(1, 65) g(k)
+                 WHERE substr(wa, 1, CAST(k AS INT)) =
+                       substr(wb, 1, CAST(k AS INT))), 0) AS lcp
+               FROM pr)
+         SELECT CAST(lcp AS BIGINT) AS lcp, count(*) AS n_pairs,
+           CAST(sum(rnk) AS BIGINT) AS chk_rnk
+         FROM l GROUP BY 1 ORDER BY 1""",
 
     // independent formulation: the oracle RECOMPUTES the rollup from the
     // patched base (the 100 TB scan IVM avoids) — delta-apply must agree

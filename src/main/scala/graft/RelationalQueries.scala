@@ -380,6 +380,71 @@ object RelationalQueries {
         FROM b ORDER BY o_orderkey""")
     }),
 
+    // IEEE-754 double semantics pin: the engine-by-engine map of where
+    // float behavior is IEEE (identical) vs engine policy (divergent) —
+    // the silent-corruption class for numeric pipelines. Probed+pinned
+    // divergences: division by zero (Spark ANSI ERRORS on plain `/`,
+    // try_divide NULL-rails — DuckDB's plain `/` NULL-rails natively, so
+    // the NULL rail is the common contract), ln(0)/ln(<0) (Spark NULL,
+    // DuckDB raises), sqrt(<0) (Spark NaN, DuckDB raises), sign(NaN)
+    // (Spark NaN, DuckDB 0), abs(-0.0) (Spark +0.0, DuckDB KEEPS the sign
+    // bit → '-0.0'). Pinned equal: NaN=NaN true & NaN>Inf in comparisons,
+    // grouping and count(DISTINCT) fold -0.0 into 0.0 and all NaNs into
+    // one class, max picks NaN / min skips it, Inf−Inf and Inf·0 are NaN,
+    // overflow → Inf (never error), 0.1+0.2≠0.3, float32 narrowing and
+    // the 2^53 integer-precision edge round-to-even identically, and
+    // pow(0,0)=pow(Inf,0)=1. All outputs are BIGINT flags or strings —
+    // never raw doubles — because NULL and NaN collapse in the driver's
+    // pandas compare
+    "q128_float_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_float")
+      s.sql("""WITH c AS (
+          SELECT o_orderkey, CAST(o_orderkey % 7 + 1 AS DOUBLE) AS v,
+            CAST('NaN' AS DOUBLE) AS nan, CAST('Infinity' AS DOUBLE) AS inf,
+            CAST(0 AS DOUBLE) AS zero, CAST('-0.0' AS DOUBLE) AS nz
+          FROM orders_float WHERE o_orderkey % 31 = 0)
+        SELECT o_orderkey,
+          CAST(try_divide(v, zero) IS NULL AS BIGINT) AS div0_null,
+          CAST(try_divide(v, nz) IS NULL AS BIGINT) AS divnz_null,
+          CAST(nan = nan AS BIGINT) AS nan_self_eq,
+          CAST(nan > inf AS BIGINT) AS nan_gt_inf,
+          CAST(nz = zero AS BIGINT) AS negzero_eq,
+          CAST(isnan(inf - inf) AS BIGINT) AS inf_minus_inf_nan,
+          CAST(isnan(inf * zero) AS BIGINT) AS inf_times_zero_nan,
+          CAST(v / inf = zero AS BIGINT) AS div_inf_zero,
+          CAST(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+               = CAST(0.3 AS DOUBLE) AS BIGINT) AS tenth_sum_eq,
+          CAST(ln(zero) IS NULL AS BIGINT) AS ln0_null,
+          CAST(ln(-v) IS NULL AS BIGINT) AS ln_neg_null,
+          CAST(exp(v * CAST(1000 AS DOUBLE)) = inf AS BIGINT) AS exp_ovf_inf,
+          CAST(CAST(1e308 AS DOUBLE) * CAST(10 AS DOUBLE) = inf AS BIGINT)
+            AS lit_ovf_inf,
+          CAST(CAST(CAST(16777217 AS DOUBLE) AS FLOAT) AS BIGINT)
+            AS f32_narrow,
+          CAST(CAST(9007199254740993 AS DOUBLE) AS BIGINT) AS p53_round,
+          CAST(isnan(sqrt(-v)) AS BIGINT) AS sqrt_neg_nan,
+          CAST(isnan(sign(nan)) AS BIGINT) AS sign_nan_is_nan,
+          CAST(sign(-v) AS STRING) AS sign_neg_str,
+          CAST(nz AS STRING) AS negzero_str,
+          CAST(abs(nz) AS STRING) AS abs_negzero_str,
+          CAST(power(inf, zero) = CAST(1 AS DOUBLE) AS BIGINT) AS pow_inf0_one,
+          CAST(power(zero, zero) = CAST(1 AS DOUBLE) AS BIGINT) AS pow00_one,
+          CAST(nanvl(nan, v) AS BIGINT) AS nanvl_pick,
+          CAST(isnan(greatest(v, nan)) AS BIGINT) AS greatest_nan,
+          CAST(least(v, nan) AS BIGINT) AS least_picks_v,
+          (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
+             (CAST('NaN' AS DOUBLE)), (CAST(0 AS DOUBLE)),
+             (CAST('-0.0' AS DOUBLE)) AS t(x)) AS nd_group,
+          (SELECT CAST(isnan(max(x)) AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
+             (CAST(0 AS DOUBLE)) AS t(x)) AS max_is_nan,
+          (SELECT CAST(min(x) = CAST(0 AS DOUBLE) AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
+             (CAST(0 AS DOUBLE)) AS t(x)) AS min_skips_nan
+        FROM c ORDER BY o_orderkey""")
+    }),
+
     // string→number cast strictness ladder: 16 wire forms through
     // try_cast to BIGINT / DOUBLE / DECIMAL(12,2). Pins found+derived:
     // Spark's string→BIGINT is strict-integer (rejects '4.9'/'1e3'/'0x1A'
@@ -2578,6 +2643,60 @@ object RelationalQueries {
            (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
               WHERE o_orderkey < 0) AS empty_sum
          FROM b ORDER BY o_orderkey""",
+    // IEEE facts pin natively; Spark policy is DERIVED as literals where
+    // DuckDB diverges or raises: ln(0)/ln(<0)/sqrt(<0) RAISE in DuckDB
+    // (Spark null/NaN-rails) → derived flags; sign(NaN)=0 here vs Spark's
+    // NaN → literal 1; abs(-0.0) KEEPS the sign bit here ('-0.0') where
+    // Spark clears it → literal '0.0'; sign() returns INTEGER here vs
+    // Spark's DOUBLE → rendered literal '-1.0'. Plain `/` IS the NULL
+    // rail in DuckDB (no try_divide needed); everything else pins equal
+    "q128_float_semantics" ->
+      """WITH c AS (
+           SELECT o_orderkey, CAST(o_orderkey % 7 + 1 AS DOUBLE) AS v,
+             CAST('NaN' AS DOUBLE) AS nan, CAST('Infinity' AS DOUBLE) AS inf,
+             CAST(0 AS DOUBLE) AS zero, CAST('-0.0' AS DOUBLE) AS nz
+           FROM orders WHERE o_orderkey % 31 = 0)
+         SELECT o_orderkey,
+           CAST(v / zero IS NULL AS BIGINT) AS div0_null,
+           CAST(v / nz IS NULL AS BIGINT) AS divnz_null,
+           CAST(nan = nan AS BIGINT) AS nan_self_eq,
+           CAST(nan > inf AS BIGINT) AS nan_gt_inf,
+           CAST(nz = zero AS BIGINT) AS negzero_eq,
+           CAST(isnan(inf - inf) AS BIGINT) AS inf_minus_inf_nan,
+           CAST(isnan(inf * zero) AS BIGINT) AS inf_times_zero_nan,
+           CAST(v / inf = zero AS BIGINT) AS div_inf_zero,
+           CAST(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+                = CAST(0.3 AS DOUBLE) AS BIGINT) AS tenth_sum_eq,
+           CAST(1 AS BIGINT) AS ln0_null,
+           CAST(1 AS BIGINT) AS ln_neg_null,
+           CAST(exp(v * CAST(1000 AS DOUBLE)) = inf AS BIGINT) AS exp_ovf_inf,
+           CAST(CAST(1e308 AS DOUBLE) * CAST(10 AS DOUBLE) = inf AS BIGINT)
+             AS lit_ovf_inf,
+           CAST(CAST(CAST(16777217 AS DOUBLE) AS FLOAT) AS BIGINT)
+             AS f32_narrow,
+           CAST(CAST(9007199254740993 AS DOUBLE) AS BIGINT) AS p53_round,
+           CAST(1 AS BIGINT) AS sqrt_neg_nan,
+           CAST(1 AS BIGINT) AS sign_nan_is_nan,
+           CAST(sign(-v) AS BIGINT) || '.0' AS sign_neg_str,
+           CAST(nz AS VARCHAR) AS negzero_str,
+           '0.0' AS abs_negzero_str,
+           CAST(power(inf, zero) = CAST(1 AS DOUBLE) AS BIGINT) AS pow_inf0_one,
+           CAST(power(zero, zero) = CAST(1 AS DOUBLE) AS BIGINT) AS pow00_one,
+           CAST(CASE WHEN isnan(nan) THEN v ELSE nan END AS BIGINT)
+             AS nanvl_pick,
+           CAST(isnan(greatest(v, nan)) AS BIGINT) AS greatest_nan,
+           CAST(least(v, nan) AS BIGINT) AS least_picks_v,
+           (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
+              (CAST('NaN' AS DOUBLE)), (CAST(0 AS DOUBLE)),
+              (CAST('-0.0' AS DOUBLE))) t(x)) AS nd_group,
+           (SELECT CAST(isnan(max(x)) AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
+              (CAST(0 AS DOUBLE))) t(x)) AS max_is_nan,
+           (SELECT CAST(min(x) = CAST(0 AS DOUBLE) AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
+              (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
+         FROM c ORDER BY o_orderkey""",
     // Spark semantics DERIVED from DuckDB primitives where they diverge:
     // strict-integer regexp gate before the BIGINT cast (DuckDB's would
     // round '4.9'→5 and accept '0x1A'/'1_000'), an underscore guard on

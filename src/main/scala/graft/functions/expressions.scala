@@ -101,6 +101,8 @@ object functions {
     column(SignLshBucket(expression(c), planes))
   def deflate_len(c: Column): Column = column(DeflateLength(expression(c)))
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+  def common_prefix_len(a: Column, b: Column): Column =
+    column(CommonPrefixLen(expression(a), expression(b)))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
@@ -400,5 +402,49 @@ object DeflateLength {
     var total = 0
     while (!d.finished()) total += d.deflate(b)
     total
+  }
+}
+
+/** Length (in bytes) of the longest common prefix of two strings as one
+  * codegen'd comparison loop — the adjacent-suffix LCP kernel of
+  * [[graft.ops.SuffixOps.lcpCensus]]. Byte-wise equals codepoint-wise on
+  * the engine's ASCII corpus contract (same rationale as SuffixOps' packed
+  * base-129 init ranks: UTF-8 byte order == codepoint order there); on
+  * general UTF-8 a byte-level common prefix could split a multi-byte
+  * codepoint, so the ASCII contract is load-bearing and pinned by the
+  * SuffixOps spec. The equivalent HOF fold
+  * (`aggregate(sequence(1, n), 0, (acc, k) -> IF(substring(a,1,k) =
+  * substring(b,1,k), k, acc))`) re-compares O(n²) chars through the
+  * expression interpreter; this is one O(n) pass inside whole-stage
+  * codegen. */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"common_prefix_len requires STRING args, got " +
+        s"${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CommonPrefixLen.lenOf(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CommonPrefixLen.lenOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixLen =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "common_prefix_len"
+}
+
+object CommonPrefixLen {
+  /** Called from generated code. */
+  def lenOf(a: UTF8String, b: UTF8String): Int = {
+    val n = math.min(a.numBytes, b.numBytes)
+    var i = 0
+    while (i < n && a.getByte(i) == b.getByte(i)) i += 1
+    i
   }
 }

@@ -225,6 +225,57 @@ object SuffixOps {
     (ranked, Some(sorted), total)
   }
 
+  /** LCP census over the global suffix order — the Kasai-style companion
+    * to [[suffixRanks]]: for every adjacent pair of DISTINCT ranks
+    * (r, r+1), the length of the longest common prefix of the two suffix
+    * strings, capped at `window` chars. This is the signal exact-substring
+    * dedup actually thresholds on (Lee et al. 2021 remove repeats with
+    * LCP ≥ 50 tokens): a long verbatim repeat appears as an adjacent-rank
+    * pair with a large LCP, and the census histogram is the corpus's
+    * repeated-substring spectrum.
+    *
+    * Scale shape: true unbounded LCP needs character access per pair —
+    * the trap is materializing full suffixes (Σ len²/2 bytes again). Two
+    * bounds keep it linear:
+    *   1. one REPRESENTATIVE per rank class (min (doc_id, pos)) — equal
+    *      ranks are equal suffix strings, so the class's window is any
+    *      member's window; the groupBy shuffles (rnk, doc, pos) triples
+    *      only;
+    *   2. the `window` cap: dedup thresholds at some repeat length W, so
+    *      each representative carries exactly min(W, remaining) chars —
+    *      O(n_distinct · W) bytes total, the tunable that replaces len².
+    *      Two windows that are equal through all W chars report LCP = W
+    *      (">= W", exactly the thresholded predicate dedup needs).
+    * Window text is attached by ONE doc_id-keyed join against the capped
+    * doc texts (text shuffles once), pairing is a dense-key self-join on
+    * rnk+1 = rnk (hash exchange of (rnk, win) rows, no global sort), and
+    * the per-pair LCP is the codegen'd byte loop
+    * [[graft.functions.CommonPrefixLen]] (ASCII contract shared with the
+    * base-129 init ranks). `chk_rnk` binds every pair's LCP to its rank so
+    * a census row can't be right by accident.
+    */
+  def lcpCensus(docs: DataFrame, maxLen: Int = 192,
+                window: Int = 64): DataFrame = {
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"),
+      substring(col("text"), 1, maxLen).as("t"))
+    val reps = suffixRanks(docs, maxLen)
+      .groupBy(col("rnk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .select(col("rnk"), col("rep.doc_id").as("doc_id"),
+        col("rep.pos").as("pos"))
+    val wins = reps.join(d, "doc_id")
+      .select(col("rnk"), expr(s"substring(t, pos + 1, $window)").as("win"))
+    wins.as("a")
+      .join(wins.as("b"), col("a.rnk") + 1L === col("b.rnk"))
+      .select(col("a.rnk").as("rnk"),
+        graft.functions.functions
+          .common_prefix_len(col("a.win"), col("b.win"))
+          .cast("long").as("lcp"))
+      .groupBy(col("lcp"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("rnk")).as("chk_rnk"))
+      .orderBy(col("lcp"))
+  }
+
   /** Driver-gate census of the full rank array: 512-rank shards carrying
     * suffix/distinct counts plus two product checksums that bind every
     * rank to its (doc, pos) — any single wrong rank moves a shard or

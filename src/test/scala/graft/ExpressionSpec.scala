@@ -144,6 +144,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("common_prefix_len: byte loop matches the O(n²) substring fold, " +
+      "null-propagates, stays in codegen") {
+    import spark.implicits._
+    val cases = Seq(
+      ("banana", "bandana"), ("abc", "abc"), ("abc", "abd"),
+      ("ab", "abc"), ("", "abc"), ("", ""), ("xyz", "abc"))
+    val got = cases.toDF("a", "b")
+      .select(gf.common_prefix_len(col("a"), col("b"))).as[Int].collect()
+    val want = cases.map { case (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    }
+    assert(got.toSeq === want)
+    // null propagation (BinaryExpression default)
+    val n = Seq((Option("a"), Option.empty[String]))
+      .toDF("a", "b")
+      .select(gf.common_prefix_len(col("a"), col("b")).as("l"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+    val plan = spark.range(10)
+      .select(gf.common_prefix_len(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("pfx"), col("id")),
+        org.apache.spark.sql.functions.lit("pfx9")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"))
+  }
+
   test("cosine_sim null semantics: length mismatch and null element → null") {
     import spark.implicits._
     val df = Seq(

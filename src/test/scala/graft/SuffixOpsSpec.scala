@@ -74,6 +74,52 @@ class SuffixOpsSpec extends AnyFunSuite {
     assert(packed === brute(docs))
   }
 
+  /** Brute-force LCP census: sort distinct suffixes, pair adjacent,
+    * common-prefix length capped at `window`. */
+  private def bruteLcp(docs: Seq[(Long, String)], maxLen: Int,
+                       window: Int): Map[Long, (Long, Long)] = {
+    val distinct = docs.flatMap { case (_, t0) =>
+      val t = t0.take(maxLen); (0 until t.length).map(t.substring)
+    }.distinct.sorted
+    distinct.sliding(2).zipWithIndex.collect {
+      case (Seq(a, b), r) =>
+        val wa = a.take(window); val wb = b.take(window)
+        val lcp = wa.zip(wb).takeWhile { case (x, y) => x == y }.size.toLong
+        (lcp, r.toLong)
+    }.toSeq.groupBy(_._1)
+      .map { case (l, xs) => l -> (xs.size.toLong, xs.map(_._2).sum) }
+  }
+
+  test("lcp census matches the brute-force adjacent-suffix scan, " +
+      "window caps long repeats, planted verbatim repeat is visible") {
+    // doc 2 repeats doc 1's 30-char phrase verbatim → some adjacent pair
+    // must share ≥ 30 chars; the window cap (16) truncates it to 16
+    val phrase = "the exact thirty char phrase x"
+    val docs = Seq(
+      (1L, s"alpha $phrase beta ${"na" * 5}"),
+      (2L, s"gamma $phrase delta"),
+      (3L, "unrelated content entirely zz"))
+    val got = graft.ops.SuffixOps
+      .lcpCensus(docs.toDF("doc_id", "text"), maxLen = 96, window = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === bruteLcp(docs, maxLen = 96, window = 16))
+    // the planted repeat saturates the window: an LCP = 16 pair exists
+    assert(got.contains(16L))
+  }
+
+  test("lcp census is partition-count invariant") {
+    val docs = (0L until 24L).map(i =>
+      (i, s"shared header text ${"ab" * (i % 5 + 1).toInt} tail $i"))
+    val df = docs.toDF("doc_id", "text")
+    val a = graft.ops.SuffixOps.lcpCensus(df, maxLen = 64, window = 24)
+      .collect().map(_.toSeq)
+    val b = graft.ops.SuffixOps
+      .lcpCensus(df.repartition(7), maxLen = 64, window = 24)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+
   test("census: shard counts, distincts and checksums are partition-count" +
       " invariant") {
     val docs = (0L until 30L).map(i => (i, ("xy" * (i % 11 + 1).toInt) +
