@@ -814,6 +814,20 @@ object PipelineOpsQueries {
           .select(col("doc_id"), col("text")), maxLen = 128, window = 64)
     }),
 
+    // verbatim-repeat removal plan (Lee et al. ExactSubstr, completed):
+    // every suffix whose max-neighbor-LCP / duplicate-class length reaches
+    // 20 chars flags [pos, pos+len), per-doc spans interval-union into the
+    // byte ranges a dedup cut would remove; census binds count + bytes +
+    // Σ start·len per doc. The oracle rebuilds the whole chain — suffix
+    // sort, neighbor LCPs, islands merge — from scratch in SQL
+    "p125_repeat_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.SuffixOps.repeatSpans(
+        docs(s, dir).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text")),
+        maxLen = 128, window = 64, minLen = 20)
+    }),
+
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
     "p120_nfc_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -3018,6 +3032,64 @@ object PipelineOpsQueries {
          SELECT CAST(lcp AS BIGINT) AS lcp, count(*) AS n_pairs,
            CAST(sum(rnk) AS BIGINT) AS chk_rnk
          FROM l GROUP BY 1 ORDER BY 1""",
+
+    // independent formulation of the whole removal-plan chain: suffix
+    // sort + dense_rank, class sizes, neighbor LCPs as correlated max-k
+    // probes, member spans via greatest(neighbor, dup-class length), and
+    // the interval union as the classic running-max islands window — the
+    // engine's sorted-array fold must agree row-for-row per doc
+    "p125_repeat_spans" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 128) AS t
+           FROM documents WHERE doc_id % 4 = 0),
+         sfx AS (SELECT doc_id, pos, length(t) AS len,
+                   substr(t, CAST(pos AS INT) + 1) AS s
+                 FROM d, range(128) r(pos) WHERE pos < length(t)),
+         rk AS (SELECT doc_id, pos, len, s,
+                  dense_rank() OVER (ORDER BY s) - 1 AS rnk FROM sfx),
+         cls AS (SELECT rnk, count(*) AS n_members,
+                   substr(min(s), 1, 64) AS win
+                 FROM rk GROUP BY rnk),
+         nxt AS (SELECT a.rnk AS rnk,
+                   coalesce((SELECT max(k) FROM range(1, 65) g(k)
+                     WHERE substr(a.win, 1, CAST(k AS INT)) =
+                           substr(b.win, 1, CAST(k AS INT))), 0) AS lcp
+                 FROM cls a JOIN cls b ON b.rnk = a.rnk + 1),
+         crep AS (SELECT c.rnk, c.n_members,
+                    greatest(coalesce(n1.lcp, 0), coalesce(n0.lcp, 0))
+                      AS nbr_lcp
+                  FROM cls c LEFT JOIN nxt n1 ON n1.rnk = c.rnk
+                    LEFT JOIN nxt n0 ON n0.rnk = c.rnk - 1),
+         spans AS (SELECT rk.doc_id, rk.pos AS s,
+                     rk.pos + greatest(crep.nbr_lcp,
+                       CASE WHEN crep.n_members >= 2
+                            THEN least(rk.len - rk.pos, 64) ELSE 0 END)
+                       AS e
+                   FROM rk JOIN crep ON crep.rnk = rk.rnk
+                   WHERE greatest(crep.nbr_lcp,
+                       CASE WHEN crep.n_members >= 2
+                            THEN least(rk.len - rk.pos, 64) ELSE 0 END)
+                     >= 20),
+         ordered AS (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_max
+                     FROM spans),
+         isl AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+                 FROM ordered),
+         merged AS (SELECT doc_id, island, min(s) AS ms, max(e) AS me
+                    FROM isl GROUP BY 1, 2),
+         rawc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_raw
+                  FROM spans GROUP BY 1)
+         SELECT m.doc_id AS doc_id, rawc.n_raw AS n_raw,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(me - ms) AS BIGINT) AS bytes_flagged,
+           CAST(sum(ms * (me - ms)) AS BIGINT) AS chk
+         FROM merged m JOIN rawc ON rawc.doc_id = m.doc_id
+         GROUP BY 1, 2 ORDER BY 1""",
 
     // independent formulation: the oracle RECOMPUTES the rollup from the
     // patched base (the 100 TB scan IVM avoids) — delta-apply must agree

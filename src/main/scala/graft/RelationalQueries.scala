@@ -445,6 +445,90 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // DECIMAL precision/scale propagation ladder: the exact-arithmetic
+    // companion to q128 — where the engines agree on VALUES but type the
+    // results differently, and where Spark's precision-loss policy
+    // silently ROUNDS what DuckDB keeps exact. Probed+pinned divergences:
+    // a/b stays DECIMAL in Spark (scale max(6, s1+p2+1) = (19,8) here,
+    // HALF_UP) where DuckDB promotes to DOUBLE — the oracle re-derives
+    // Spark's quotient digit-exactly with BIGINT half-up arithmetic;
+    // a*b precision is p1+p2+1 in Spark vs p1+p2 in DuckDB; a%b types
+    // (5,3) vs (11,3) (values identical, dividend-sign rule shared);
+    // DECIMAL(38,10)+DECIMAL(38,10) would need p=39, Spark's
+    // allowPrecisionLoss drops to (38,9) and HALF-UP ROUNDS
+    // …99.9999999998 up to 2e26 where DuckDB keeps all 38 digits exact —
+    // the silent-rounding pin; (38,10)×(38,10) floors the result scale
+    // at 6 vs DuckDB's 20; decimal overflow NULL-rails via try_multiply
+    // where DuckDB raises; sum() widens p+10 vs DuckDB's 38; avg() is
+    // DECIMAL(p+4,s+4) vs DuckDB's DOUBLE; scale-down CAST rounds
+    // HALF_UP in Spark where DuckDB's cast TRUNCATES toward zero (the
+    // oracle derives it through round(), which IS half-up-away-from-zero
+    // in both engines); literal typing 0.1+0.2 → decimal(2,1) vs (3,1).
+    // Pinned equal: add/mul/mod digits, 0.1+0.2=0.3 is TRUE in decimal
+    // (the q128 double counterpart is false), round() ties away from
+    // zero on negatives, try_cast overflow → NULL, ÷0 NULL rail. All
+    // outputs STRING/BIGINT; value strings carry the result scale as
+    // trailing zeros, so every type divergence is value-visible
+    "q129_decimal_ladder" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_dec")
+      s.sql("""WITH c AS (
+          SELECT o_orderkey,
+            CAST(concat(CAST(o_orderkey % 37 + 1 AS STRING), '.',
+              lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'))
+              AS DECIMAL(10,2)) AS a,
+            CAST(concat(CAST(o_orderkey % 7 + 1 AS STRING), '.',
+              lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'))
+              AS DECIMAL(5,3)) AS b
+          FROM orders_dec WHERE o_orderkey % 29 = 0)
+        SELECT o_orderkey,
+          CAST(a AS STRING) AS a_str, CAST(b AS STRING) AS b_str,
+          typeof(a + b) AS add_type,
+          CAST(a + b AS STRING) AS add_str,
+          typeof(a * b) AS mul_type,
+          CAST(a * b AS STRING) AS mul_str,
+          typeof(a / b) AS div_type,
+          CAST(a / b AS STRING) AS div_str,
+          typeof(a % b) AS mod_type,
+          CAST(a % b AS STRING) AS mod_str,
+          CAST((0 - a) % b AS STRING) AS negmod_str,
+          CAST(CAST(b AS DECIMAL(12,1)) AS STRING) AS castdown_str,
+          CAST(CAST(0 - b AS DECIMAL(12,1)) AS STRING) AS neg_castdown_str,
+          CAST(0.1 + 0.2 = 0.3 AS BIGINT) AS dec_exact,
+          typeof(0.1 + 0.2) AS lit_add_type,
+          typeof(round(b, 1)) AS round_type,
+          CAST(round(b, 1) AS STRING) AS round_str,
+          CAST(try_divide(a, CAST(0 AS DECIMAL(5,3))) AS STRING)
+            AS div0_str,
+          CAST(try_cast(CAST(123.45 AS DECIMAL(10,2)) AS DECIMAL(4,2))
+            IS NULL AS BIGINT) AS ovf_cast_null,
+          typeof(CAST(1 AS DECIMAL(38,10)) + CAST(1 AS DECIMAL(38,10)))
+            AS big_add_type,
+          CAST(CAST(99999999999999999999999999.9999999999 AS DECIMAL(38,10))
+             + CAST(99999999999999999999999999.9999999999 AS DECIMAL(38,10))
+             AS STRING) AS big_add_str,
+          CAST(try_multiply(
+              CAST(99999999999999999999999999.9999999999 AS DECIMAL(38,10)),
+              CAST(99999999999999999999999999.9999999999 AS DECIMAL(38,10)))
+            IS NULL AS BIGINT) AS big_mul_null,
+          typeof(CAST(1 AS DECIMAL(38,10)) * CAST(1 AS DECIMAL(38,10)))
+            AS loss_mul_type,
+          CAST(CAST(1.5 AS DECIMAL(38,10)) * CAST(2.5 AS DECIMAL(38,10))
+            AS STRING) AS loss_mul_str,
+          (SELECT typeof(sum(x)) FROM VALUES
+             (CAST(1.25 AS DECIMAL(10,2))), (CAST(2.25 AS DECIMAL(10,2)))
+             AS t(x)) AS sum_type,
+          (SELECT CAST(sum(x) AS STRING) FROM VALUES
+             (CAST(1.25 AS DECIMAL(10,2))), (CAST(2.25 AS DECIMAL(10,2)))
+             AS t(x)) AS sum_str,
+          (SELECT typeof(avg(x)) FROM VALUES
+             (CAST(1.25 AS DECIMAL(10,2))), (CAST(2.26 AS DECIMAL(10,2)))
+             AS t(x)) AS avg_type,
+          (SELECT CAST(avg(x) AS STRING) FROM VALUES
+             (CAST(1.25 AS DECIMAL(10,2))), (CAST(2.26 AS DECIMAL(10,2)))
+             AS t(x)) AS avg_str
+        FROM c ORDER BY o_orderkey""")
+    }),
+
     // string→number cast strictness ladder: 16 wire forms through
     // try_cast to BIGINT / DOUBLE / DECIMAL(12,2). Pins found+derived:
     // Spark's string→BIGINT is strict-integer (rejects '4.9'/'1e3'/'0x1A'
@@ -2697,6 +2781,71 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // decimal facts pin natively (add/mul/mod digits, round ties away
+    // from zero, try_cast overflow NULL, ÷0 NULL through DuckDB's
+    // double-promoting `/`); Spark policy is DERIVED where the engines
+    // diverge: the (19,8) HALF_UP quotient is rebuilt digit-exactly from
+    // BIGINT arithmetic ((2·a·10⁹ + b) // (2·b) over the scaled-integer
+    // operands — DuckDB's own decimal division promotes to DOUBLE), the
+    // scale-down casts route through round() because DuckDB's cast
+    // TRUNCATES where Spark rounds HALF_UP, result types that Spark
+    // sizes differently (p1+p2+1 mul, p+10 sum, (p+4,s+4) avg, the
+    // precision-loss (38,9)/(38,6) clamps, decimal(2,1) literal add,
+    // and round(DECIMAL(5,3),1) → decimal(4,1): Spark shrinks round's
+    // precision to the exact p−s+d+1 bound where DuckDB keeps p) are
+    // literal pins, the (38,10)+(38,10) sum is the literal Spark rounds
+    // to (DuckDB's exact …99.9999999998 would keep the final 8), and
+    // big_mul_null is literal 1 because DuckDB RAISES on the overflow
+    // Spark's try_multiply NULL-rails
+    "q129_decimal_ladder" ->
+      """WITH c AS (
+           SELECT o_orderkey,
+             CAST(concat(CAST(o_orderkey % 37 + 1 AS VARCHAR), '.',
+               lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0'))
+               AS DECIMAL(10,2)) AS a,
+             CAST(concat(CAST(o_orderkey % 7 + 1 AS VARCHAR), '.',
+               lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0'))
+               AS DECIMAL(5,3)) AS b,
+             (o_orderkey % 37 + 1) * 100 + o_orderkey % 100 AS ai,
+             (o_orderkey % 7 + 1) * 1000 + o_orderkey % 1000 AS bi
+           FROM orders WHERE o_orderkey % 29 = 0),
+         d AS (SELECT *,
+             (2 * ai * 1000000000 + bi) // (2 * bi) AS r8 FROM c)
+         SELECT o_orderkey,
+           CAST(a AS VARCHAR) AS a_str, CAST(b AS VARCHAR) AS b_str,
+           lower(typeof(a + b)) AS add_type,
+           CAST(a + b AS VARCHAR) AS add_str,
+           'decimal(16,5)' AS mul_type,
+           CAST(a * b AS VARCHAR) AS mul_str,
+           'decimal(19,8)' AS div_type,
+           CAST(r8 // 100000000 AS VARCHAR) || '.' ||
+             lpad(CAST(r8 % 100000000 AS VARCHAR), 8, '0') AS div_str,
+           'decimal(5,3)' AS mod_type,
+           CAST(a % b AS VARCHAR) AS mod_str,
+           CAST((0 - a) % b AS VARCHAR) AS negmod_str,
+           CAST(CAST(round(b, 1) AS DECIMAL(12,1)) AS VARCHAR)
+             AS castdown_str,
+           CAST(CAST(round(0 - b, 1) AS DECIMAL(12,1)) AS VARCHAR)
+             AS neg_castdown_str,
+           CAST(0.1 + 0.2 = 0.3 AS BIGINT) AS dec_exact,
+           'decimal(2,1)' AS lit_add_type,
+           'decimal(4,1)' AS round_type,
+           CAST(round(b, 1) AS VARCHAR) AS round_str,
+           CAST(a / CAST(0 AS DECIMAL(5,3)) AS VARCHAR) AS div0_str,
+           CAST(try_cast(CAST(123.45 AS DECIMAL(10,2)) AS DECIMAL(4,2))
+             IS NULL AS BIGINT) AS ovf_cast_null,
+           'decimal(38,9)' AS big_add_type,
+           '200000000000000000000000000.000000000' AS big_add_str,
+           CAST(1 AS BIGINT) AS big_mul_null,
+           'decimal(38,6)' AS loss_mul_type,
+           CAST(CAST(3.75 AS DECIMAL(38,6)) AS VARCHAR) AS loss_mul_str,
+           'decimal(20,2)' AS sum_type,
+           (SELECT CAST(sum(x) AS VARCHAR) FROM (VALUES
+              (CAST(1.25 AS DECIMAL(10,2))), (CAST(2.25 AS DECIMAL(10,2))))
+              t(x)) AS sum_str,
+           'decimal(14,6)' AS avg_type,
+           CAST(CAST(1.755 AS DECIMAL(14,6)) AS VARCHAR) AS avg_str
+         FROM d ORDER BY o_orderkey""",
     // Spark semantics DERIVED from DuckDB primitives where they diverge:
     // strict-integer regexp gate before the BIGINT cast (DuckDB's would
     // round '4.9'→5 and accept '0x1A'/'1_000'), an underscore guard on

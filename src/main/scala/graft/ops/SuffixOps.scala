@@ -276,6 +276,103 @@ object SuffixOps {
       .orderBy(col("lcp"))
   }
 
+  /** Verbatim-repeat REMOVAL PLAN — the operator the suffix ranks and the
+    * LCP exist for (Lee et al. 2021 §3, ExactSubstr): every suffix whose
+    * repeat length reaches `minLen` contributes a flagged span
+    * [pos, pos + repLen), and per-doc overlapping/touching spans merge
+    * into maximal intervals — the byte ranges a dedup pass would cut.
+    *
+    * A suffix's repeat length is the classic max of its LCPs with BOTH
+    * lexicographic neighbors, computed at CLASS level (equal ranks are
+    * equal strings, so all members of a class share its neighbor LCPs)
+    * plus the duplicate-class term: a class with ≥ 2 members is a suffix
+    * that appears verbatim elsewhere, so its whole (window-capped) length
+    * counts. All lengths are capped at `window` — the production contract
+    * is "flag repeats ≥ minLen, report span lengths up to W", which keeps
+    * every intermediate O(n) rows / O(nd·W) bytes.
+    *
+    * The per-doc interval union is a row-local `aggregate` HOF over the
+    * doc's sorted span array (spans per doc ≤ capped doc length, tiny):
+    * spans touch-or-overlap-merge when next.start ≤ current.end — the
+    * same islands rule the oracle's running-max window computes. Output:
+    * one row per flagged doc with raw/merged span counts, flagged byte
+    * total, and a Σ start·len checksum binding interval placement.
+    */
+  def repeatSpans(docs: DataFrame, maxLen: Int = 128, window: Int = 64,
+                  minLen: Int = 20): DataFrame = {
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"),
+      substring(col("text"), 1, maxLen).as("t"))
+    val ranks = suffixRanks(docs, maxLen)
+
+    // class summary: member count + lexicographically-least representative
+    val classes = ranks.groupBy(col("rnk"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("pos"), col("doc_id"))).as("rep"))
+    // window per class via ONE doc-keyed text join on the representatives
+    val wins = classes
+      .select(col("rnk"), col("n_members"),
+        col("rep.doc_id").as("doc_id"), col("rep.pos").as("pos"))
+      .join(d, "doc_id")
+      .select(col("rnk"), col("n_members"),
+        expr(s"substring(t, pos + 1, $window)").as("win"))
+    // neighbor LCPs per class: lcp(r, r+1) keyed by the LEFT class
+    val lcpNext = wins.as("a")
+      .join(wins.as("b"), col("a.rnk") + 1L === col("b.rnk"))
+      .select(col("a.rnk").as("rnk"),
+        graft.functions.functions
+          .common_prefix_len(col("a.win"), col("b.win"))
+          .cast("long").as("lcp"))
+    val classRep = wins.select(col("rnk"), col("n_members"))
+      .join(lcpNext.withColumnRenamed("lcp", "lcp_next"), Seq("rnk"), "left")
+      .join(lcpNext.select((col("rnk") + 1L).as("rnk"),
+        col("lcp").as("lcp_prev")), Seq("rnk"), "left")
+      .select(col("rnk"), col("n_members"),
+        greatest(coalesce(col("lcp_next"), lit(0L)),
+          coalesce(col("lcp_prev"), lit(0L))).as("nbr_lcp"))
+
+    // member-level spans: max(neighbor LCP, duplicate-class suffix length)
+    val spans = ranks
+      .join(classRep, "rnk")
+      .join(d.select(col("doc_id"), length(col("t")).cast("long").as("len")),
+        "doc_id")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        greatest(col("nbr_lcp"),
+          when(col("n_members") >= 2L,
+            least(col("len") - col("pos"), lit(window.toLong)))
+            .otherwise(lit(0L))).as("rep_len"))
+      .filter(col("rep_len") >= minLen.toLong)
+      .select(col("doc_id"), col("s"), (col("s") + col("rep_len")).as("e"))
+
+    // per-doc interval union: sorted-array fold, touching spans merge
+    spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      .select(col("doc_id"),
+        size(col("sp")).cast("long").as("n_raw"),
+        expr("""aggregate(sp,
+          |  struct(CAST(0 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS cs,
+          |         CAST(-1 AS BIGINT) AS ce, CAST(0 AS BIGINT) AS bytes,
+          |         CAST(0 AS BIGINT) AS chk),
+          |  (acc, x) -> IF(acc.cs < 0L,
+          |    struct(acc.n AS n, x.s AS cs, x.e AS ce,
+          |           acc.bytes AS bytes, acc.chk AS chk),
+          |    IF(x.s <= acc.ce,
+          |      struct(acc.n AS n, acc.cs AS cs,
+          |             greatest(acc.ce, x.e) AS ce,
+          |             acc.bytes AS bytes, acc.chk AS chk),
+          |      struct(acc.n + 1L AS n, x.s AS cs, x.e AS ce,
+          |             acc.bytes + acc.ce - acc.cs AS bytes,
+          |             acc.chk + acc.cs * (acc.ce - acc.cs) AS chk))),
+          |  acc -> struct(acc.n + 1L AS n_merged,
+          |                acc.bytes + acc.ce - acc.cs AS bytes_flagged,
+          |                acc.chk + acc.cs * (acc.ce - acc.cs) AS chk))
+          |""".stripMargin).as("m"))
+      .select(col("doc_id"), col("n_raw"),
+        col("m.n_merged").as("n_merged"),
+        col("m.bytes_flagged").as("bytes_flagged"),
+        col("m.chk").as("chk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-gate census of the full rank array: 512-rank shards carrying
     * suffix/distinct counts plus two product checksums that bind every
     * rank to its (doc, pos) — any single wrong rank moves a shard or

@@ -120,6 +120,82 @@ class SuffixOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.toSeq === b.toSeq)
   }
 
+  /** Brute-force removal plan mirroring repeatSpans' contract exactly:
+    * neighbor LCPs over window-capped class windows, duplicate-class
+    * suffix length, minLen threshold, touch-merge interval union. */
+  private def bruteSpans(docs: Seq[(Long, String)], maxLen: Int,
+                         window: Int, minLen: Int)
+    : Map[Long, (Long, Long, Long, Long)] = {
+    val sfx = docs.flatMap { case (id, t0) =>
+      val t = t0.take(maxLen)
+      (0 until t.length).map(p => (id, p, t.length, t.substring(p)))
+    }
+    val classes = sfx.map(_._4).distinct.sorted
+    val rankOf = classes.zipWithIndex.toMap
+    val sizes = sfx.groupBy(_._4).map { case (s, xs) => rankOf(s) -> xs.size }
+    val wins = classes.map(_.take(window))
+    def lcp(a: String, b: String) =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val lcpNext = (0 until classes.size - 1)
+      .map(r => lcp(wins(r), wins(r + 1)))
+    val spans = sfx.flatMap { case (id, p, len, s) =>
+      val r = rankOf(s)
+      val nbr = math.max(if (r < lcpNext.size) lcpNext(r) else 0,
+        if (r > 0) lcpNext(r - 1) else 0)
+      val self = if (sizes(r) >= 2) math.min(len - p, window) else 0
+      val rl = math.max(nbr, self)
+      if (rl >= minLen) Some((id, p.toLong, p.toLong + rl)) else None
+    }
+    spans.groupBy(_._1).map { case (id, sp0) =>
+      val sp = sp0.map(x => (x._2, x._3)).sorted
+      var merged = List.empty[(Long, Long)]
+      for ((s, e) <- sp) merged = merged match {
+        case (cs, ce) :: tail if s <= ce => (cs, math.max(ce, e)) :: tail
+        case l => (s, e) :: l
+      }
+      val m = merged.reverse
+      id -> (sp.size.toLong, m.size.toLong,
+        m.map(x => x._2 - x._1).sum, m.map(x => x._1 * (x._2 - x._1)).sum)
+    }
+  }
+
+  test("repeat spans: planted cross-doc phrase is flagged in both docs, " +
+      "unique doc is absent, self-repetitive doc merges to one interval; " +
+      "matches the brute-force plan") {
+    val phrase = "this exact phrase appears verbatim twice!"
+    val docs = Seq(
+      (1L, s"alpha $phrase omega unique-one"),
+      (2L, s"beta $phrase gamma unrelated"),
+      (3L, "entirely unique content with no repeats at all qqq"),
+      (4L, "na" * 40)) // internal repeats → overlapping spans merge
+    val got = graft.ops.SuffixOps
+      .repeatSpans(docs.toDF("doc_id", "text"),
+        maxLen = 96, window = 32, minLen = 20)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = bruteSpans(docs, maxLen = 96, window = 32, minLen = 20)
+    assert(got === want)
+    assert(got.contains(1L) && got.contains(2L) && got.contains(4L))
+    assert(!got.contains(3L))
+    // the self-repetitive doc's overlapping spans union to ONE interval
+    assert(got(4L)._2 === 1L)
+  }
+
+  test("repeat spans are partition-count invariant") {
+    val docs = (0L until 20L).map(i =>
+      (i, s"common shared prefix block ${"xy" * (i % 4 + 1).toInt} t$i"))
+    val df = docs.toDF("doc_id", "text")
+    val a = graft.ops.SuffixOps
+      .repeatSpans(df, maxLen = 64, window = 32, minLen = 12)
+      .collect().map(_.toSeq)
+    val b = graft.ops.SuffixOps
+      .repeatSpans(df.repartition(7), maxLen = 64, window = 32, minLen = 12)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+
   test("census: shard counts, distincts and checksums are partition-count" +
       " invariant") {
     val docs = (0L until 30L).map(i => (i, ("xy" * (i % 11 + 1).toInt) +
