@@ -828,6 +828,19 @@ object PipelineOpsQueries {
         maxLen = 128, window = 64, minLen = 20)
     }),
 
+    // BPE merge-training loop (Sennrich et al. 2016 learn_bpe): 8 rounds
+    // of weighted pair-count → (n DESC, l, r) argmax → greedy
+    // non-overlapping merge over the (word, freq) vocab table the corpus
+    // compresses into once; per-round census binds the merged pair, its
+    // overlapping-count, and two corpus-wide post-apply checksums
+    // (Σ freq·|syms| and distinct-symbol count). The oracle re-runs the
+    // whole loop as 8 chained CTE rounds over the same bracketed-string
+    // representation — replace() is left-to-right non-overlapping in
+    // both engines, which IS BPE's apply rule
+    "p126_bpe_train" -> ((s, dir) =>
+      graft.ops.CorpusOps.bpeTrain(docs(s, dir), steps = 8,
+        maxWordLen = 32)),
+
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
     "p120_nfc_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -1437,10 +1450,58 @@ object PipelineOpsQueries {
     })
   )
 
+  /** Independent re-run of the whole BPE training loop as `steps` chained
+    * CTE rounds: the same bracketed-string representation, pair counts
+    * from a lateral range over the symbol list, (n DESC, l, r) argmax,
+    * and the greedy apply as replace() — left-to-right non-overlapping in
+    * DuckDB exactly as in Spark, which IS BPE's merge rule. The rounds
+    * are mechanical, so the SQL is generated, not hand-unrolled. */
+  private def bpeTrainOracle(steps: Int): String = {
+    val sep = "chr(31)"
+    val sep2 = "(chr(31) || chr(31))"
+    val w0 =
+      s"""WITH w0 AS (
+         SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS s,
+                CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS w FROM documents) t
+         WHERE length(w) > 0 AND length(w) <= 32 AND strpos(w, $sep) = 0
+         GROUP BY w)"""
+    val rounds = (0 until steps).map { k =>
+      s""",
+         p$k AS (SELECT sy[i] AS l, sy[i + 1] AS r,
+             CAST(sum(freq) AS BIGINT) AS n
+           FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+                 FROM (SELECT freq,
+                         string_split(substr(s, 2, length(s) - 2), $sep2)
+                           AS sy
+                       FROM w$k) t0) t
+           GROUP BY 1, 2),
+         b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         w${k + 1} AS (SELECT replace(t.s,
+             $sep || b.l || $sep2 || b.r || $sep,
+             $sep || b.l || b.r || $sep) AS s, t.freq
+           FROM w$k t, b$k b),
+         c$k AS (SELECT CAST(${k + 1} AS BIGINT) AS step, b.l AS lsym,
+             b.r AS rsym, b.n AS n_pair,
+             (SELECT CAST(sum(freq *
+                ((length(s) - length(replace(s, $sep, ''))) // 2))
+                AS BIGINT) FROM w${k + 1}) AS tok_total,
+             (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM
+                (SELECT unnest(string_split(substr(s, 2, length(s) - 2),
+                   $sep2)) AS sym FROM w${k + 1}) q) AS vocab_syms
+           FROM b$k b)"""
+    }.mkString
+    val union = (0 until steps).map(k => s"SELECT * FROM c$k")
+      .mkString("\n         ", "\n         UNION ALL ", "")
+    s"$w0$rounds$union\n         ORDER BY step"
+  }
+
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
     * dir it actually ran, eliminating the hard-coded-sf0.01 failure mode
     * (round-2 VERDICT "What's wrong #2"). */
   def oracleSqlFor(dir: String): Map[String, String] = Map(
+    "p126_bpe_train" -> bpeTrainOracle(8),
     "p01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
          count(*) AS n_docs

@@ -445,6 +445,83 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // statistical-aggregate semantics pin: the moment/regression family
+    // over per-group distributed merges. Found+pinned divergences:
+    // skewness is the POPULATION g1 = m3/m2^1.5 in Spark but the
+    // bias-corrected SAMPLE G1 in DuckDB, kurtosis is population excess
+    // m4/m2²−3 vs sample-corrected (and even DuckDB's kurtosis_pop
+    // differs from Spark in the last ulp — merge order), skewness(n=2)
+    // is 0.0 in Spark but NULL in DuckDB (sample formula needs n≥3),
+    // kurtosis(n=3) is -1.5 vs NULL (needs n≥4), regr_count types
+    // BIGINT vs UINTEGER, and corr with a zero-variance side ERRORS in
+    // Spark under ANSI (DIVIDE_BY_ZERO) where DuckDB null-rails — the
+    // one divergence SQL can't flag, documented here and kept out of the
+    // data. Pinned equal: var/stddev/covar samp-vs-pop split and their
+    // n=1 rails (samp NULL, pop 0.0), corr(n=1) NULL, the whole regr_*
+    // family including vertical-line NULLs and flat-line r2=1.0,
+    // interpolated median, count_if / every / any, unique-mode (tie-broken
+    // mode diverges 3-vs-2 — only the unique case is pinned). Every
+    // accumulated float is round(,6)-railed because both engines'
+    // single-pass merges differ in the last ulp from partition order;
+    // the rails hold under any partitioning (spec-free by construction:
+    // the driver gate runs the distributed merge for real)
+    "q130_stat_aggregates" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_stat")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey % 17 AS g,
+            CAST(o_orderkey % 83 AS DOUBLE) AS x,
+            CAST(3 * (o_orderkey % 83) + (o_orderkey % 29) AS DOUBLE) AS y
+          FROM orders_stat WHERE o_orderkey % 3 = 0)
+        SELECT CAST(g AS BIGINT) AS g,
+          CAST(count(*) AS BIGINT) AS n,
+          round(avg(x), 6) AS avg_x,
+          round(var_samp(x), 6) AS vs_x,
+          round(var_pop(x), 6) AS vp_x,
+          round(stddev_samp(x), 6) AS sd_x,
+          round(stddev_pop(x), 6) AS sdp_x,
+          round(covar_samp(x, y), 6) AS cvs,
+          round(covar_pop(x, y), 6) AS cvp,
+          round(corr(x, y), 6) AS r,
+          round(skewness(x), 6) AS skew_pop,
+          round(kurtosis(x), 6) AS kurt_pop,
+          round(regr_slope(y, x), 6) AS slope,
+          round(regr_intercept(y, x), 6) AS icept,
+          round(regr_r2(y, x), 6) AS r2,
+          CAST(regr_count(y, x) AS BIGINT) AS rn,
+          round(regr_avgx(y, x), 6) AS ravgx,
+          round(regr_avgy(y, x), 6) AS ravgy,
+          round(regr_sxx(y, x), 6) AS rsxx,
+          round(regr_syy(y, x), 6) AS rsyy,
+          round(regr_sxy(y, x), 6) AS rsxy,
+          round(median(x), 6) AS med_x,
+          CAST(count_if(x > y / 4) AS BIGINT) AS cif,
+          CAST(every(y >= x) AS BIGINT) AS evr,
+          CAST(any(x > 80) AS BIGINT) AS anyv,
+          (SELECT CAST(var_samp(v) IS NULL AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE)) t(v)) AS vs1_null,
+          (SELECT CAST(var_pop(v) AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE)) t(v)) AS vp1_zero,
+          (SELECT CAST(corr(a, c) IS NULL AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)) t(a, c)) AS corr1_null,
+          (SELECT CAST(covar_pop(a, c) AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)) t(a, c)) AS cvp1_zero,
+          (SELECT CAST(skewness(v) AS STRING) FROM VALUES
+             (CAST(1 AS DOUBLE)), (CAST(2 AS DOUBLE)) t(v)) AS skew2,
+          (SELECT CAST(kurtosis(v) AS STRING) FROM VALUES
+             (CAST(1 AS DOUBLE)), (CAST(2 AS DOUBLE)), (CAST(3 AS DOUBLE))
+             t(v)) AS kurt3,
+          (SELECT CAST(regr_slope(c, a) IS NULL AS BIGINT) FROM VALUES
+             (CAST(1 AS DOUBLE), CAST(5 AS DOUBLE)),
+             (CAST(1 AS DOUBLE), CAST(6 AS DOUBLE)) t(a, c))
+            AS slope_vert_null,
+          (SELECT round(regr_r2(c, a), 6) FROM VALUES
+             (CAST(1 AS DOUBLE), CAST(5 AS DOUBLE)),
+             (CAST(2 AS DOUBLE), CAST(5 AS DOUBLE)) t(a, c)) AS r2_flat_one,
+          (SELECT CAST(mode(v) AS BIGINT) FROM VALUES
+             (1), (2), (2), (3) t(v)) AS mode_uniq
+        FROM b GROUP BY g ORDER BY g""")
+    }),
+
     // DECIMAL precision/scale propagation ladder: the exact-arithmetic
     // companion to q128 — where the engines agree on VALUES but type the
     // results differently, and where Spark's precision-loss policy
@@ -2781,6 +2858,75 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // moment/regression facts pin natively; Spark policy is DERIVED
+    // where the engines diverge: skewness/kurtosis are rebuilt as
+    // two-pass POPULATION moments (m3/m2^1.5, m4/m2²−3) from an avg-join
+    // because DuckDB's are sample-corrected, skew2/kurt3 are literal
+    // Spark rails ('0.0'/'-1.5') where DuckDB's sample formulas need
+    // n≥3/n≥4 and null-rail, regr_count is CAST off UINTEGER, every/any
+    // route through bool_and/bool_or, and everything accumulated is
+    // round(,6)-railed on both sides (last-ulp merge-order noise)
+    "q130_stat_aggregates" ->
+      """WITH b AS (
+           SELECT o_orderkey % 17 AS g,
+             CAST(o_orderkey % 83 AS DOUBLE) AS x,
+             CAST(3 * (o_orderkey % 83) + (o_orderkey % 29) AS DOUBLE) AS y
+           FROM orders WHERE o_orderkey % 3 = 0),
+         m AS (SELECT g, avg(x) AS mu FROM b GROUP BY g),
+         mm AS (SELECT b.g,
+             avg(pow(b.x - m.mu, 2)) AS m2,
+             avg(pow(b.x - m.mu, 3)) AS m3,
+             avg(pow(b.x - m.mu, 4)) AS m4
+           FROM b JOIN m USING (g) GROUP BY b.g)
+         SELECT CAST(b.g AS BIGINT) AS g,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 6) AS avg_x,
+           round(var_samp(x), 6) AS vs_x,
+           round(var_pop(x), 6) AS vp_x,
+           round(stddev_samp(x), 6) AS sd_x,
+           round(stddev_pop(x), 6) AS sdp_x,
+           round(covar_samp(x, y), 6) AS cvs,
+           round(covar_pop(x, y), 6) AS cvp,
+           round(corr(x, y), 6) AS r,
+           round(max(mm.m3) / pow(max(mm.m2), 1.5), 6) AS skew_pop,
+           round(max(mm.m4) / (max(mm.m2) * max(mm.m2)) - 3, 6)
+             AS kurt_pop,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS icept,
+           round(regr_r2(y, x), 6) AS r2,
+           CAST(regr_count(y, x) AS BIGINT) AS rn,
+           round(regr_avgx(y, x), 6) AS ravgx,
+           round(regr_avgy(y, x), 6) AS ravgy,
+           round(regr_sxx(y, x), 6) AS rsxx,
+           round(regr_syy(y, x), 6) AS rsyy,
+           round(regr_sxy(y, x), 6) AS rsxy,
+           round(median(x), 6) AS med_x,
+           CAST(count_if(x > y / 4) AS BIGINT) AS cif,
+           CAST(bool_and(y >= x) AS BIGINT) AS evr,
+           CAST(bool_or(x > 80) AS BIGINT) AS anyv,
+           (SELECT CAST(var_samp(v) IS NULL AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE))) t(v)) AS vs1_null,
+           (SELECT CAST(var_pop(v) AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE))) t(v)) AS vp1_zero,
+           (SELECT CAST(corr(a, c) IS NULL AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE), CAST(2 AS DOUBLE))) t(a, c))
+             AS corr1_null,
+           (SELECT CAST(covar_pop(a, c) AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE), CAST(2 AS DOUBLE))) t(a, c))
+             AS cvp1_zero,
+           '0.0' AS skew2,
+           '-1.5' AS kurt3,
+           (SELECT CAST(regr_slope(c, a) IS NULL AS BIGINT) FROM (VALUES
+              (CAST(1 AS DOUBLE), CAST(5 AS DOUBLE)),
+              (CAST(1 AS DOUBLE), CAST(6 AS DOUBLE))) t(a, c))
+             AS slope_vert_null,
+           (SELECT round(regr_r2(c, a), 6) FROM (VALUES
+              (CAST(1 AS DOUBLE), CAST(5 AS DOUBLE)),
+              (CAST(2 AS DOUBLE), CAST(5 AS DOUBLE))) t(a, c))
+             AS r2_flat_one,
+           (SELECT CAST(mode(v) AS BIGINT) FROM (VALUES
+              (1), (2), (2), (3)) t(v)) AS mode_uniq
+         FROM b JOIN mm ON mm.g = b.g GROUP BY b.g ORDER BY b.g""",
     // decimal facts pin natively (add/mul/mod digits, round ties away
     // from zero, try_cast overflow NULL, ÷0 NULL through DuckDB's
     // double-promoting `/`); Spark policy is DERIVED where the engines

@@ -1575,4 +1575,97 @@ object CorpusOps {
           .cast("long").as("saturated"))
       .orderBy(col("source"))
   }
+
+  /** BPE merge TRAINING — the iterative loop `bpePairCounts` is round 0
+    * of (Sennrich et al. 2016, learn_bpe): K rounds of (count symbol
+    * pairs weighted by word frequency → argmax with deterministic
+    * (count DESC, l, r) tie-break → greedy left-to-right non-overlapping
+    * merge across the whole vocabulary).
+    *
+    * Scale shape: the corpus is scanned ONCE into the (word, freq)
+    * vocabulary table — the classic compression every industrial BPE
+    * trainer uses (Zipf makes the vocab orders of magnitude smaller than
+    * the corpus). All K rounds run over that persisted table: each round
+    * is one pair-count shuffle bounded by the pair vocabulary (never the
+    * corpus), a 1-row argmax collect, and one narrow map. Nothing about
+    * the loop changes at 100 TB except the size of the one-time scan.
+    *
+    * The symbol sequence is stored as a separator-BRACKETED string
+    * (`␟a␟␟b␟…`, one U+001F pair per symbol), which makes the greedy
+    * merge a single codegen `replace(s, ␟l␟␟r␟, ␟lr␟)`: string replace
+    * is left-to-right non-overlapping — exactly BPE's apply rule (the
+    * per-symbol brackets stop cross-symbol suffix matches AND keep
+    * adjacent merge sites disjoint, so `aaaa` merges to `aa,aa` not
+    * `aa,a,a`), and a replace-produced symbol can never equal `l` again
+    * (that would need r = ""), so the fold can't chain-merge. Pair
+    * counting counts OVERLAPPING adjacent pairs (reference semantics);
+    * the census total `tok_total` = Σ freq·|syms| after each apply
+    * therefore shrinks by the number of non-overlapping sites — an
+    * independent corpus-wide checksum that the apply actually ran.
+    *
+    * Output: one row per merge step (step, lsym, rsym, n_pair,
+    * tok_total, vocab_syms). `maxWordLen` caps pathological tokens
+    * (URLs, base64 runs) — the production guard that keeps per-word
+    * state O(1). */
+  def bpeTrain(df: DataFrame, steps: Int = 8, maxWordLen: Int = 32)
+    : DataFrame = {
+    val spark = df.sparkSession
+    val SEP = "\u001f"
+    val SEP2 = SEP + SEP
+    var vocab = df
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen &&
+        !col("w").contains(SEP))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", s"$SEP$$1$SEP").as("s"),
+        col("freq"))
+      .persist()
+    vocab.count()
+
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val syms = vocab.select(col("freq"),
+        split(expr("substring(s, 2, length(s) - 2)"), SEP2).as("sy"))
+      val best = syms
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), expr(
+          "explode(transform(sequence(0, size(sy) - 2), " +
+            "i -> struct(sy[i] AS l, sy[i + 1] AS r)))").as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val next = vocab.select(
+          call_function("replace", col("s"),
+            lit(SEP + l + SEP2 + r + SEP), lit(SEP + l + r + SEP)).as("s"),
+          col("freq")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        val cen = vocab.select(col("freq"),
+          ((length(col("s")) -
+            length(call_function("replace", col("s"), lit(SEP), lit(""))))
+            .cast("long") / lit(2L)).cast("long").as("k"),
+          split(expr("substring(s, 2, length(s) - 2)"), SEP2).as("sy"))
+        val tok = cen.agg(sum(col("freq") * col("k")))
+          .collect()(0).getLong(0)
+        val nsym = cen.select(explode(col("sy")).as("sym"))
+          .agg(countDistinct(col("sym"))).collect()(0).getLong(0)
+        out += ((step.toLong, l, r, n, tok, nsym))
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    out.toSeq
+      .toDF("step", "lsym", "rsym", "n_pair", "tok_total", "vocab_syms")
+      .orderBy(col("step"))
+  }
 }

@@ -488,6 +488,81 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got2 === expected)
   }
 
+  /** Reference BPE (Sennrich learn_bpe): overlapping pair counts weighted
+    * by word freq, (count DESC, l, r) argmax, greedy left-to-right
+    * non-overlapping apply. */
+  private def bruteBpe(texts: Seq[String], steps: Int, maxWordLen: Int)
+    : Seq[(Long, String, String, Long, Long, Long)] = {
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_.trim.split("\\s+"))
+      .filter(w => w.nonEmpty && w.length <= maxWordLen)
+      .groupBy(identity)
+      .map { case (w, xs) => w.map(_.toString).toVector -> xs.size.toLong }
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long, Long, Long)]
+    var step = 1
+    while (step <= steps) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts((syms(i), syms(i + 1))) += f
+          i += 1
+        }
+      }
+      assert(counts.nonEmpty)
+      val ((l, r), n) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, f) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            acc += (l + r); i += 2
+          } else { acc += syms(i); i += 1 }
+        }
+        acc.toVector -> f
+      }
+      val tok = vocab.map { case (s, f) => s.length * f }.sum
+      val nsym = vocab.keys.flatten.toSet.size
+      out += ((step.toLong, l, r, n, tok, nsym.toLong))
+      step += 1
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches the reference merge loop on a real corpus and " +
+    "is layout-invariant") {
+    import spark.implicits._
+    val docs = docsDf(120).select(col("doc_id"), col("text"))
+    val texts = docs.as[(Long, String)].collect().map(_._2).toSeq
+    val expected = bruteBpe(texts, steps = 6, maxWordLen = 32)
+    val got = CorpusOps.bpeTrain(docs, steps = 6, maxWordLen = 32)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    val got2 = CorpusOps.bpeTrain(docs.repartition(9), steps = 6,
+        maxWordLen = 32)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    assert(got2 === expected)
+  }
+
+  test("bpeTrain applies merges greedily left-to-right (aaaa → aa,aa — " +
+    "never aa,a,a) and counts pairs overlapping") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaaa aaaa bq"), (1L, "aaaa bq bq")).toDF(
+      "doc_id", "text")
+    val got = CorpusOps.bpeTrain(docs, steps = 2, maxWordLen = 32)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    // step 1: pair (a,a) counted OVERLAPPING = 3 sites × 3 word occurrences
+    assert(got(0)._2 === "a" && got(0)._3 === "a" && got(0)._4 === 9L)
+    // greedy apply: each aaaa → [aa, aa]; tok_total = 3×2 (aaaa) + 3×2 (bq)
+    assert(got(0)._5 === 12L)
+    val expected = bruteBpe(Seq("aaaa aaaa bq", "aaaa bq bq"),
+      steps = 2, maxWordLen = 32)
+    assert(got === expected)
+  }
+
   test("normalizeText strips controls, collapses whitespace, trims — " +
     "and is byte-pinned via the md5") {
     import spark.implicits._
