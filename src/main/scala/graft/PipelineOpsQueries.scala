@@ -74,6 +74,9 @@ object PipelineOpsQueries {
   def pqDriftCodesPath(dir: String): String =
     s"/tmp/graft_pq_drift_codes_${SparkEntry.docCountFor(dir)}"
 
+  def phashRefsPath(dir: String): String =
+    s"/tmp/graft_phash_refs_${SparkEntry.docCountFor(dir)}"
+
   /** p77's banned-phrase list — literal, border-free (no pattern has a
     * proper prefix that is also a suffix), so Aho–Corasick all-matches ==
     * regexp non-overlapping matches (BlocklistScan scaladoc). */
@@ -100,6 +103,14 @@ object PipelineOpsQueries {
     "p10_media_stats" -> ((s, dir) =>
       MultimodalOps.mediaStatsDumped(SparkEntry.docTable(s, dir),
         mediaDumpPath(dir))),
+    // image-side dedup (LAION-style): 64-bit dHash per distinct media
+    // payload via one codegen byte pass, 4×16-bit band self-join with
+    // pigeonhole recall 1.0 at hamming ≤ 3, exact bit_count(xor) verify;
+    // the oracle recomputes every hash from the dumped refs in SQL
+    // integer math and brute-forces the exact all-pairs answer
+    "p127_phash_neardups" -> ((s, dir) =>
+      MultimodalOps.phashNearDupsDumped(SparkEntry.docTable(s, dir),
+        phashRefsPath(dir))),
     "p12_embedding_top_pairs" -> ((s, dir) => SimilarityOps.topPairs(emb(s, dir))),
     "p13_ann_ivf_topk" -> ((s, dir) => {
       // IVF-Flat ANN: dump the trained assignment + probe tables so the
@@ -2887,6 +2898,36 @@ object PipelineOpsQueries {
               FROM h)
          SELECT doc_id, unnest(fp) AS fp FROM f ORDER BY doc_id, fp""",
     // aggregates over the media-table dump p10 materializes at query time
+    // independent formulation: every dHash rebuilt from the payload with
+    // ord(substr) grid reads and a HUGEINT bit sum (signed-long fold at
+    // 2^63), then the EXACT all-pairs hamming join the bands avoid —
+    // pigeonhole makes band recall 1.0 at the threshold, so the sets
+    // must be identical, not just overlapping
+    "p127_phash_neardups" ->
+      s"""WITH refs AS (SELECT ref FROM
+           read_parquet('${phashRefsPath(dir)}/*.parquet')),
+         bits AS (SELECT ref, k,
+             CASE WHEN (ord(substr(ref,
+                   CAST(((k // 8) * 9 + (k % 8)) % length(ref) + 1 AS INT),
+                   1)) * 37 + 11 * ((k // 8) * 9 + (k % 8))) % 256
+               < (ord(substr(ref,
+                   CAST(((k // 8) * 9 + (k % 8) + 1) % length(ref) + 1
+                     AS INT), 1)) * 37
+                  + 11 * ((k // 8) * 9 + (k % 8) + 1)) % 256
+             THEN (CAST(1 AS HUGEINT) << k) ELSE CAST(0 AS HUGEINT) END AS v
+           FROM refs CROSS JOIN (SELECT unnest(range(64)) AS k) g),
+         hu AS (SELECT ref, CAST(sum(v) AS HUGEINT) AS uh
+                FROM bits GROUP BY ref),
+         h AS (SELECT ref, CAST(CASE
+             WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+             THEN uh - CAST('18446744073709551616' AS HUGEINT)
+             ELSE uh END AS BIGINT) AS h FROM hu)
+         SELECT a.ref AS ref_a, b.ref AS ref_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         FROM h a JOIN h b ON a.ref < b.ref
+         WHERE bit_count(xor(a.h, b.h)) <= 3
+         ORDER BY 1, 2""",
+
     "p10_media_stats" ->
       s"""SELECT format, count(*) AS n_media,
          CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -445,6 +445,74 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // bit/binary function semantics pin — the two's-complement map every
+    // hash/band/bitmap operator (dHash, simhash, sign-LSH, HLL, bloom)
+    // silently depends on. Found+pinned divergences: Spark shifts wrap
+    // the shift AMOUNT mod the width (Java): shiftleft(1L,64)=1,
+    // (1L,65)=2, (1L,-1)=MIN_LONG, INT shiftleft(1,33)=2,
+    // shiftright(-8,65)=-4 — DuckDB ERRORS on out-of-range/negative
+    // amounts and SATURATES >> at 0/-1; Spark shiftleft silently drops
+    // overflowing bits where DuckDB's << RAISES (even on any negative
+    // operand) — the oracle re-derives Spark's value with HUGEINT
+    // mod-2^64 arithmetic; bit_count(INT) PROMOTES to 64-bit in Spark
+    // (bit_count(-1 INT)=64) vs DuckDB's 32; MIN_LONG % -1 is 0 in Spark
+    // (Java special case, no ANSI error) where DuckDB raises; DuckDB has
+    // no shiftrightunsigned (derived (x>>m) & (2^(64-m)-1)), no conv
+    // (derived via unsigned HUGEINT rendering — Spark conv(hex(x),16,10)
+    // prints the UNSIGNED value of negative x), no crc32 (literal), and
+    // its ^ is POWER, not xor (xor() function is the spelling). Pinned
+    // equal: & | ~ xor values on negatives, arithmetic >> within range,
+    // getbit-from-LSB == (x>>k)&1, minimal-width hex/bin (incl. 16-F
+    // negatives), unhex left-pads odd nibbles ('F' → 0F) then hex
+    // round-trips, base64/unbase64, md5/sha2-256, overflow try_add/
+    // try_sum NULL rails (DuckDB raises natively — literal 1s),
+    // abs(MIN_LONG) raises in BOTH engines (unpinnable, kept out)
+    "q131_bit_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_bits")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey,
+            CAST(o_orderkey * 2654435761 AS BIGINT) % 4503599627370496
+              - 2251799813685248 AS x,
+            CAST(o_orderkey % 8 AS INT) AS k,
+            CAST(o_orderkey % 7 + 1 AS INT) AS m
+          FROM orders_bits WHERE o_orderkey % 23 = 0)
+        SELECT o_orderkey, x, CAST(k AS BIGINT) AS k,
+          CAST(m AS BIGINT) AS m,
+          shiftleft(x, k) AS sl,
+          shiftright(x, m) AS sr,
+          shiftrightunsigned(x, m) AS srl,
+          x & CAST(255 AS BIGINT) AS band,
+          x | CAST(255 AS BIGINT) AS bor,
+          x ^ CAST(255 AS BIGINT) AS bxor,
+          ~x AS bnot,
+          CAST(bit_count(x) AS BIGINT) AS bc,
+          CAST(bit_count(CAST(-1 AS INT)) AS BIGINT) AS bc_int_promote,
+          CAST(getbit(x, m) AS BIGINT) AS gb,
+          hex(x) AS hx,
+          hex(unhex(hex(x))) AS hx_rt,
+          bin(x & CAST(255 AS BIGINT)) AS bn,
+          base64(hex(x)) AS b64,
+          CAST(unbase64(base64(hex(x))) AS STRING) AS b64_rt,
+          conv(hex(x), 16, 10) AS cv16,
+          shiftleft(CAST(1 AS BIGINT), 64) AS sl64,
+          shiftleft(CAST(1 AS BIGINT), 65) AS sl65,
+          shiftleft(CAST(1 AS BIGINT), -1) AS slneg,
+          CAST(shiftleft(CAST(1 AS INT), 33) AS BIGINT) AS sl33_int,
+          shiftright(CAST(-8 AS BIGINT), 65) AS sr65,
+          CAST(-9223372036854775808 AS BIGINT) % CAST(-1 AS BIGINT)
+            AS minmod,
+          CAST(try_add(9223372036854775807, CAST(1 AS BIGINT)) IS NULL
+            AS BIGINT) AS ta_null,
+          (SELECT CAST(try_sum(v) IS NULL AS BIGINT) FROM VALUES
+             (CAST(9223372036854775807 AS BIGINT)), (CAST(1 AS BIGINT))
+             t(v)) AS ts_null,
+          CAST(crc32('abc') AS BIGINT) AS crc,
+          md5('abc') AS md,
+          sha2('abc', 256) AS sh,
+          hex(unhex('F')) AS odd_unhex
+        FROM b ORDER BY o_orderkey""")
+    }),
+
     // statistical-aggregate semantics pin: the moment/regression family
     // over per-group distributed merges. Found+pinned divergences:
     // skewness is the POPULATION g1 = m3/m2^1.5 in Spark but the
@@ -2858,6 +2926,66 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // bit facts pin natively (& | ~ >> getbit-derivation hex bin unhex
+    // base64 md5 sha256); Spark policy is DERIVED where DuckDB raises or
+    // lacks the function: shiftleft rebuilt with HUGEINT mod-2^64
+    // arithmetic (DuckDB << raises on negative operands AND overflow),
+    // shiftrightunsigned as (x>>m) & (2^(64-m)−1), conv(hex,16,10) as
+    // the unsigned HUGEINT rendering, xor() for ^ (DuckDB ^ is POWER),
+    // and the shift-amount wrap / MIN%−1 / bit_count-INT-promotion /
+    // crc32 rails as literals
+    "q131_bit_semantics" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CAST(o_orderkey * 2654435761 AS BIGINT) % 4503599627370496
+               - 2251799813685248 AS x,
+             CAST(o_orderkey % 8 AS INT) AS k,
+             CAST(o_orderkey % 7 + 1 AS INT) AS m
+           FROM orders WHERE o_orderkey % 23 = 0),
+         u AS (SELECT *,
+             CASE WHEN x < 0 THEN CAST(x AS HUGEINT)
+                    + CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(x AS HUGEINT) END AS ux
+           FROM b),
+         d AS (SELECT *,
+             (ux * (CAST(1 AS HUGEINT) << k))
+               % CAST('18446744073709551616' AS HUGEINT) AS slu
+           FROM u)
+         SELECT o_orderkey, x, CAST(k AS BIGINT) AS k,
+           CAST(m AS BIGINT) AS m,
+           CAST(CASE WHEN slu >= CAST('9223372036854775808' AS HUGEINT)
+                THEN slu - CAST('18446744073709551616' AS HUGEINT)
+                ELSE slu END AS BIGINT) AS sl,
+           x >> m AS sr,
+           (x >> m) & CAST((CAST(1 AS HUGEINT) << (64 - m)) - 1 AS BIGINT)
+             AS srl,
+           x & CAST(255 AS BIGINT) AS band,
+           x | CAST(255 AS BIGINT) AS bor,
+           xor(x, CAST(255 AS BIGINT)) AS bxor,
+           ~x AS bnot,
+           CAST(bit_count(x) AS BIGINT) AS bc,
+           CAST(64 AS BIGINT) AS bc_int_promote,
+           (x >> m) & CAST(1 AS BIGINT) AS gb,
+           hex(x) AS hx,
+           hex(unhex(hex(x))) AS hx_rt,
+           bin(x & CAST(255 AS BIGINT)) AS bn,
+           to_base64(CAST(hex(x) AS BLOB)) AS b64,
+           CAST(from_base64(to_base64(CAST(hex(x) AS BLOB))) AS VARCHAR)
+             AS b64_rt,
+           CAST(ux AS VARCHAR) AS cv16,
+           CAST(1 AS BIGINT) AS sl64,
+           CAST(2 AS BIGINT) AS sl65,
+           CAST(-9223372036854775807 - 1 AS BIGINT) AS slneg,
+           CAST(2 AS BIGINT) AS sl33_int,
+           CAST(-4 AS BIGINT) AS sr65,
+           CAST(0 AS BIGINT) AS minmod,
+           CAST(1 AS BIGINT) AS ta_null,
+           CAST(1 AS BIGINT) AS ts_null,
+           CAST(891568578 AS BIGINT) AS crc,
+           md5('abc') AS md,
+           sha256('abc') AS sh,
+           hex(unhex('F')) AS odd_unhex
+         FROM d ORDER BY o_orderkey""",
     // moment/regression facts pin natively; Spark policy is DERIVED
     // where the engines diverge: skewness/kurtosis are rebuilt as
     // two-pass POPULATION moments (m3/m2^1.5, m4/m2²−3) from an avg-join

@@ -103,6 +103,7 @@ object functions {
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def common_prefix_len(a: Column, b: Column): Column =
     column(CommonPrefixLen(expression(a), expression(b)))
+  def d_hash64(c: Column): Column = column(DHash64(expression(c)))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
@@ -446,5 +447,67 @@ object CommonPrefixLen {
     var i = 0
     while (i < n && a.getByte(i) == b.getByte(i)) i += 1
     i
+  }
+}
+
+/** 64-bit difference hash (dHash) over a media payload — the perceptual
+  * fingerprint image dedup buckets on (the standard web-scale image-dedup
+  * primitive; LAION-style pipelines pair it with a hamming-band join).
+  * The real op downsamples the decoded image to a 9×8 grayscale grid and
+  * emits one bit per horizontal gradient (pixel < right neighbor). The
+  * decoded-pixel source here is the engine's deterministic payload
+  * surrogate (the media bytes themselves, tiled over the grid — locality
+  * preserving: a small payload edit flips few grid cells, exactly like a
+  * small image edit; see `MultimodalOps.fakeDecode` for the surrogate
+  * contract), so a codec-backed grid drops in behind the same loop. One
+  * fused byte pass, inside whole-stage codegen; ASCII payloads make the
+  * byte/codepoint reading identical to the SQL oracle's ord(substr(…)).
+  * Empty input → 0 (filtered upstream; total function keeps codegen
+  * simple). */
+case class DHash64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"d_hash64 requires STRING input, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    DHash64.hashOf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DHash64.hashOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "d_hash64"
+}
+
+object DHash64 {
+  /** Called from generated code. Grid cell i = (byte[i mod len]·37 +
+    * 11·i) mod 256 — the multiplicative+positional spread stands in for
+    * real images' pixel variety (raw bytes alone are degenerate: digit
+    * payloads that preserve byte ORDER collide at hamming 0 in the tens
+    * of thousands). Locality survives — an edited byte still only
+    * touches the ~64/len cells that read it — while a ±1 digit change
+    * moves those cells by ±37 mod 256 and actually flips gradients.
+    * Bit y·8+x set iff cell(y·9+x) < cell(y·9+x+1). */
+  def hashOf(s: UTF8String): Long = {
+    val n = s.numBytes
+    if (n == 0) return 0L
+    var h = 0L
+    var k = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val base = y * 9 + x
+        val p1 = ((s.getByte(base % n) & 0xff) * 37 + 11 * base) & 0xff
+        val p2 = ((s.getByte((base + 1) % n) & 0xff) * 37 +
+          11 * (base + 1)) & 0xff
+        if (p1 < p2) h |= 1L << k
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 }

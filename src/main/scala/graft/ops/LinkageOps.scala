@@ -45,11 +45,37 @@ object LinkageOps {
       col("block"), col("cents").as("a_cents"), col("seg").as("a_seg"))
     val pb = b.select(col("key").as("b_key"), col("name").as("b_name"),
       col("block"), col("cents").as("b_cents"), col("seg").as("b_seg"))
-    val lev = levenshtein(col("a_name"), col("b_name"))
-    pa.join(pb, Seq("block"))
+    // Two output-identical prunings derived from the score algebra — the
+    // classic ER move of letting the cheap integer comparators gate the
+    // expensive string one (isolated re-probe: 29.9 s → see BASELINE.md
+    // run 12). Both are guarded by the exact bound that makes them
+    // lossless, so a caller lowering `threshold` gets the unpruned plan:
+    //  1. cheap-field gate: a pair with BOTH w_bal=−6 and w_seg=−4
+    //     scores at most 24−10 = 14, so for threshold ≥ 15 candidates
+    //     failing both integer tests are dropped BEFORE levenshtein runs
+    //     (~80% of candidates here: 5 segments + a 75-cent band).
+    //  2. BOUNDED levenshtein: w_bal+w_seg ≤ 16, so a link needs
+    //     w_name ≥ threshold−16 — for threshold ≥ 9 that excludes the
+    //     −8 tier, i.e. links have lev ≤ 2, and distance > 3 is
+    //     indistinguishable from "far"; the threshold variant runs the
+    //     banded O(k·n) DP with early exit instead of the full O(n²)
+    //     table. Every emitted `lev` belongs to a linked pair (≤ 2), so
+    //     the −1 sentinel never escapes.
+    val lev =
+      if (threshold >= 9) levenshtein(col("a_name"), col("b_name"), 3)
+      else levenshtein(col("a_name"), col("b_name"))
+    val candidates = pa.join(pb, Seq("block"))
+    val gated =
+      if (threshold >= 15)
+        candidates.filter(
+          abs(col("a_cents") - col("b_cents")) <= centsTol ||
+            col("a_seg") === col("b_seg"))
+      else candidates
+    gated
       .withColumn("lev", lev.cast("long"))
       .withColumn("w_name",
-        when(col("lev") === 0, 24L).when(col("lev") <= 2, 12L)
+        when(col("lev") === 0, 24L)
+          .when(col("lev") > 0 && col("lev") <= 2, 12L) // -1 = beyond bound
           .otherwise(-8L))
       .withColumn("w_bal",
         when(abs(col("a_cents") - col("b_cents")) <= centsTol, 10L)

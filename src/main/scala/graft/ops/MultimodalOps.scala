@@ -111,6 +111,49 @@ object MultimodalOps {
     statsOver(spark.read.parquet(dumpPath))
   }
 
+  /** Perceptual-hash near-duplicate pairs over media payloads — the image
+    * half of the dedup family (LAION-style pipelines run exactly this
+    * beside text MinHash): every distinct media payload gets a 64-bit
+    * dHash (`functions.DHash64`, one codegen byte pass over the decoded
+    * grid — payload-byte surrogate here, codec-backed grid in prod), the
+    * hash splits into four 16-bit bands, and candidates are pairs sharing
+    * ANY band — by pigeonhole a pair within hamming ≤ 3 differs in at
+    * most 3 of 4 bands, so banding has RECALL 1.0 at the threshold (the
+    * guarantee MinHash only approaches probabilistically). Candidates are
+    * verified exactly with one codegen `bit_count(ha ^ hb)`.
+    *
+    * Scale shape: the banded self-join shuffles (ref, 8-byte hash,
+    * 2-byte band key) — never payloads or pixel grids; the verify runs
+    * only on band-collision candidates. The distinct-ref table is dumped
+    * first so the oracle can recompute every hash from the payload and
+    * brute-force the exact all-pairs answer the bands must reproduce. */
+  def phashNearDupsDumped(docs: Dataset[Doc], dumpPath: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => d.spans.filter(_.kind == "media").map(_.media_ref))
+      .toDF("ref").distinct()
+      .write.mode("overwrite").parquet(dumpPath)
+    val hashed = spark.read.parquet(dumpPath)
+      .select(col("ref"), graft.functions.functions.d_hash64(col("ref"))
+        .as("h"))
+    val banded = hashed.select(col("ref"), col("h"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "CAST(shiftright(h, b * 16) & 65535 AS INT) AS key))")).as("bk"))
+      .select(col("ref"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.ref") < col("b.ref"))
+      .select(col("a.ref").as("ref_a"), col("b.ref").as("ref_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .select(col("ref_a"), col("ref_b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("ref_a"), col("ref_b"))
+  }
+
   /** Preprocess plan over a decoded media table: the reference's OCR input
     * normalization (width → 1800 px with proportional height, then a 50 px
     * white border — `preprocess.py:61,79-80`) plus every-30th frame

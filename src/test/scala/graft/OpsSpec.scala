@@ -1105,6 +1105,59 @@ class OpsSpec extends AnyFunSuite {
       again._5.toSeq === m0.feature.toSeq)
   }
 
+  /** Independent scalar dHash: grid cell i = (byte[i mod len]·37 + 11·i)
+    * mod 256, bit per horizontal gradient. */
+  private def refDHash(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    def cell(i: Int) = ((b(i % b.length) & 0xff) * 37 + 11 * i) & 0xff
+    (0 until 64).foldLeft(0L) { (h, k) =>
+      val base = (k / 8) * 9 + k % 8
+      if (cell(base) < cell(base + 1)) h | (1L << k) else h
+    }
+  }
+
+  test("dHash: matches the scalar reference, and a one-char payload edit " +
+    "moves few bits (the perceptual-locality property banding relies on)") {
+    import graft.functions.functions.d_hash64
+    val refs = Seq("m:aadhaar:2:1234", "m:aadhaar:2:1235", "m:pan:0:9",
+      "m:marksheet:1:777777", "x")
+    val got = refs.toDF("ref")
+      .select(col("ref"), d_hash64(col("ref")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    refs.foreach(r => assert(got(r) === refDHash(r), r))
+    // near payloads → near hashes; far payloads → far hashes
+    val near = java.lang.Long.bitCount(
+      got("m:aadhaar:2:1234") ^ got("m:aadhaar:2:1235"))
+    val far = java.lang.Long.bitCount(
+      got("m:aadhaar:2:1234") ^ got("m:marksheet:1:777777"))
+    assert(near <= 12 && far > near)
+  }
+
+  test("phash near-dups: banded join reproduces the exact all-pairs " +
+    "hamming answer (pigeonhole recall 1.0) and is layout-invariant") {
+    val docs = graft.io.Synthesizer.docs(spark, 120, 42L)
+    val dump = "/tmp/graft_phash_refs_spec"
+    val got = MultimodalOps.phashNearDupsDumped(docs, dump, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val refs = docs.collect()
+      .flatMap(_.spans.filter(_.kind == "media").map(_.media_ref))
+      .distinct.sorted
+    val brute = for {
+      i <- refs.indices; j <- (i + 1) until refs.length
+      d = java.lang.Long.bitCount(refDHash(refs(i)) ^ refDHash(refs(j)))
+      if d <= 3
+    } yield (refs(i), refs(j), d.toLong)
+    assert(got === brute.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty) // the corpus must actually exercise the join
+    val got2 = MultimodalOps.phashNearDupsDumped(
+      graft.io.Synthesizer.docs(spark, 120, 42L).repartition(7), dump,
+      maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got2 === got)
+  }
+
   test("hll registers: independent re-derivation + estimate within HLL error") {
     val docs = docsDf(
       1L -> (1 to 300).map(i => s"word$i").mkString(" "),
