@@ -111,6 +111,14 @@ object PipelineOpsQueries {
     "p127_phash_neardups" -> ((s, dir) =>
       MultimodalOps.phashNearDupsDumped(SparkEntry.docTable(s, dir),
         phashRefsPath(dir))),
+    // greedy facility-location coreset (submodular subset selection):
+    // 8 rounds of integer-exact marginal-gain argmax over a broadcast
+    // coverage sample; floor(x·1000) quantization makes every similarity
+    // an exact BIGINT dot, so argmax and census are bit-deterministic —
+    // the oracle re-runs the whole greedy loop as generated chained CTEs
+    "p128_coreset_facility" -> ((s, dir) =>
+      graft.ops.CoresetOps.facilityLocation(emb(s, dir), k = 8,
+        coverageMod = 2)),
     "p12_embedding_top_pairs" -> ((s, dir) => SimilarityOps.topPairs(emb(s, dir))),
     "p13_ann_ivf_topk" -> ((s, dir) => {
       // IVF-Flat ANN: dump the trained assignment + probe tables so the
@@ -1508,11 +1516,64 @@ object PipelineOpsQueries {
     s"$w0$rounds$union\n         ORDER BY step"
   }
 
+  /** Independent re-run of the greedy facility-location loop as `k`
+    * generated chained-CTE rounds: the same floor(x·1000) quantization,
+    * exact integer dots (list_dot_product of BIGINT lists ≤ 6.4·10⁷ is
+    * exact in float64), (gain DESC, id) argmax, and best/objective
+    * updates — agreement per round proves pick, gain AND the whole
+    * coverage state. */
+  private def facilityOracle(k: Int): String = {
+    val base =
+      // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and an 8-deep chain of b/s rounds each referenced
+      // twice re-evaluates combinatorially (and re-opens the parquet
+      // until fds run out) — materialization makes each round run once
+      """WITH e AS MATERIALIZED (SELECT vec_id AS id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         FROM embeddings),
+         cov AS MATERIALIZED (SELECT id AS j, qe AS qj
+           FROM e WHERE id % 2 = 0),
+         sims AS MATERIALIZED (SELECT e.id AS ca, c.j AS cb,
+             CAST(list_dot_product(e.qe, c.qj) AS BIGINT) AS s
+           FROM e CROSS JOIN cov c),
+         b0 AS MATERIALIZED (SELECT j, CAST(0 AS BIGINT) AS best
+           FROM cov)"""
+    val rounds = (0 until k).map { r =>
+      val excl =
+        if (r == 0) ""
+        else "WHERE ca NOT IN (" + (0 until r)
+          .map(i => s"SELECT ca FROM s$i").mkString(" UNION ALL ") + ")\n           "
+      s""",
+         g$r AS MATERIALIZED (SELECT ca,
+             CAST(sum(greatest(s - b.best, 0)) AS BIGINT)
+             AS gain
+           FROM sims JOIN b$r b ON b.j = sims.cb
+           ${excl}GROUP BY ca),
+         s$r AS MATERIALIZED (SELECT ca, gain FROM g$r
+           ORDER BY gain DESC, ca LIMIT 1),
+         b${r + 1} AS MATERIALIZED (SELECT b.j,
+             greatest(b.best, coalesce(sm.s, 0))
+             AS best
+           FROM b$r b LEFT JOIN (SELECT cb, s FROM sims
+             WHERE ca = (SELECT ca FROM s$r)) sm ON sm.cb = b.j),
+         o$r AS MATERIALIZED (SELECT CAST(${r + 1} AS BIGINT) AS step,
+             ca AS vec_id,
+             gain,
+             (SELECT CAST(sum(best) AS BIGINT) FROM b${r + 1}) AS objective
+           FROM s$r)"""
+    }.mkString
+    val union = (0 until k).map(r => s"SELECT * FROM o$r")
+      .mkString("\n         ", "\n         UNION ALL ", "")
+    s"$base$rounds$union\n         ORDER BY step"
+  }
+
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
     * dir it actually ran, eliminating the hard-coded-sf0.01 failure mode
     * (round-2 VERDICT "What's wrong #2"). */
   def oracleSqlFor(dir: String): Map[String, String] = Map(
     "p126_bpe_train" -> bpeTrainOracle(8),
+    "p128_coreset_facility" -> facilityOracle(8),
     "p01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
          count(*) AS n_docs

@@ -445,6 +445,70 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // map-function semantics pin — the key/value edge policies q95's
+    // rollup never touches. Found+pinned: element_at on a MISSING map
+    // key returns NULL in Spark with NO ANSI error — the exact opposite
+    // of arrays, where q124 pinned the ANSI index error (and DuckDB
+    // returns an empty LIST, derived (m[k])[1]); duplicate keys ERROR in
+    // Spark in every constructor (map, map_concat, map_from_entries,
+    // map_from_arrays, str_to_map) where DuckDB's map_concat silently
+    // LAST-WINS — unpinnable engine-side (both sides of the divergence
+    // error or corrupt), documented here and kept out of the data, all
+    // pinned maps use distinct keys; a NULL map VALUE is legal and
+    // indistinguishable from a missing key through element_at (the
+    // lookup-NULL ambiguity class). Pinned equal: INSERTION order of
+    // keys/values/entries survives map_keys/map_values/map_entries/
+    // map_concat (left entries first), map_filter keeps order,
+    // transform_keys/values preserve entry order, map_zip_with emits
+    // left keys then unmatched right keys, str_to_map parses to STRING
+    // values (oracle derives — DuckDB lacks it), cardinality/size incl.
+    // the empty map, map_contains_key hit and miss
+    "q132_map_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_map")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey,
+            CAST(o_orderkey % 7 AS BIGINT) AS k1,
+            CAST(o_orderkey % 7 + 10 AS BIGINT) AS k2,
+            CAST(o_orderkey % 100 AS BIGINT) AS v1,
+            CAST(o_orderkey % 31 AS BIGINT) AS v2
+          FROM orders_map WHERE o_orderkey % 19 = 0),
+        m AS (SELECT *, map(k2, v2, k1, v1) AS mm FROM b)
+        SELECT o_orderkey,
+          array_join(map_keys(mm), ',') AS keys_order,
+          array_join(map_values(mm), ',') AS vals_order,
+          array_join(transform(map_entries(mm),
+            e -> CAST(e.key * 1000 + e.value AS STRING)), ',')
+            AS entries_packed,
+          CAST(element_at(mm, 999) IS NULL AS BIGINT) AS miss_null,
+          CAST(try_element_at(mm, 999) IS NULL AS BIGINT)
+            AS try_miss_null,
+          element_at(mm, k1) AS hit_v1,
+          mm[k2] AS bracket_hit,
+          CAST(map_contains_key(mm, k1) AS BIGINT) AS has_k1,
+          CAST(map_contains_key(mm, 999) AS BIGINT) AS has_missing,
+          CAST(cardinality(mm) AS BIGINT) AS card,
+          CAST(size(map()) AS BIGINT) AS empty_size,
+          array_join(transform(map_entries(
+              map_filter(mm, (k, v) -> v >= 50)),
+            e -> CAST(e.key * 1000 + e.value AS STRING)), ',') AS filtered,
+          array_join(map_values(transform_values(mm, (k, v) -> v + k)),
+            ',') AS tv,
+          array_join(map_keys(transform_keys(mm, (k, v) -> k * 2)), ',')
+            AS tk,
+          array_join(transform(map_entries(map_zip_with(
+              map(k1, v1), map(k2, v2),
+              (k, a, b) -> coalesce(a, CAST(0 AS BIGINT))
+                + coalesce(b, CAST(0 AS BIGINT)))),
+            e -> CAST(e.key * 1000 + e.value AS STRING)), ',') AS zipped,
+          array_join(map_keys(map_concat(map(k2, v2), map(k1, v1))), ',')
+            AS concat_order,
+          element_at(str_to_map(
+            concat('a:', v1, ',b:', v2), ',', ':'), 'b') AS stm_b,
+          CAST(element_at(map(k1, CAST(NULL AS BIGINT)), k1) IS NULL
+            AS BIGINT) AS nullval_null
+        FROM m ORDER BY o_orderkey""")
+    }),
+
     // bit/binary function semantics pin — the two's-complement map every
     // hash/band/bitmap operator (dHash, simhash, sign-LSH, HLL, bloom)
     // silently depends on. Found+pinned divergences: Spark shifts wrap
@@ -2926,6 +2990,56 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // found en route: DuckDB array_to_string of an EMPTY list is NULL
+    // where Spark array_join is '' — the empty-filter row coalesces.
+    // map facts pin natively where DuckDB has the function (MAP
+    // constructor insertion order, map_keys/values/entries,
+    // map_concat order, cardinality, empty map); Spark policy DERIVED
+    // elsewhere: missing-key lookup as (m[k])[1] off DuckDB's
+    // empty-list return, map_contains_key via list_contains(map_keys),
+    // the map HOFs (map_filter/transform_keys/transform_values) as
+    // list_filter/list_transform over map_entries, map_zip_with and
+    // str_to_map rebuilt from the row's k/v scalars
+    "q132_map_semantics" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CAST(o_orderkey % 7 AS BIGINT) AS k1,
+             CAST(o_orderkey % 7 + 10 AS BIGINT) AS k2,
+             CAST(o_orderkey % 100 AS BIGINT) AS v1,
+             CAST(o_orderkey % 31 AS BIGINT) AS v2
+           FROM orders WHERE o_orderkey % 19 = 0),
+         m AS (SELECT *, MAP([k2, k1], [v2, v1]) AS mm FROM b)
+         SELECT o_orderkey,
+           array_to_string(map_keys(mm), ',') AS keys_order,
+           array_to_string(map_values(mm), ',') AS vals_order,
+           array_to_string(list_transform(map_entries(mm),
+             e -> CAST(e.key * 1000 + e.value AS VARCHAR)), ',')
+             AS entries_packed,
+           CAST(len(mm[999]) = 0 AS BIGINT) AS miss_null,
+           CAST(len(mm[999]) = 0 AS BIGINT) AS try_miss_null,
+           (mm[k1])[1] AS hit_v1,
+           (mm[k2])[1] AS bracket_hit,
+           CAST(list_contains(map_keys(mm), k1) AS BIGINT) AS has_k1,
+           CAST(list_contains(map_keys(mm), 999) AS BIGINT)
+             AS has_missing,
+           CAST(cardinality(mm) AS BIGINT) AS card,
+           CAST(cardinality(MAP([], [])) AS BIGINT) AS empty_size,
+           coalesce(array_to_string(list_transform(
+             list_filter(map_entries(mm), e -> e.value >= 50),
+             e -> CAST(e.key * 1000 + e.value AS VARCHAR)), ','), '')
+             AS filtered,
+           array_to_string(list_transform(map_entries(mm),
+             e -> e.value + e.key), ',') AS tv,
+           array_to_string(list_transform(map_entries(mm),
+             e -> e.key * 2), ',') AS tk,
+           CAST(k1 * 1000 + v1 AS VARCHAR) || ',' ||
+             CAST(k2 * 1000 + v2 AS VARCHAR) AS zipped,
+           array_to_string(map_keys(map_concat(
+             MAP([k2], [v2]), MAP([k1], [v1]))), ',') AS concat_order,
+           CAST(v2 AS VARCHAR) AS stm_b,
+           CAST((MAP([k1], [CAST(NULL AS BIGINT)])[k1])[1] IS NULL
+             AS BIGINT) AS nullval_null
+         FROM m ORDER BY o_orderkey""",
     // bit facts pin natively (& | ~ >> getbit-derivation hex bin unhex
     // base64 md5 sha256); Spark policy is DERIVED where DuckDB raises or
     // lacks the function: shiftleft rebuilt with HUGEINT mod-2^64
