@@ -111,6 +111,15 @@ object PipelineOpsQueries {
     "p127_phash_neardups" -> ((s, dir) =>
       MultimodalOps.phashNearDupsDumped(SparkEntry.docTable(s, dir),
         phashRefsPath(dir))),
+    // batch-perceptron quality-classifier trainer: 5 epochs of
+    // (broadcast-w scoring scan → misclassified integer update), hashed
+    // bag-of-words features, label = lang=='en'; order-free integer
+    // sums make training bit-deterministic, and the oracle re-runs the
+    // whole loop as generated chained CTEs over the sparse features
+    "p129_perceptron_train" -> ((s, dir) =>
+      graft.ops.ClassifierOps.perceptronTrain(docs(s, dir), epochs = 8,
+        dims = 256, posLang = "en")),
+
     // greedy facility-location coreset (submodular subset selection):
     // 8 rounds of integer-exact marginal-gain argmax over a broadcast
     // coverage sample; floor(x·1000) quantization makes every similarity
@@ -1568,12 +1577,66 @@ object PipelineOpsQueries {
     s"$base$rounds$union\n         ORDER BY step"
   }
 
+  /** Independent re-run of the batch-perceptron loop: sparse hashed
+    * features (md5_number_lower buckets, the engine-shared hash), then
+    * `epochs` generated MATERIALIZED-CTE rounds of margin → misclassified
+    * set → integer Δw → weight update, each censused by (n_mis, Σ|Δw|,
+    * Σ wᵢ·(i+1)). Zero-token docs score margin 0 and stay misclassified
+    * on both sides (the LEFT JOIN keeps them). */
+  private def perceptronOracle(epochs: Int, dims: Int): String = {
+    val base =
+      s"""WITH toks AS MATERIALIZED (
+           SELECT doc_id,
+             CAST(md5_number_lower(substr(text, CAST(i AS INT), 3))
+               & 9223372036854775807 AS BIGINT) % $dims AS b
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) - 1)) AS i
+                 FROM documents) q),
+         docsy AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                  ELSE CAST(-1 AS BIGINT) END AS y
+           FROM documents),
+         feats AS MATERIALIZED (SELECT t.doc_id, t.b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM toks t GROUP BY 1, 2),
+         w0 AS MATERIALIZED (SELECT unnest(range($dims)) AS i,
+             CAST(0 AS BIGINT) AS wv)"""
+    val rounds = (1 to epochs).map { e =>
+      s""",
+         m$e AS MATERIALIZED (
+           SELECT d.doc_id, d.y,
+             CAST(coalesce(sum(f.c * w.wv), 0) AS BIGINT) AS s
+           FROM docsy d LEFT JOIN feats f ON f.doc_id = d.doc_id
+             LEFT JOIN w${e - 1} w ON w.i = f.b
+           GROUP BY 1, 2),
+         mis$e AS MATERIALIZED (SELECT doc_id, y FROM m$e
+           WHERE y * s <= 0),
+         dw$e AS MATERIALIZED (SELECT f.b AS i,
+             CAST(sum(f.c * mm.y) AS BIGINT) >> ${e - 1} AS dw
+           FROM feats f JOIN mis$e mm ON mm.doc_id = f.doc_id
+           GROUP BY 1),
+         w$e AS MATERIALIZED (SELECT w.i,
+             CAST(w.wv + coalesce(dd.dw, 0) AS BIGINT) AS wv
+           FROM w${e - 1} w LEFT JOIN dw$e dd ON dd.i = w.i),
+         o$e AS MATERIALIZED (SELECT CAST($e AS BIGINT) AS epoch,
+             (SELECT CAST(count(*) AS BIGINT) FROM mis$e) AS n_mis,
+             (SELECT CAST(coalesce(sum(abs(dw)), 0) AS BIGINT) FROM dw$e)
+               AS delta_abs,
+             (SELECT CAST(sum(wv * (i + 1)) AS BIGINT) FROM w$e)
+               AS w_chk)"""
+    }.mkString
+    val union = (1 to epochs).map(e => s"SELECT * FROM o$e")
+      .mkString("\n         ", "\n         UNION ALL ", "")
+    s"$base$rounds$union\n         ORDER BY epoch"
+  }
+
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
     * dir it actually ran, eliminating the hard-coded-sf0.01 failure mode
     * (round-2 VERDICT "What's wrong #2"). */
   def oracleSqlFor(dir: String): Map[String, String] = Map(
     "p126_bpe_train" -> bpeTrainOracle(8),
     "p128_coreset_facility" -> facilityOracle(8),
+    "p129_perceptron_train" -> perceptronOracle(8, 256),
     "p01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
          count(*) AS n_docs

@@ -445,6 +445,80 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // composite-type comparison semantics pin — how structs, arrays and
+    // row-tuples ORDER, the rules every sort/group/join key built from a
+    // composite silently depends on. Found+pinned: Spark compares
+    // composites with a TOTAL order in which NULL fields are SMALLEST
+    // and EQUAL to each other (struct(1,NULL) < struct(1,2) is true,
+    // struct(1,NULL) = struct(1,NULL) is true, array(1,NULL) =
+    // array(1,NULL) is true) where DuckDB propagates 3VL NULL through
+    // the comparison — inside composites Spark behaves like its
+    // grouping/sorting semantics, NOT like its own scalar `=`; row-tuple
+    // IN with a NULL field is false in Spark vs NULL in DuckDB; struct
+    // equality IGNORES field names in Spark where DuckDB raises a type
+    // mismatch; greatest/least accept composites in Spark, absent in
+    // DuckDB (derived CASE); sort_array defaults NULLS FIRST where
+    // array_sort and DuckDB's list_sort default NULLS LAST (DuckDB's
+    // explicit 'NULLS FIRST' option derives the former). Pinned equal:
+    // fieldwise lexicographic order, array prefix rule ([1,2] <
+    // [1,2,3]), struct sort inside arrays, array_min/max and
+    // position/contains on composites, struct-keyed map lookup,
+    // tuple IN without nulls
+    "q133_composite_compare" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_cmp")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey,
+            CAST(o_orderkey % 7 AS BIGINT) AS k1,
+            CAST(o_orderkey % 7 + 10 AS BIGINT) AS k2,
+            CAST(o_orderkey % 100 AS BIGINT) AS v1,
+            CAST(o_orderkey % 31 AS BIGINT) AS v2
+          FROM orders_cmp WHERE o_orderkey % 21 = 0)
+        SELECT o_orderkey,
+          CAST(struct(k1, v1) < struct(k2, v2) AS BIGINT) AS s_cmp,
+          CAST(struct(k1, v1) < struct(k1, v1 + 1) AS BIGINT) AS s_tie,
+          CAST(struct(k1, CAST(NULL AS BIGINT)) < struct(k1, v2)
+            AS BIGINT) AS s_null_small,
+          CAST(struct(k1, CAST(NULL AS BIGINT))
+             = struct(k1, CAST(NULL AS BIGINT)) AS BIGINT) AS s_null_eq,
+          CAST(array(k1, CAST(NULL AS BIGINT))
+             = array(k1, CAST(NULL AS BIGINT)) AS BIGINT) AS a_null_eq,
+          CAST(array(k1, v1) < array(k1, v1, CAST(0 AS BIGINT))
+            AS BIGINT) AS a_prefix,
+          CAST(array(k1 + 1, CAST(0 AS BIGINT)) < array(k1, v1 + 9)
+            AS BIGINT) AS a_first_wins,
+          CAST((k1, v1) IN ((k1, v1), (k2, v2)) AS BIGINT) AS tup_in,
+          CAST((k1, CAST(NULL AS BIGINT)) IN ((k1, v2)) AS BIGINT)
+            AS tup_in_null,
+          CAST(named_struct('a', k1, 'b', v1)
+             = named_struct('x', k1, 'y', v1) AS BIGINT) AS names_ignored,
+          CAST(element_at(sort_array(
+            array(v1, CAST(NULL AS BIGINT), v2)), 1) IS NULL AS BIGINT)
+            AS sortarr_nulls_first,
+          CAST(element_at(array_sort(
+            array(v1, CAST(NULL AS BIGINT), v2)), 3) IS NULL AS BIGINT)
+            AS arrsort_nulls_last,
+          array_join(transform(sort_array(array(
+              named_struct('a', k2, 'b', v2),
+              named_struct('a', k1, 'b', v1),
+              named_struct('a', k1, 'b', v2))),
+            e -> CAST(e.a * 10000 + e.b AS STRING)), ',')
+            AS sorted_structs,
+          CAST(array_min(array(named_struct('a', k2, 'b', v1),
+            named_struct('a', k1, 'b', v2))).b AS BIGINT) AS min_struct_b,
+          CAST(greatest(named_struct('a', k1, 'b', v1),
+            named_struct('a', k1, 'b', v2)).b AS BIGINT)
+            AS greatest_struct_b,
+          array_join(least(array(k1, v1), array(k1)), ',') AS least_arr,
+          CAST(array_position(array(named_struct('a', k1, 'b', v1),
+            named_struct('a', k2, 'b', v2)),
+            named_struct('a', k2, 'b', v2)) AS BIGINT) AS pos_struct,
+          CAST(array_contains(array(named_struct('a', k1, 'b', v1)),
+            named_struct('a', k1, 'b', v1)) AS BIGINT) AS has_struct,
+          element_at(map(named_struct('a', k1, 'b', v1), v2),
+            named_struct('a', k1, 'b', v1)) AS structkey_map
+        FROM b ORDER BY o_orderkey""")
+    }),
+
     // map-function semantics pin — the key/value edge policies q95's
     // rollup never touches. Found+pinned: element_at on a MISSING map
     // key returns NULL in Spark with NO ANSI error — the exact opposite
@@ -2990,6 +3064,55 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // composite facts pin natively (fieldwise order, prefix rule, struct
+    // sorts, min/max/position/contains, struct-keyed map, tuple IN);
+    // Spark's total-order-with-NULL-smallest inside composites, the
+    // null-tuple IN false, and name-blind struct equality are literal
+    // rails (DuckDB 3VL-nulls or type-errors them); greatest/least on
+    // composites derive as comparison CASEs; sort_array's NULLS FIRST
+    // derives via list_sort's explicit option
+    "q133_composite_compare" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CAST(o_orderkey % 7 AS BIGINT) AS k1,
+             CAST(o_orderkey % 7 + 10 AS BIGINT) AS k2,
+             CAST(o_orderkey % 100 AS BIGINT) AS v1,
+             CAST(o_orderkey % 31 AS BIGINT) AS v2
+           FROM orders WHERE o_orderkey % 21 = 0)
+         SELECT o_orderkey,
+           CAST((k1, v1) < (k2, v2) AS BIGINT) AS s_cmp,
+           CAST((k1, v1) < (k1, v1 + 1) AS BIGINT) AS s_tie,
+           CAST(1 AS BIGINT) AS s_null_small,
+           CAST(1 AS BIGINT) AS s_null_eq,
+           CAST(1 AS BIGINT) AS a_null_eq,
+           CAST([k1, v1] < [k1, v1, 0] AS BIGINT) AS a_prefix,
+           CAST([k1 + 1, 0] < [k1, v1 + 9] AS BIGINT) AS a_first_wins,
+           CAST((k1, v1) IN ((k1, v1), (k2, v2)) AS BIGINT) AS tup_in,
+           CAST(0 AS BIGINT) AS tup_in_null,
+           CAST(1 AS BIGINT) AS names_ignored,
+           CAST(list_sort([v1, NULL, v2], 'ASC', 'NULLS FIRST')[1]
+             IS NULL AS BIGINT) AS sortarr_nulls_first,
+           CAST(list_sort([v1, NULL, v2])[3] IS NULL AS BIGINT)
+             AS arrsort_nulls_last,
+           array_to_string(list_transform(list_sort([
+               {'a': k2, 'b': v2}, {'a': k1, 'b': v1},
+               {'a': k1, 'b': v2}]),
+             e -> CAST(e.a * 10000 + e.b AS VARCHAR)), ',')
+             AS sorted_structs,
+           CAST(list_min([{'a': k2, 'b': v1}, {'a': k1, 'b': v2}]).b
+             AS BIGINT) AS min_struct_b,
+           CAST(CASE WHEN (k1, v1) >= (k1, v2) THEN v1 ELSE v2 END
+             AS BIGINT) AS greatest_struct_b,
+           CASE WHEN [k1, v1] <= [k1] THEN
+               CAST(k1 AS VARCHAR) || ',' || CAST(v1 AS VARCHAR)
+             ELSE CAST(k1 AS VARCHAR) END AS least_arr,
+           CAST(list_position([{'a': k1, 'b': v1}, {'a': k2, 'b': v2}],
+             {'a': k2, 'b': v2}) AS BIGINT) AS pos_struct,
+           CAST(list_contains([{'a': k1, 'b': v1}],
+             {'a': k1, 'b': v1}) AS BIGINT) AS has_struct,
+           (MAP([{'a': k1, 'b': v1}], [v2])[{'a': k1, 'b': v1}])[1]
+             AS structkey_map
+         FROM b ORDER BY o_orderkey""",
     // found en route: DuckDB array_to_string of an EMPTY list is NULL
     // where Spark array_join is '' — the empty-filter row coalesces.
     // map facts pin natively where DuckDB has the function (MAP
