@@ -111,6 +111,14 @@ object PipelineOpsQueries {
     "p127_phash_neardups" -> ((s, dir) =>
       MultimodalOps.phashNearDupsDumped(SparkEntry.docTable(s, dir),
         phashRefsPath(dir))),
+    // ε=ln2 DP histogram release (geometric mechanism, p103's
+    // governance sibling): every (lang, source) domain cell — absent
+    // ones included — gets exact integer discrete-Laplace noise derived
+    // from md5 trailing-zero geometrics; the oracle re-derives every
+    // noisy cell from the same bits via bit_count((h & -h) - 1)
+    "p130_dp_histogram" -> ((s, dir) =>
+      graft.ops.PrivacyOps.dpHistogram(docs(s, dir), seed = "e1")),
+
     // batch-perceptron quality-classifier trainer: 5 epochs of
     // (broadcast-w scoring scan → misclassified integer update), hashed
     // bag-of-words features, label = lang=='en'; order-free integer
@@ -1637,6 +1645,31 @@ object PipelineOpsQueries {
     "p126_bpe_train" -> bpeTrainOracle(8),
     "p128_coreset_facility" -> facilityOracle(8),
     "p129_perceptron_train" -> perceptronOracle(8, 256),
+    // independent re-derivation of the DP release: same md5 bits, the
+    // trailing-zero count rebuilt with the q131-pinned two's-complement
+    // identity tz = bit_count((h & -h) - 1), full public domain via
+    // cross join so empty cells carry noise too
+    "p130_dp_histogram" ->
+      """WITH langs AS (SELECT DISTINCT lang FROM documents),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         cnt AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1, 2),
+         cells AS (SELECT l.lang, s.source, coalesce(c.n, 0) AS n
+                   FROM langs l CROSS JOIN srcs s
+                   LEFT JOIN cnt c USING (lang, source)),
+         hz AS (SELECT lang, source, n,
+             CAST(md5_number_lower(lang || '|' || source || '|e1|a')
+               & 9223372036854775807 AS BIGINT) AS h1,
+             CAST(md5_number_lower(lang || '|' || source || '|e1|b')
+               & 9223372036854775807 AS BIGINT) AS h2
+           FROM cells),
+         tz AS (SELECT lang, source, n,
+             CAST(bit_count((h1 & -h1) - 1) AS BIGINT) AS t1,
+             CAST(bit_count((h2 & -h2) - 1) AS BIGINT) AS t2
+           FROM hz)
+         SELECT lang, source, CAST(n + t1 - t2 AS BIGINT) AS noisy,
+           CAST(greatest(n + t1 - t2, 0) AS BIGINT) AS released
+         FROM tz ORDER BY lang, source""",
     "p01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
          count(*) AS n_docs

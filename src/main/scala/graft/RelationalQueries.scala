@@ -445,6 +445,59 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // Unicode case-folding semantics pin — the multilingual-corpus
+    // corruption class: what upper/lower/initcap actually DO to the
+    // codepoints a web crawl contains. Engine-side specials are embedded
+    // UTF-8 literals (Spark's chr() wraps codepoints mod 256 — found the
+    // hard way: chr(128512) is a NUL byte); the oracle builds the same
+    // codepoints with DuckDB's full-range chr(). Found+
+    // pinned divergences: upper(eszett) is the 1→2 expansion 'SS' in
+    // Spark (JVM casing, length CHANGES 6→7) where DuckDB emits capital
+    // sharp-S U+1E9E (length preserved); lower(Turkish dotted I U+0304)
+    // KEEPS the combining dot — 'i'+U+0307, length 8→9 — where DuckDB
+    // folds to plain 'i'; lower of double capital sigma applies the
+    // CONTEXTUAL final-sigma rule (…σς) where DuckDB gives …σσ;
+    // initcap of the dz digraph U+01C6 emits the TITLECASE form U+01C5
+    // (not uppercase U+01C4) — Java toTitleCase, DuckDB has no initcap
+    // at all (word rule derived: split on single spaces, upper first
+    // char, LOWER the rest); left/right with negative counts return ''
+    // in Spark where DuckDB drops -n from the opposite end; locate's
+    // 3-arg start form is derived via strpos over a substr. Pinned
+    // equal: accent/Cyrillic/Greek-capital round trips, dotless-ı →
+    // 'I', codepoint-based length/substring across an emoji,
+    // unpaired-translate DELETES, multichar lpad/rpad tiling,
+    // substring_index ± (derived via list slicing), overlay (derived
+    // via substr concat), ascii/chr at 233
+    "q134_unicode_case" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_case")
+      s.sql("""SELECT doc_id,
+          upper('straße') AS up_eszett,
+          CAST(length(upper('straße')) AS BIGINT) AS up_eszett_len,
+          lower('İstanbul') AS low_dotted_i,
+          CAST(length(lower('İstanbul')) AS BIGINT) AS low_dotted_len,
+          upper('ı') AS up_dotless,
+          lower('ΣΣ') AS final_sigma,
+          upper('σς') AS up_sigma,
+          upper('école') AS up_accent,
+          lower('ДОМ') AS low_cyrillic,
+          initcap('ǆero') AS title_digraph,
+          initcap(concat(lang, '-x ', source, '_y 2x two  sp')) AS ic_b,
+          left(source, -2) AS neg_left,
+          right(source, -2) AS neg_right,
+          CAST(locate('b', 'abcabc', 3) AS BIGINT) AS loc3,
+          CAST(length('😀abc') AS BIGINT) AS emoji_len,
+          substring('😀abc', 1, 2) AS emoji_sub,
+          translate(source, 'rc', '#') AS translate_del,
+          lpad(lang, 7, 'xy') AS pad_l,
+          rpad(lang, 7, 'xy') AS pad_r,
+          substring_index(concat(lang, '.', source, '.', lang, '.z'),
+            '.', 2) AS ssi_pos,
+          substring_index(concat(lang, '.', source, '.', lang, '.z'),
+            '.', -2) AS ssi_neg,
+          overlay(source PLACING 'ZZ' FROM 2 FOR 3) AS ovl
+        FROM docs_case WHERE doc_id % 31 = 0 ORDER BY doc_id""")
+    }),
+
     // composite-type comparison semantics pin — how structs, arrays and
     // row-tuples ORDER, the rules every sort/group/join key built from a
     // composite silently depends on. Found+pinned: Spark compares
@@ -3064,6 +3117,48 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // case facts pin natively (accents, Cyrillic, Greek capitals,
+    // dotless-ı, emoji codepoints, translate deletion, pad tiling);
+    // Spark's JVM casing policy is DERIVED as chr()-built constructions
+    // where DuckDB's Unicode tables diverge ('SS' expansion, i+combining
+    // -dot, contextual final sigma, the titlecase digraph), initcap's
+    // word rule as split/upper/lower-rest, substring_index via list
+    // slicing, overlay via substr concat, 3-arg locate via strpos over
+    // a suffix, and the negative left/right '' rail as literals
+    "q134_unicode_case" ->
+      """SELECT doc_id,
+           'STRASSE' AS up_eszett,
+           CAST(7 AS BIGINT) AS up_eszett_len,
+           'i' || chr(775) || 'stanbul' AS low_dotted_i,
+           CAST(9 AS BIGINT) AS low_dotted_len,
+           upper(chr(305)) AS up_dotless,
+           chr(963) || chr(962) AS final_sigma,
+           upper(chr(963) || chr(962)) AS up_sigma,
+           upper(chr(233) || 'cole') AS up_accent,
+           lower(chr(1044) || chr(1054) || chr(1052)) AS low_cyrillic,
+           chr(453) || 'ero' AS title_digraph,
+           array_to_string(list_transform(
+             string_split(lang || '-x ' || source || '_y 2x two  sp', ' '),
+             w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')
+             AS ic_b,
+           '' AS neg_left,
+           '' AS neg_right,
+           CAST(CASE WHEN strpos(substr('abcabc', 3), 'b') = 0 THEN 0
+                ELSE strpos(substr('abcabc', 3), 'b') + 2 END AS BIGINT)
+             AS loc3,
+           CAST(length(chr(128512) || 'abc') AS BIGINT) AS emoji_len,
+           substring(chr(128512) || 'abc', 1, 2) AS emoji_sub,
+           translate(source, 'rc', '#') AS translate_del,
+           lpad(lang, 7, 'xy') AS pad_l,
+           rpad(lang, 7, 'xy') AS pad_r,
+           array_to_string(string_split(
+             lang || '.' || source || '.' || lang || '.z', '.')[1:2], '.')
+             AS ssi_pos,
+           array_to_string(string_split(
+             lang || '.' || source || '.' || lang || '.z', '.')[-2:], '.')
+             AS ssi_neg,
+           substr(source, 1, 1) || 'ZZ' || substr(source, 5) AS ovl
+         FROM documents WHERE doc_id % 31 = 0 ORDER BY doc_id""",
     // composite facts pin natively (fieldwise order, prefix rule, struct
     // sorts, min/max/position/contains, struct-keyed map, tuple IN);
     // Spark's total-order-with-NULL-smallest inside composites, the

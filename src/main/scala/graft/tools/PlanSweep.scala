@@ -81,7 +81,12 @@ object PlanSweep {
       "q111_benford" -> Set("BroadcastNestedLoop"),
       // p117 crosses the 1-row predicted-join-size total into the per-key
       // share arithmetic — the p47/p50 1-row-aggregate class
-      "p117_join_size_plan" -> Set("BroadcastNestedLoop"))
+      "p117_join_size_plan" -> Set("BroadcastNestedLoop"),
+      // p130 crosses the tiny distinct-lang and distinct-source tables to
+      // build the PUBLIC release domain (absent cells must be released
+      // too — DP requirement, not a join mistake); both sides are
+      // label-cardinality-bounded — q78's keyless small-build-side class
+      "p130_dp_histogram" -> Set("BroadcastNestedLoop"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
