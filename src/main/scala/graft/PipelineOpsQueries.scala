@@ -111,6 +111,14 @@ object PipelineOpsQueries {
     "p127_phash_neardups" -> ((s, dir) =>
       MultimodalOps.phashNearDupsDumped(SparkEntry.docTable(s, dir),
         phashRefsPath(dir))),
+    // isotonic (PAV) calibration: best non-decreasing outcome rate over
+    // 32 length bins; engine = one keyed agg + driver PAV stack; oracle
+    // = the CLOSED-FORM minimax characterization max_j min_k of segment
+    // rates — their agreement IS the isotonic-regression theorem
+    "p131_isotonic_calibration" -> ((s, dir) =>
+      graft.ops.CalibrationOps.isotonicCalibration(docs(s, dir),
+        bins = 32)),
+
     // ε=ln2 DP histogram release (geometric mechanism, p103's
     // governance sibling): every (lang, source) domain cell — absent
     // ones included — gets exact integer discrete-Laplace noise derived
@@ -185,6 +193,21 @@ object PipelineOpsQueries {
     // recursive-CTE transitive closure over the exact pair set
     "p26_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(DedupOps.minhashLsh(docs(s, dir)))),
+    // incremental CC maintenance: base labels from the doc_id%5!=4 world,
+    // delta = the new docs' pairs only; LSH pair candidacy is per-pair,
+    // so base∪delta IS the full pair set — the oracle recomputes CC from
+    // scratch over it (the full-graph recompute the IVM path avoids) and
+    // the incremental labeling must be row-identical
+    "p132_cc_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      val base = DedupOps.dupClusters(
+        DedupOps.minhashLsh(d.where(col("doc_id") % 5 =!= 4)))
+      val delta = DedupOps.minhashLsh(d)
+        .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      DedupOps.dupClustersIncremental(base, delta)
+        .orderBy(col("doc_id"))
+    }),
     // benchmark decontamination: docs with doc_id % 20 == 0 stand in as the
     // eval set; every remaining doc sharing any word 4-gram with it is
     // flagged with its matched-gram count
@@ -1645,6 +1668,49 @@ object PipelineOpsQueries {
     "p126_bpe_train" -> bpeTrainOracle(8),
     "p128_coreset_facility" -> facilityOracle(8),
     "p129_perceptron_train" -> perceptronOracle(8, 256),
+    // independent formulation: NOT a replay of the PAV loop — the
+    // closed-form minimax identity value(i) = max_{j≤i} min_{k≥i}
+    // seg-rate[j..k], computed set-based over prefix sums (triples
+    // bounded by bins³). Fraction argmin/argmax use a float64 key,
+    // which is EXACT here: distinct rates with denominators ≤ n differ
+    // by ≥ 1/n² ≫ double rounding, and equal-rate ties reduce to the
+    // same gcd-canonical pair. Agreement with the engine's pooling
+    // stack is the isotonic-regression theorem itself
+    "p131_isotonic_calibration" ->
+      """WITH s AS (SELECT
+             least(CAST(floor(length(text) / 16) AS BIGINT), 31) AS bin,
+             CASE WHEN strpos(text, 'the') > 0 THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+           FROM s GROUP BY bin),
+         idx AS (SELECT bin, n, p,
+             row_number() OVER (ORDER BY bin) AS i FROM g),
+         pre AS (SELECT *, sum(n) OVER (ORDER BY i) AS cn,
+             sum(p) OVER (ORDER BY i) AS cp FROM idx),
+         seg AS (SELECT a.i AS j, b.i AS k,
+             b.cp - coalesce(pj.cp, 0) AS num,
+             b.cn - coalesce(pj.cn, 0) AS den
+           FROM pre a JOIN pre b ON b.i >= a.i
+           LEFT JOIN pre pj ON pj.i = a.i - 1),
+         tri AS (SELECT s.j, m.i, s.num, s.den
+           FROM seg s JOIN idx m ON m.i BETWEEN s.j AND s.k),
+         inner_min AS (SELECT j, i,
+             arg_min({'num': num, 'den': den},
+               CAST(num AS DOUBLE) / den) AS f
+           FROM tri GROUP BY j, i),
+         outer_max AS (SELECT i,
+             arg_max(f, CAST(f.num AS DOUBLE) / f.den) AS f
+           FROM inner_min GROUP BY i),
+         omx AS (SELECT i, f.num AS num, f.den AS den FROM outer_max)
+         SELECT x.bin, x.n, x.p,
+           CAST(o.num / greatest(gcd(o.num, o.den), 1) AS BIGINT)
+             AS cal_num,
+           CAST(o.den / greatest(gcd(o.num, o.den), 1) AS BIGINT)
+             AS cal_den
+         FROM idx x JOIN omx o ON o.i = x.i
+         ORDER BY x.bin""",
+
     // independent re-derivation of the DP release: same md5 bits, the
     // trailing-zero count rebuilt with the q131-pinned two's-complement
     // identity tz = bit_count((h & -h) - 1), full public domain via
@@ -2843,6 +2909,38 @@ object PipelineOpsQueries {
     // what the LSH path finds at these recall-1 parameters): symmetric
     // closure via recursive CTE, cluster_id = min reachable doc_id
     "p26_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         prs AS (SELECT doc_a, doc_b FROM cand
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                    FROM reach GROUP BY u),
+         szs AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM labels GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size
+         FROM labels l JOIN szs s USING (cluster_id)
+         ORDER BY l.doc_id""",
+    // the full-graph recompute the incremental path avoids: identical
+    // chain to p26 (exact Jaccard≥0.6 pairs over the WHOLE corpus,
+    // recursive-CTE reachability, min-label, sizes) — base∪delta must
+    // reproduce it row-for-row
+    "p132_cc_incremental" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
                        FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

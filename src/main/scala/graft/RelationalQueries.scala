@@ -445,6 +445,64 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // implicit type-coercion ladder pin — what mixed-type expressions
+    // silently become. Found+pinned: string⟷number COMPARISON is
+    // NUMERIC in both engines ('2' > 10 is false — the lexicographic
+    // expectation is wrong) while string⟷string stays LEXICOGRAPHIC
+    // ('10' > '9' is false — numeric would be true): the contrast pair
+    // pins both rules; arithmetic coerces strings in Spark (1 + '2' = 3
+    // BIGINT) where DuckDB REFUSES the overload (derived k+2); unary
+    // minus casts a string to DOUBLE in Spark (-'5' = -5.0) where DuckDB
+    // refuses (literal); integer literals type BIGINT in Spark vs
+    // INTEGER in DuckDB (the foundational literal-width divergence —
+    // typeof literal pins); BIGINT+decimal(2,1) widens to (22,1) vs
+    // (21,1); CASE branches cast LAZILY in both engines (the untaken
+    // 'x'/'2024' branch never errors) but IN lists do NOT: with a COLUMN
+    // operand Spark casts every member eagerly and a malformed '1x'
+    // ERRORS (the constant probe was rescued by constant folding —
+    // found en route; the pinned IN uses castable members);
+    // bool accepts 'true'/'t'/'1'.
+    // Unpinnable engine-side (one side ERRORS — documented, kept out):
+    // 1 = '1.0' errors under Spark's strict-integer cast where DuckDB
+    // compares numerically TRUE; greatest(1,'2') and 1 = true are type
+    // mismatches in Spark but valid in DuckDB; '3' * '4' and
+    // array(1,'a') fail in BOTH. Pinned equal: 1 = '1', IN with a lazy
+    // unused mixed literal, int/decimal CASE → decimal(11,1),
+    // float+decimal → double, date = string, date > timestamp,
+    // date-branch conditional coercing the string branch to DATE
+    "q135_coercion_ladder" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_co")
+      s.sql("""WITH b AS (
+          SELECT o_orderkey, CAST(o_orderkey % 9 AS BIGINT) AS k,
+            CAST(o_orderkey % 9 AS STRING) AS ks
+          FROM orders_co WHERE o_orderkey % 27 = 0)
+        SELECT o_orderkey, k,
+          CASE WHEN k >= 0 THEN k ELSE 'x' END AS case_lazy,
+          typeof(CASE WHEN k >= 0 THEN 1 ELSE 'x' END) AS case_lit_type,
+          coalesce(k, 'x') AS coalesce_lazy,
+          CAST(k IN (k + 1, '7') AS BIGINT) AS in_mixed,
+          CAST(ks = k AS BIGINT) AS eq_str_num,
+          CAST('2' > 10 AS BIGINT) AS strnum_numeric,
+          CAST('10' > '9' AS BIGINT) AS strstr_lex,
+          k + '2' AS plus_str,
+          CAST(-'5' AS DOUBLE) AS neg_str,
+          CAST('1' = true AS BIGINT) AS streq_bool,
+          CAST(CAST('true' AS BOOLEAN) AS BIGINT) * 100 +
+            CAST(CAST('t' AS BOOLEAN) AS BIGINT) * 10 +
+            CAST(CAST('1' AS BOOLEAN) AS BIGINT) AS bool_wires,
+          typeof(CASE WHEN k >= 0 THEN 1 ELSE 2.5 END) AS case_dec_type,
+          typeof(1.5 + k) AS dec_big_type,
+          typeof(CAST(1 AS FLOAT) + CAST(1 AS DECIMAL(10,2)))
+            AS float_dec_type,
+          typeof(array(k, 2.5)) AS arr_unify_type,
+          CAST(DATE '2024-01-02' = '2024-01-02' AS BIGINT) AS date_str_eq,
+          CAST(DATE '2024-01-02' > TIMESTAMP '2024-01-01 23:00:00'
+            AS BIGINT) AS date_ts_cmp,
+          CAST(if(k >= 0, DATE '2024-01-02', '2024') AS STRING)
+            AS if_date_branch
+        FROM b ORDER BY o_orderkey""")
+    }),
+
     // Unicode case-folding semantics pin — the multilingual-corpus
     // corruption class: what upper/lower/initcap actually DO to the
     // codepoints a web crawl contains. Engine-side specials are embedded
@@ -3117,6 +3175,44 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // coercion facts pin natively (lazy CASE/coalesce/IN branch casts,
+    // numeric string⟷number compare, lexicographic string⟷string,
+    // string=bool, bool wire forms, int/decimal CASE, date coercions);
+    // Spark policy DERIVED where DuckDB refuses the overload (k + '2',
+    // unary minus on a string) or types differently (BIGINT literals,
+    // (22,1) widening, array unification — literal typeof pins)
+    "q135_coercion_ladder" ->
+      """WITH b AS (
+           SELECT o_orderkey, CAST(o_orderkey % 9 AS BIGINT) AS k,
+             CAST(o_orderkey % 9 AS VARCHAR) AS ks
+           FROM orders WHERE o_orderkey % 27 = 0)
+         SELECT o_orderkey, k,
+           CAST(CASE WHEN k >= 0 THEN k ELSE 'x' END AS BIGINT)
+             AS case_lazy,
+           'bigint' AS case_lit_type,
+           CAST(coalesce(k, 'x') AS BIGINT) AS coalesce_lazy,
+           CAST(k IN (k + 1, '7') AS BIGINT) AS in_mixed,
+           CAST(ks = k AS BIGINT) AS eq_str_num,
+           CAST('2' > 10 AS BIGINT) AS strnum_numeric,
+           CAST('10' > '9' AS BIGINT) AS strstr_lex,
+           CAST(k + 2 AS BIGINT) AS plus_str,
+           CAST(-5.0 AS DOUBLE) AS neg_str,
+           CAST('1' = true AS BIGINT) AS streq_bool,
+           CAST(CAST('true' AS BOOLEAN) AS BIGINT) * 100 +
+             CAST(CAST('t' AS BOOLEAN) AS BIGINT) * 10 +
+             CAST(CAST('1' AS BOOLEAN) AS BIGINT) AS bool_wires,
+           lower(typeof(CASE WHEN k >= 0 THEN 1 ELSE 2.5 END))
+             AS case_dec_type,
+           'decimal(22,1)' AS dec_big_type,
+           'double' AS float_dec_type,
+           'array<decimal(21,1)>' AS arr_unify_type,
+           CAST(DATE '2024-01-02' = '2024-01-02' AS BIGINT)
+             AS date_str_eq,
+           CAST(DATE '2024-01-02' > TIMESTAMP '2024-01-01 23:00:00'
+             AS BIGINT) AS date_ts_cmp,
+           CAST(if(k >= 0, DATE '2024-01-02', '2024') AS VARCHAR)
+             AS if_date_branch
+         FROM b ORDER BY o_orderkey""",
     // case facts pin natively (accents, Cyrillic, Greek capitals,
     // dotless-ı, emoji codepoints, translate deletion, pad tiling);
     // Spark's JVM casing policy is DERIVED as chr()-built constructions

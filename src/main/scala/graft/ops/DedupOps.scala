@@ -650,6 +650,51 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** INCREMENTAL connected-components maintenance — the IVM half of
+    * [[dupClusters]] (the p122 pattern applied to the dup graph): fold a
+    * DELTA of near-dup pairs into an existing labeling without touching
+    * the base edge set. New edges can only merge whole existing
+    * components, so the delta projects onto the LABEL graph (endpoint →
+    * its current cluster id, unseen nodes label themselves), large/small-
+    * star runs on that delta-BOUNDED graph, and the resulting
+    * old-label → new-label remap broadcasts back over the membership
+    * table. The 100 TB base is scanned once for the remap+size publish
+    * and never iterated; every CC round touches only delta-derived rows.
+    *
+    * Labels stay canonical (min doc_id of the component): the merged
+    * label is the min over merged components' labels = the global min —
+    * so the output is row-identical to a from-scratch [[dupClusters]]
+    * over base ∪ delta, which is exactly what the driver oracle
+    * recomputes (gate-the-theorem, as in p122/p131). */
+  def dupClustersIncremental(baseLabels: DataFrame, deltaPairs: DataFrame,
+                             maxIterations: Int = 25): DataFrame = {
+    val base = baseLabels.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster_id").cast("long").as("lbl"))
+    val delta = deltaPairs
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+    val dn = delta.select(col("doc_a").as("doc_id"))
+      .union(delta.select(col("doc_b").as("doc_id"))).distinct()
+    // unseen delta nodes enter as their own singleton components
+    val newNodes = dn.join(base, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    val members = base.union(newNodes)
+    val la = members.select(col("doc_id").as("doc_a"), col("lbl").as("la"))
+    val lb = members.select(col("doc_id").as("doc_b"), col("lbl").as("lb"))
+    val labelEdges = delta.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val remap = dupClusters(labelEdges, maxIterations)
+      .select(col("doc_id").as("lbl"), col("cluster_id").as("new_lbl"))
+    val relabeled = members.join(broadcast(remap), Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lbl"), col("lbl")).as("cluster_id"))
+    val sizes = relabeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    relabeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** SimHash near-dup pairs: docs sharing any 16-bit band (≤3 differing
     * bands ⇐ hamming ≤ 3 guaranteed candidates), verified by exact hamming
     * distance ≤ maxHamming. */

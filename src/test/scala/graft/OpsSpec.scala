@@ -1774,6 +1774,45 @@ class OpsSpec extends AnyFunSuite {
     assert(DedupOps.dupClusters(empty).collect().isEmpty)
   }
 
+  test("incremental CC equals from-scratch CC: delta edges bridge " +
+    "components, add singletons-as-new-nodes, and leave untouched " +
+    "clusters alone; layout-invariant") {
+    // base: {1,2,3}, {10,11}, {20,21} ; delta bridges 3–10 (merging two
+    // clusters), introduces new node 30 attached to 21, and a fresh
+    // isolated pair 40–41
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val delta = Seq((3L, 10L), (30L, 21L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val base = DedupOps.dupClusters(basePairs)
+    val got = DedupOps.dupClustersIncremental(base, delta)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = DedupOps.dupClusters(basePairs.union(delta))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === scratch)
+    // untouched {20,21} gains member 30 only; {1,2,3,10,11} merged
+    assert(got.contains((11L, 1L, 5L)) && got.contains((30L, 20L, 3L)))
+    assert(got.contains((41L, 40L, 2L)))
+    val got2 = DedupOps.dupClustersIncremental(base.repartition(7),
+        delta.repartition(5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === got)
+  }
+
+  test("incremental CC with an empty delta republishes the base " +
+    "labeling unchanged") {
+    val basePairs = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val base = DedupOps.dupClusters(basePairs)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClustersIncremental(base, empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === base.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("dup clusters end-to-end: LSH pairs resolve to transitive clusters") {
     // three mutually-near docs (transitive chain through doc 2) + unrelated
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
