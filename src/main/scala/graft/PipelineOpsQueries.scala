@@ -111,6 +111,14 @@ object PipelineOpsQueries {
     "p127_phash_neardups" -> ((s, dir) =>
       MultimodalOps.phashNearDupsDumped(SparkEntry.docTable(s, dir),
         phashRefsPath(dir))),
+    // columnar-encoding advisor (physical design): per-column PLAIN/RLE/
+    // DICT byte models over block-local runs (writers reset encodings
+    // per page — and the blocked window avoids the single-partition
+    // global sort); integer-exact, bits via minimal-width bin()
+    "p133_encoding_advisor" -> ((s, dir) =>
+      graft.ops.StorageOps.encodingAdvisor(
+        s.read.parquet(s"$dir/lineitem.parquet"), blockRows = 4096)),
+
     // isotonic (PAV) calibration: best non-decreasing outcome rate over
     // 32 length bins; engine = one keyed agg + driver PAV stack; oracle
     // = the CLOSED-FORM minimax characterization max_j min_k of segment
@@ -900,6 +908,14 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.bpeTrain(docs(s, dir), steps = 8,
         maxWordLen = 32)),
 
+    // BPE ENCODE census (the apply half of p126): same merge loop, then
+    // the whole corpus encodes through one (source, word) count agg + a
+    // keyed join against the trained vocab — whose symbol sequences ARE
+    // every word's encoding; per-source fertility in exact integers
+    "p134_bpe_fertility" -> ((s, dir) =>
+      graft.ops.CorpusOps.bpeEncodeCensus(docs(s, dir), steps = 8,
+        maxWordLen = 32)),
+
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
     "p120_nfc_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -1661,13 +1677,108 @@ object PipelineOpsQueries {
     s"$base$rounds$union\n         ORDER BY epoch"
   }
 
+  /** Encode-phase companion to [[bpeTrainOracle]]: the same generated
+    * merge rounds with the raw word CARRIED through the chain (replace
+    * only rewrites `s`), then the per-source fertility census off the
+    * final vocab — whose symbol sequences are every word's encoding. */
+  private def bpeEncodeOracle(steps: Int): String = {
+    val sep = "chr(31)"
+    val sep2 = "(chr(31) || chr(31))"
+    val w0 =
+      s"""WITH w0 AS (
+         SELECT w, regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')
+             AS s,
+           CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS w FROM documents) t
+         WHERE length(w) > 0 AND length(w) <= 32 AND strpos(w, $sep) = 0
+         GROUP BY w)"""
+    val rounds = (0 until steps).map { k =>
+      s""",
+         p$k AS (SELECT sy[i] AS l, sy[i + 1] AS r,
+             CAST(sum(freq) AS BIGINT) AS n
+           FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+                 FROM (SELECT freq,
+                         string_split(substr(s, 2, length(s) - 2), $sep2)
+                           AS sy
+                       FROM w$k) t0) t
+           GROUP BY 1, 2),
+         b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         w${k + 1} AS (SELECT t.w, replace(t.s,
+             $sep || b.l || $sep2 || b.r || $sep,
+             $sep || b.l || b.r || $sep) AS s, t.freq
+           FROM w$k t, b$k b)"""
+    }.mkString
+    s"""$w0$rounds,
+         enc AS (SELECT w,
+             (length(s) - length(replace(s, $sep, ''))) // 2 AS k
+           FROM w$steps),
+         occ AS (SELECT source, w, CAST(count(*) AS BIGINT) AS occ
+           FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                 FROM documents) q
+           WHERE length(w) > 0 AND length(w) <= 32
+             AND strpos(w, $sep) = 0
+           GROUP BY 1, 2)
+         SELECT source, CAST(sum(occ) AS BIGINT) AS n_words,
+           CAST(sum(occ * e.k) AS BIGINT) AS n_tokens,
+           CAST(sum(occ * length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(occ * e.k) * 1000 // sum(occ) AS BIGINT)
+             AS fertility_millis
+         FROM occ JOIN enc e USING (w) GROUP BY source
+         ORDER BY source"""
+  }
+
   /** Oracles with dump paths interpolated for `dir` — Verify passes the sf
     * dir it actually ran, eliminating the hard-coded-sf0.01 failure mode
     * (round-2 VERDICT "What's wrong #2"). */
   def oracleSqlFor(dir: String): Map[String, String] = Map(
     "p126_bpe_train" -> bpeTrainOracle(8),
+    "p134_bpe_fertility" -> bpeEncodeOracle(8),
     "p128_coreset_facility" -> facilityOracle(8),
     "p129_perceptron_train" -> perceptronOracle(8, 256),
+    // same integer byte models re-derived: IS DISTINCT FROM lag per
+    // (column, block) for run boundaries, minimal-width bin() bits,
+    // (n·bits+7)//8 dict codes, dict<plain<rle tie order
+    "p133_encoding_advisor" ->
+      """WITH b AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+             l_returnflag AS c1, l_linestatus AS c2,
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS c3,
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c4,
+             (l_orderkey * 8 + l_linenumber) // 4096 AS blk
+           FROM lineitem),
+         u AS (SELECT 'returnflag' AS column_name, blk, ok, ln, c1 AS v
+                 FROM b
+               UNION ALL SELECT 'linestatus', blk, ok, ln, c2 FROM b
+               UNION ALL SELECT 'quantity', blk, ok, ln, c3 FROM b
+               UNION ALL SELECT 'shipdate', blk, ok, ln, c4 FROM b),
+         r AS (SELECT column_name, v,
+             CASE WHEN lag(v) OVER (PARTITION BY column_name, blk
+                 ORDER BY ok, ln, v) IS DISTINCT FROM v
+               THEN 1 ELSE 0 END AS bnd
+           FROM u),
+         agg AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             CAST(sum(bnd) AS BIGINT) AS n_runs,
+             CAST(sum(length(v)) AS BIGINT) AS plain_bytes,
+             CAST(sum(CASE WHEN bnd = 1 THEN length(v) + 4 ELSE 0 END)
+               AS BIGINT) AS rle_bytes
+           FROM r GROUP BY 1),
+         dl AS (SELECT column_name, CAST(sum(length(v)) AS BIGINT) AS dvb
+           FROM (SELECT DISTINCT column_name, v FROM u) q GROUP BY 1),
+         fin AS (SELECT a.*, dl.dvb,
+             CAST(length(bin(greatest(a.n_distinct - 1, 1))) AS BIGINT)
+               AS bits
+           FROM agg a JOIN dl USING (column_name))
+         SELECT column_name, n, n_distinct, n_runs, plain_bytes,
+           rle_bytes,
+           CAST((n * bits + 7) // 8 + dvb AS BIGINT) AS dict_bytes,
+           CASE WHEN (n * bits + 7) // 8 + dvb <= plain_bytes
+                 AND (n * bits + 7) // 8 + dvb <= rle_bytes THEN 'dict'
+                WHEN plain_bytes <= rle_bytes THEN 'plain'
+                ELSE 'rle' END AS advice
+         FROM fin ORDER BY column_name""",
+
     // independent formulation: NOT a replay of the PAV loop — the
     // closed-form minimax identity value(i) = max_{j≤i} min_{k≥i}
     // seg-rate[j..k], computed set-based over prefix sums (triples

@@ -445,6 +445,44 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // datetime format-pattern semantics pin — the report-surface
+    // corruption class: Java DateTimeFormatter patterns vs C strftime.
+    // Found+pinned: Spark REFUSES the week-of-year and week-based-year
+    // patterns outright ('w', 'W', 'YYYY', 'u' all raise under the
+    // proleptic parser — weekofyear()/q98 is the sanctioned path) and
+    // has no Oracle-style to_char masks; day-of-week NUMBERING is a
+    // 3-way split — Spark dayofweek() is 1–7 Sunday=1, weekday() is 0–6
+    // Monday=0, DuckDB dayofweek() is 0–6 Sunday=0 and isodow() is 1–7
+    // Monday=1 (both Spark forms derived from DuckDB's); the 12-hour
+    // clock renders midnight as hh='12' but KK='00' (no strftime K —
+    // derived % 12), and kk (1–24) renders midnight '24' (derived);
+    // quarter formats 'QQQ'→'Q1' are assembled, era 'G'→'AD' literal.
+    // Pinned equal: EEEE/EEE/MMMM/MMM name tables == %A/%a/%B/%b
+    // (English locale both), padded/unpadded day-of-year DDD/D == %j
+    // and its ltrim, hh==%I including noon '12', SSS truncates micros
+    // to millis == %g, yy/yyyy/d/dd/HH/mm/ss
+    "q136_datetime_format" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_fmt")
+      s.sql("""SELECT event_id,
+          date_format(ts, 'EEEE') AS wd_full,
+          date_format(ts, 'EEE') AS wd_ab,
+          date_format(ts, 'MMMM') AS mon_full,
+          date_format(ts, 'MMM') AS mon_ab,
+          date_format(ts, 'DDD') AS doy_pad,
+          date_format(ts, 'D') AS doy,
+          date_format(ts, 'a') AS ampm,
+          date_format(ts, 'hh') AS h12,
+          date_format(ts, 'KK') AS h12k,
+          date_format(ts, 'kk') AS h24k,
+          date_format(ts, 'QQQ') AS q_fmt,
+          date_format(ts, 'G') AS era,
+          date_format(ts, 'SSS') AS millis,
+          date_format(ts, 'yy|yyyy|dd|HH|mm|ss') AS ymd,
+          CAST(dayofweek(ts) AS BIGINT) AS dow_sun1,
+          CAST(weekday(ts) AS BIGINT) AS wd_mon0
+        FROM events_fmt WHERE user_id % 41 = 0 ORDER BY event_id""")
+    }),
+
     // implicit type-coercion ladder pin — what mixed-type expressions
     // silently become. Found+pinned: string⟷number COMPARISON is
     // NUMERIC in both engines ('2' > 10 is false — the lexicographic
@@ -3175,6 +3213,33 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // format facts pin natively through strftime's shared tables
+    // (%A/%a/%B/%b names, %j, %I, %g millis, %y/%Y/%d/%H/%M/%S);
+    // Spark-only surfaces derive: KK as hour%12 zero-padded, kk as the
+    // 1–24 clock (00→24), QQQ assembled from quarter(), era literal,
+    // D as ltrim of %j, dayofweek as DuckDB dow()+1, weekday as
+    // isodow()−1
+    "q136_datetime_format" ->
+      """SELECT event_id,
+           strftime(ts, '%A') AS wd_full,
+           strftime(ts, '%a') AS wd_ab,
+           strftime(ts, '%B') AS mon_full,
+           strftime(ts, '%b') AS mon_ab,
+           strftime(ts, '%j') AS doy_pad,
+           CAST(CAST(strftime(ts, '%j') AS INT) AS VARCHAR) AS doy,
+           strftime(ts, '%p') AS ampm,
+           strftime(ts, '%I') AS h12,
+           lpad(CAST(CAST(strftime(ts, '%H') AS INT) % 12 AS VARCHAR),
+             2, '0') AS h12k,
+           CASE WHEN strftime(ts, '%H') = '00' THEN '24'
+                ELSE strftime(ts, '%H') END AS h24k,
+           'Q' || CAST(quarter(ts) AS VARCHAR) AS q_fmt,
+           'AD' AS era,
+           strftime(ts, '%g') AS millis,
+           strftime(ts, '%y|%Y|%d|%H|%M|%S') AS ymd,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow_sun1,
+           CAST(isodow(ts) - 1 AS BIGINT) AS wd_mon0
+         FROM events WHERE user_id % 41 = 0 ORDER BY event_id""",
     // coercion facts pin natively (lazy CASE/coalesce/IN branch casts,
     // numeric string⟷number compare, lexicographic string⟷string,
     // string=bool, bool wire forms, int/decimal CASE, date coercions);

@@ -1607,6 +1607,80 @@ object CorpusOps {
     * tok_total, vocab_syms). `maxWordLen` caps pathological tokens
     * (URLs, base64 runs) — the production guard that keeps per-word
     * state O(1). */
+  /** BPE ENCODE + fertility census — the apply half of [[bpeTrain]]:
+    * run the same merge loop (identical argmax/tie-break, so the learned
+    * merges are the p126-gated ones), then encode the WHOLE corpus by
+    * joining word occurrences against the trained vocabulary — after
+    * training, the vocab table's symbol sequences ARE the encodings of
+    * every corpus word, so encoding costs one (source, word) count
+    * aggregation and one keyed join, never a re-tokenization scan. The
+    * census is the number every tokenizer-budget decision hangs on:
+    * per-source fertility (tokens per word, millis-scaled integer) plus
+    * exact token/char totals. */
+  def bpeEncodeCensus(df: DataFrame, steps: Int = 8, maxWordLen: Int = 32)
+    : DataFrame = {
+    val SEP = "\u001f"
+    val SEP2 = SEP + SEP
+    var vocab = df
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen &&
+        !col("w").contains(SEP))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        regexp_replace(col("w"), "(.)", s"$SEP$$1$SEP").as("s"),
+        col("freq"))
+      .persist()
+    vocab.count()
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val best = vocab.select(col("freq"),
+          split(expr("substring(s, 2, length(s) - 2)"), SEP2).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), expr(
+          "explode(transform(sequence(0, size(sy) - 2), " +
+            "i -> struct(sy[i] AS l, sy[i + 1] AS r)))").as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        val next = vocab.select(col("w"),
+          call_function("replace", col("s"),
+            lit(SEP + l + SEP2 + r + SEP), lit(SEP + l + r + SEP)).as("s"),
+          col("freq")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    val enc = vocab.select(col("w"),
+      ((length(col("s")) -
+        length(call_function("replace", col("s"), lit(SEP), lit(""))))
+        .cast("long") / lit(2L)).cast("long").as("k"))
+    val occ = df
+      .select(col("source"), explode(split(trim(col("text")), "\\s+"))
+        .as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen &&
+        !col("w").contains(SEP))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("occ"))
+    val out = occ.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("k")).as("n_tokens"),
+        sum(col("occ") * length(col("w"))).cast("long").as("n_chars"))
+      .withColumn("fertility_millis",
+        expr("n_tokens * 1000 div n_words"))
+      .orderBy(col("source"))
+    out.persist()
+    out.count() // materialize the tiny census before the vocab unpersists
+    vocab.unpersist()
+    out
+  }
+
   def bpeTrain(df: DataFrame, steps: Int = 8, maxWordLen: Int = 32)
     : DataFrame = {
     val spark = df.sparkSession
