@@ -999,6 +999,30 @@ object PipelineOpsQueries {
           when(col("key") % 5 === 0, lit("UNKNOWN")).otherwise(col("seg")))
       graft.ops.LinkageOps.fellegiSunterLinks(cust, dirty)
     }),
+    // multi-pass blocking (p118's production absorb): nation block ∪
+    // two offset-100 cents÷200 bandings — any pair within the 75-cent
+    // tolerance is GUARANTEED to meet in a shifted band even with a
+    // corrupted blocking field; oracle re-scores over the 3-way OR of
+    // block predicates
+    "p135_linkage_multipass" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_nationkey").cast("long").as("block"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("c_mktsegment").as("seg"))
+      val dirty = cust.filter(col("key") % 3 === 0)
+        .withColumn("name",
+          when(col("key") % 2 === 0,
+            concat(substring(col("name"), 1, 16),
+              substring(col("name"), 18, 1), substring(col("name"), 17, 1)))
+            .otherwise(col("name")))
+        .withColumn("cents", col("cents") + col("key") % 151 - 75)
+        .withColumn("seg",
+          when(col("key") % 5 === 0, lit("UNKNOWN")).otherwise(col("seg")))
+      graft.ops.LinkageOps.fellegiSunterLinksMultiPass(cust, dirty)
+    }),
 
     // weighted (bag) Jaccard: Σmin(tf)/Σmax(tf) over token term
     // frequencies — catches repetition-divergent near-dups set-Jaccard
@@ -3664,6 +3688,42 @@ object PipelineOpsQueries {
              a.cents AS a_cents, b.cents AS b_cents,
              a.seg AS a_seg, b.seg AS b_seg
            FROM a JOIN b ON a.block = b.block),
+         w AS (SELECT a_key, b_key, lev,
+             CASE WHEN lev = 0 THEN 24 WHEN lev <= 2 THEN 12
+                  ELSE -8 END AS w_name,
+             CASE WHEN abs(a_cents - b_cents) <= 75 THEN 10
+                  ELSE -6 END AS w_bal,
+             CASE WHEN a_seg = b_seg THEN 6 ELSE -4 END AS w_seg
+           FROM s)
+         SELECT a_key, b_key, lev,
+           CAST(w_name AS BIGINT) AS w_name, CAST(w_bal AS BIGINT) AS w_bal,
+           CAST(w_seg AS BIGINT) AS w_seg,
+           CAST(w_name + w_bal + w_seg AS BIGINT) AS score,
+           CAST(a_key = b_key AS BIGINT) AS is_true
+         FROM w WHERE w_name + w_bal + w_seg >= 18
+         ORDER BY a_key, b_key""",
+    // p118's scoring verbatim over the UNION of block predicates (the
+    // multi-pass candidate set): same dirtying, same weights, join ON
+    // nation-block OR either offset cents band
+    "p135_linkage_multipass" ->
+      """WITH a AS (SELECT c_custkey AS key, c_name AS name,
+             CAST(c_nationkey AS BIGINT) AS block,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             c_mktsegment AS seg FROM customer),
+         b AS (SELECT key,
+             CASE WHEN key % 2 = 0 THEN substr(name, 1, 16)
+                    || substr(name, 18, 1) || substr(name, 17, 1)
+                  ELSE name END AS name,
+             block, cents + key % 151 - 75 AS cents,
+             CASE WHEN key % 5 = 0 THEN 'UNKNOWN' ELSE seg END AS seg
+           FROM a WHERE key % 3 = 0),
+         s AS (SELECT a.key AS a_key, b.key AS b_key,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+             a.cents AS a_cents, b.cents AS b_cents,
+             a.seg AS a_seg, b.seg AS b_seg
+           FROM a JOIN b ON a.block = b.block
+             OR (a.cents + 100000) // 200 = (b.cents + 100000) // 200
+             OR (a.cents + 100100) // 200 = (b.cents + 100100) // 200),
          w AS (SELECT a_key, b_key, lev,
              CASE WHEN lev = 0 THEN 24 WHEN lev <= 2 THEN 12
                   ELSE -8 END AS w_name,

@@ -445,6 +445,51 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // explode / LATERAL VIEW semantics pin — the row-multiplication
+    // rules every flatten silently depends on. Found+pinned: plain
+    // explode DROPS the row for empty AND null arrays (count rails)
+    // while the OUTER variants emit one all-null row — DuckDB's unnest
+    // only drops, so the outer path derives via LEFT JOIN LATERAL … ON
+    // true; posexplode positions are 0-BASED where generate_subscripts
+    // is 1-based (derived −1); stack() with a SHORT argument list pads
+    // the last row with NULLs (stack(3, four args) → third row
+    // null,null — literal rail, DuckDB has no stack); explode(map)
+    // yields (key, value) rows in entry order where DuckDB cannot
+    // unnest a MAP at all (derived from the row's scalars);
+    // inline_outer of an empty struct array emits one null row
+    // (literal). Pinned equal: element order through the flatten,
+    // multi-generator row multiplication (outer null rows multiply
+    // too), correlated LATERAL subqueries, per-row slice bounds
+    "q137_explode_semantics" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_ex")
+      s.sql("""WITH b AS (
+          SELECT doc_id, lang, source,
+            slice(split(trim(text), '\\s+'), 1, CAST(doc_id % 4 AS INT))
+              AS arr
+          FROM docs_ex WHERE doc_id % 33 = 0)
+        SELECT doc_id,
+          CAST(pos AS BIGINT) AS pos0,
+          tok,
+          CAST(mk AS BIGINT) AS mk, mv,
+          CAST(size(arr) AS BIGINT) AS n_arr,
+          (SELECT CAST(count(*) AS BIGINT)
+             FROM (SELECT explode(array()))) AS empty_drops,
+          (SELECT CAST(count(*) AS BIGINT)
+             FROM (SELECT explode(CAST(NULL AS ARRAY<INT>))))
+            AS null_drops,
+          (SELECT CAST(count(*) AS BIGINT)
+             FROM (SELECT stack(3, 1, 'a', 2, 'b'))) AS stack_rows,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT stack(3, 1, 'a', 2, 'b') AS (sa, sb)) WHERE sa IS NULL)
+            AS stack_nullpad,
+          (SELECT CAST(count(*) AS BIGINT) FROM (SELECT inline_outer(
+             CAST(array() AS ARRAY<STRUCT<a: INT>>)))) AS inline_outer_row
+        FROM b
+        LATERAL VIEW OUTER posexplode(arr) t AS pos, tok
+        LATERAL VIEW explode(map(1, lang, 2, source)) m AS mk, mv
+        ORDER BY doc_id, pos0, mk""")
+    }),
+
     // datetime format-pattern semantics pin — the report-surface
     // corruption class: Java DateTimeFormatter patterns vs C strftime.
     // Found+pinned: Spark REFUSES the week-of-year and week-based-year
@@ -3213,6 +3258,34 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // flatten facts pin natively where DuckDB has the surface (unnest
+    // drops empty/null, element order, lateral correlation, slice
+    // bounds); Spark's outer path derives via LEFT JOIN LATERAL, the
+    // 0-based positions via generate_subscripts − 1, map explode from
+    // the row's scalars crossed with an entry spine, stack padding and
+    // inline_outer as literal rails
+    "q137_explode_semantics" ->
+      """WITH b AS (
+           SELECT doc_id, lang, source,
+             (regexp_split_to_array(trim(text), '\s+'))
+               [1:CAST(doc_id % 4 AS INT)] AS arr
+           FROM documents WHERE doc_id % 33 = 0),
+         e AS (SELECT b.doc_id, b.lang, b.source, b.arr, u.tok, u.i
+           FROM b LEFT JOIN LATERAL (SELECT unnest(arr) AS tok,
+             generate_subscripts(arr, 1) AS i) u ON true)
+         SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS pos0,
+           tok,
+           CAST(g.mk AS BIGINT) AS mk,
+           CASE WHEN g.mk = 1 THEN lang ELSE source END AS mv,
+           CAST(len(arr) AS BIGINT) AS n_arr,
+           CAST(0 AS BIGINT) AS empty_drops,
+           CAST(0 AS BIGINT) AS null_drops,
+           CAST(3 AS BIGINT) AS stack_rows,
+           CAST(1 AS BIGINT) AS stack_nullpad,
+           CAST(1 AS BIGINT) AS inline_outer_row
+         FROM e CROSS JOIN (VALUES (1), (2)) g(mk)
+         ORDER BY doc_id, pos0, mk""",
     // format facts pin natively through strftime's shared tables
     // (%A/%a/%B/%b names, %j, %I, %g millis, %y/%Y/%d/%H/%M/%S);
     // Spark-only surfaces derive: KK as hour%12 zero-padded, kk as the

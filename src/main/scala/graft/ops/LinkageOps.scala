@@ -89,4 +89,40 @@ object LinkageOps {
         (col("a_key") === col("b_key")).cast("long").as("is_true"))
       .orderBy(col("a_key"), col("b_key"))
   }
+
+  /** MULTI-PASS blocking — how production absorbs the single-block
+    * recall loss the `fellegiSunterLinks` spec pins (a true pair whose
+    * blocking field was corrupted never meets): union the candidates of
+    * several cheap blocking passes and score once. Passes here:
+    *   1. the caller's `block` field (nation in p118);
+    *   2. cents ÷ 200 bands;
+    *   3. the SAME bands offset by 100 — the classic two-offset trick:
+    *      any pair within 100 cents (⊇ the 75-cent agreement tolerance)
+    *      shares a band in at least one of the two shifted passes, so
+    *      balance-compatible pairs are GUARANTEED to meet even when
+    *      their blocking field was corrupted.
+    * Scoring is per-pair and deterministic, so unioning the three
+    * passes' results and deduplicating rows is equivalent to scoring
+    * the deduplicated candidate union (production dedups candidate keys
+    * pre-score to avoid the ≤3× comparator cost; at gate scale the row
+    * union keeps the code transparently equal to three single passes).
+    * Output: superset of the single-pass links — every p118 row plus
+    * the recovered corrupted-block pairs. */
+  def fellegiSunterLinksMultiPass(a: DataFrame, b: DataFrame,
+                                  threshold: Int = 18,
+                                  centsTol: Int = 75): DataFrame = {
+    def reblock(df: DataFrame, e: org.apache.spark.sql.Column) =
+      df.withColumn("block", e)
+    val passes = Seq[DataFrame => DataFrame](
+      identity,
+      // +100000 keeps the dividend nonnegative: Spark div TRUNCATES
+      // toward zero while DuckDB // FLOORS, so negative balances would
+      // band differently (q118's truncation-vs-floor pin, met in anger)
+      df => reblock(df, expr("(cents + 100000) div 200")),
+      df => reblock(df, expr("(cents + 100100) div 200")))
+    passes.map(p => fellegiSunterLinks(p(a), p(b), threshold, centsTol))
+      .reduce(_.unionByName(_))
+      .distinct()
+      .orderBy(col("a_key"), col("b_key"))
+  }
 }

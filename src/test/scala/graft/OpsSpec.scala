@@ -1475,6 +1475,16 @@ class OpsSpec extends AnyFunSuite {
       (2L, 2L, 28L, 1L))) // true transposed-name
     // entity 3 is a blocking recall loss: present in both sides, never met
     assert(!links.exists(l => l._1 == 3L || l._2 == 3L))
+
+    // multi-pass blocking RECOVERS exactly that miss (entity 3's cents
+    // agree, so an offset cents band is guaranteed to pair it) and keeps
+    // every single-pass link
+    val multi = graft.ops.LinkageOps.fellegiSunterLinksMultiPass(a, b)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("score"), r.getAs[Long]("is_true")))
+    assert(multi.contains((3L, 3L, 40L, 1L)))
+    assert(links.toSet.subsetOf(multi.toSet))
   }
 
   test("leading-digit census: integer-exact digits at power-of-ten " +
