@@ -916,6 +916,16 @@ object PipelineOpsQueries {
       graft.ops.CorpusOps.bpeEncodeCensus(docs(s, dir), steps = 8,
         maxWordLen = 32)),
 
+    // GroupKFold by dup-cluster: folds assigned to whole near-dup
+    // clusters so near-duplicates never straddle train/test (the p73
+    // leakage channel closed by construction); census also counts the
+    // clusters a DOC-level hash split would tear across folds
+    "p136_group_kfold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.groupKFold(d,
+        DedupOps.dupClusters(DedupOps.minhashLsh(d)), k = 5)
+    }),
+
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
     "p120_nfc_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -3071,6 +3081,50 @@ object PipelineOpsQueries {
          SELECT l.doc_id, l.cluster_id, s.cluster_size
          FROM labels l JOIN szs s USING (cluster_id)
          ORDER BY l.doc_id""",
+    // p26's cluster chain + the same unsigned md5-half fold hash
+    // (Spark derives it via conv(hex,16,10) through DECIMAL(20);
+    // DuckDB via the '0x'-string UBIGINT cast — identical big-endian
+    // value), singletons labeled by themselves via the LEFT JOIN
+    "p136_group_kfold" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                       FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         prs AS (SELECT doc_a, doc_b FROM cand
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 60),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                    FROM reach GROUP BY u),
+         lbl AS (SELECT d.doc_id,
+             coalesce(l.cluster_id, d.doc_id) AS cid
+           FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         asg AS (SELECT doc_id, cid,
+             CAST(CAST(('0x' || substr(md5(CAST(cid AS VARCHAR)
+               || ':fold'), 17, 16)) AS UBIGINT) % 5 AS BIGINT) AS fold,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+               || ':fold'), 17, 16)) AS UBIGINT) % 5 AS BIGINT)
+               AS doc_fold
+           FROM lbl),
+         sp AS (SELECT CAST(count(*) AS BIGINT) AS s FROM (
+             SELECT cid FROM asg GROUP BY cid
+             HAVING count(DISTINCT doc_fold) > 1) q)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+           (SELECT s FROM sp) AS doc_split_spanning
+         FROM asg GROUP BY fold ORDER BY fold""",
     // the full-graph recompute the incremental path avoids: identical
     // chain to p26 (exact Jaccard≥0.6 pairs over the WHOLE corpus,
     // recursive-CTE reachability, min-label, sizes) — base∪delta must

@@ -445,6 +445,58 @@ object RelationalQueries {
         FROM c ORDER BY o_orderkey""")
     }),
 
+    // aggregate-modifier semantics pin (DISTINCT / FILTER / WITHIN
+    // GROUP / null policy). Found+pinned: count(DISTINCT a, b) in
+    // multi-ARGUMENT form drops rows where ANY argument is null — 2 on
+    // the probe data — while count(DISTINCT struct(a, b)) keeps
+    // null-field tuples as distinct values (4, q133's composite
+    // total-order at work) and DuckDB's tuple DISTINCT agrees with the
+    // STRUCT form, so Spark's multi-arg form diverges from BOTH (oracle
+    // derives it as tuple-DISTINCT FILTERed to fully-non-null rows);
+    // collect_list/array_agg DROP nulls in Spark where DuckDB's
+    // array_agg keeps them (derived with a FILTER clause); count() with
+    // zero args errors in Spark, legal in DuckDB (documented);
+    // percentile_disc returns DOUBLE vs the element type (cast rail).
+    // Pinned equal: single-arg DISTINCT null-skip, sum/avg DISTINCT,
+    // FILTER clauses incl. composed DISTINCT+FILTER, listagg WITHIN
+    // GROUP ordering == string_agg ORDER BY (both skip nulls),
+    // count(struct) never-null, discrete median picks the lower element
+    "q138_agg_modifiers" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_agg")
+      // found en route: listagg WITHIN GROUP cannot share a SELECT
+      // with DISTINCT aggregates in Spark 4.1 — the distinct-rewrite
+      // Expand mangles the SortOrder child into a ClassCastException
+      // (AttributeReference → SortOrder) — so the ordered aggregates
+      // live in a second aggregation joined back on the group key
+      s.sql("""WITH b AS (
+          SELECT o_orderkey % 13 AS g,
+            nullif(CAST(o_orderkey % 7 AS BIGINT), 3) AS a,
+            nullif(CAST(o_orderkey % 5 AS BIGINT), 2) AS v
+          FROM orders_agg WHERE o_orderkey % 11 = 0),
+        m AS (SELECT g,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT a, v) AS BIGINT) AS cd_multi,
+          CAST(count(DISTINCT struct(a, v)) AS BIGINT) AS cd_struct,
+          CAST(count(struct(a, v)) AS BIGINT) AS c_struct,
+          CAST(count(DISTINCT a) AS BIGINT) AS cd_a,
+          CAST(sum(DISTINCT a) AS BIGINT) AS sd,
+          round(avg(DISTINCT a), 6) AS ad,
+          CAST(sum(a) FILTER (WHERE a > v) AS BIGINT) AS f_sum,
+          CAST(count(*) FILTER (WHERE a IS NULL) AS BIGINT) AS f_nulls,
+          CAST(sum(DISTINCT a) FILTER (WHERE v > 0) AS BIGINT) AS sdf,
+          concat_ws(',', sort_array(collect_list(a))) AS cl
+        FROM b GROUP BY g),
+        l AS (SELECT g,
+          listagg(CAST(a AS STRING), ',')
+            WITHIN GROUP (ORDER BY CAST(a AS STRING)) AS la,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY a) AS BIGINT)
+            AS pd
+        FROM b GROUP BY g)
+        SELECT CAST(m.g AS BIGINT) AS g, n, cd_multi, cd_struct,
+          c_struct, cd_a, sd, ad, f_sum, f_nulls, sdf, la, cl, pd
+        FROM m JOIN l ON l.g = m.g ORDER BY g""")
+    }),
+
     // explode / LATERAL VIEW semantics pin — the row-multiplication
     // rules every flatten silently depends on. Found+pinned: plain
     // explode DROPS the row for empty AND null arrays (count rails)
@@ -3258,6 +3310,52 @@ object RelationalQueries {
               (CAST(1 AS DOUBLE)), (CAST('NaN' AS DOUBLE)),
               (CAST(0 AS DOUBLE))) t(x)) AS min_skips_nan
          FROM c ORDER BY o_orderkey""",
+    // modifier facts pin natively (tuple DISTINCT == Spark's struct
+    // form, FILTER clauses, DISTINCT null-skip, string_agg ordering);
+    // Spark policy derives where it diverges: multi-arg DISTINCT as
+    // tuple-DISTINCT FILTERed fully-non-null, the null-dropping
+    // collect_list as array_agg FILTER + ORDER BY, percentile_disc
+    // as quantile_disc cast off the element type
+    // symmetric oracle-side find: DuckDB crashes with an INTERNAL
+    // shared_ptr error whenever a tuple-DISTINCT aggregate shares one
+    // GROUP BY with ANY other aggregate over the same tuple (another
+    // tuple-DISTINCT, a DISTINCT…FILTER, even plain count((a,v))) —
+    // so each offender gets its own MATERIALIZED sub-aggregation,
+    // exactly as the engine had to split for Spark's listagg/DISTINCT
+    // ClassCastException: each engine breaks on a different modifier
+    // combination
+    "q138_agg_modifiers" ->
+      """WITH b AS MATERIALIZED (
+           SELECT o_orderkey % 13 AS g,
+             nullif(CAST(o_orderkey % 7 AS BIGINT), 3) AS a,
+             nullif(CAST(o_orderkey % 5 AS BIGINT), 2) AS v
+           FROM orders WHERE o_orderkey % 11 = 0),
+         m1 AS MATERIALIZED (SELECT g,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count((a, v)) AS BIGINT) AS c_struct,
+           CAST(count(DISTINCT a) AS BIGINT) AS cd_a,
+           CAST(sum(DISTINCT a) AS BIGINT) AS sd,
+           round(avg(DISTINCT a), 6) AS ad,
+           CAST(sum(a) FILTER (WHERE a > v) AS BIGINT) AS f_sum,
+           CAST(count(*) FILTER (WHERE a IS NULL) AS BIGINT) AS f_nulls,
+           string_agg(CAST(a AS VARCHAR), ','
+             ORDER BY CAST(a AS VARCHAR)) AS la,
+           string_agg(CAST(a AS VARCHAR), ',' ORDER BY a)
+             FILTER (WHERE a IS NOT NULL) AS cl,
+           CAST(quantile_disc(a, 0.5) AS BIGINT) AS pd
+           FROM b GROUP BY g),
+         m2 AS MATERIALIZED (SELECT g, CAST(count(DISTINCT (a, v)) AS BIGINT)
+             AS cd_struct FROM b GROUP BY g),
+         m3 AS MATERIALIZED (SELECT g, CAST(sum(DISTINCT a) FILTER (WHERE v > 0)
+             AS BIGINT) AS sdf FROM b GROUP BY g),
+         m4 AS MATERIALIZED (SELECT g, CAST(count(DISTINCT (a, v))
+             FILTER (WHERE a IS NOT NULL AND v IS NOT NULL) AS BIGINT)
+             AS cd_multi FROM b GROUP BY g)
+         SELECT CAST(m1.g AS BIGINT) AS g, n, cd_multi, cd_struct,
+           c_struct, cd_a, sd, ad, f_sum, f_nulls, sdf, la, cl, pd
+         FROM m1 JOIN m2 ON m2.g = m1.g JOIN m3 ON m3.g = m1.g
+           JOIN m4 ON m4.g = m1.g
+         ORDER BY g""",
     // flatten facts pin natively where DuckDB has the surface (unnest
     // drops empty/null, element order, lateral correlation, slice
     // bounds); Spark's outer path derives via LEFT JOIN LATERAL, the

@@ -695,6 +695,46 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** GroupKFold by duplicate cluster — the split rule that makes p73's
+    * leakage census structurally zero: folds are assigned to whole
+    * near-dup CLUSTERS (hash of the canonical cluster id), so two
+    * near-duplicate documents can never land in different folds — the
+    * train/test contamination channel a doc-level split leaves open.
+    * Docs in no cluster are their own singleton group. The fold hash is
+    * the engine-standard md5 low half read as an UNSIGNED 64-bit value
+    * (Spark: conv(hex,16,10) through DECIMAL(20); DuckDB: '0x'-cast —
+    * both sides derive the identical number), so assignment is
+    * deterministic, engine-independent and survives resharding.
+    *
+    * Output one row per fold: doc/cluster counts plus
+    * `doc_split_spanning` — how many clusters WOULD straddle folds if
+    * docs were hashed individually: the leakage GroupKFold removes,
+    * measured on the same corpus. Scale: one label join + two keyed
+    * aggs; the cluster table is the p26/p132 output the pipeline
+    * already maintains. */
+  def groupKFold(docs: DataFrame, labels: DataFrame, k: Int = 5)
+    : DataFrame = {
+    val lbl = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cid")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cid"))
+    def foldOf(name: String): Column =
+      expr(s"CAST(CAST(conv(substring(md5(CAST($name AS STRING) " +
+        s"|| ':fold'), 17, 16), 16, 10) AS DECIMAL(20,0)) % $k AS BIGINT)")
+    val assigned = lbl
+      .withColumn("fold", foldOf("cid"))
+      .withColumn("doc_fold", foldOf("doc_id"))
+    val spanning = assigned.groupBy(col("cid"))
+      .agg(countDistinct(col("doc_fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assigned.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cid")).as("n_clusters"))
+      .withColumn("doc_split_spanning", lit(spanning))
+      .orderBy(col("fold"))
+  }
+
   /** SimHash near-dup pairs: docs sharing any 16-bit band (≤3 differing
     * bands ⇐ hamming ≤ 3 guaranteed candidates), verified by exact hamming
     * distance ≤ maxHamming. */

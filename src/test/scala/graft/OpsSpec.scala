@@ -1812,6 +1812,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  test("groupKFold: clusters never straddle folds, singletons fold " +
+    "independently, and the doc-split census counts exactly the " +
+    "clusters a doc-level hash would tear") {
+    import java.math.BigInteger
+    import java.security.MessageDigest
+    def foldOf(key: Long, k: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$key:fold".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(16, 32)
+      new BigInteger(hex, 16).mod(BigInteger.valueOf(k)).longValue()
+    }
+    val docs = (0L until 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // clusters: {0..9} → cid 0, {10,11} → cid 10; rest singletons
+    val labels = ((0L until 10L).map(i => (i, 0L)) ++
+      Seq((10L, 10L), (11L, 10L)))
+      .toDF("doc_id", "cluster_id")
+    val got = DedupOps.groupKFold(docs, labels, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum === 40L)
+    // reference: every doc's fold = fold(cid); spanning = clusters whose
+    // members' DOC folds differ
+    val cid = (0L until 40L)
+      .map(i => i -> (if (i < 10) 0L else if (i <= 11) 10L else i)).toMap
+    val expFold = (0L until 40L).groupBy(i => foldOf(cid(i), 5))
+    got.foreach { case (f, nDocs, nCl, _) =>
+      assert(nDocs === expFold.getOrElse(f, Seq()).size.toLong)
+      assert(nCl === expFold.getOrElse(f, Seq()).map(cid).distinct.size.toLong)
+    }
+    val spanning = (0L until 40L).groupBy(cid)
+      .count { case (_, ms) => ms.map(foldOf(_, 5)).distinct.size > 1 }
+    assert(got.head._4 === spanning.toLong)
+    assert(spanning >= 1) // the 10-doc cluster must span under doc-split
+  }
+
   test("incremental CC with an empty delta republishes the base " +
     "labeling unchanged") {
     val basePairs = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
