@@ -58,6 +58,11 @@ object PipelineOpsQueries {
   def deflateDumpPath(dir: String): String =
     s"/tmp/graft_deflate_dump_${SparkEntry.docCountFor(dir)}"
 
+  def streamDeconSinkPath(dir: String): String =
+    s"/tmp/graft_stream_decon_${SparkEntry.docCountFor(dir)}"
+  def streamUpsertSnapshotPath(dir: String): String =
+    s"/tmp/graft_stream_upsert_${SparkEntry.docCountFor(dir)}"
+
   def semDedupAssignPath(dir: String): String =
     s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
 
@@ -1556,15 +1561,113 @@ object PipelineOpsQueries {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("status"))
+    }),
+
+    // STREAMING decontamination driven end-to-end through a REAL
+    // micro-batch query (MemoryStream → decontaminateStream → foreachBatch
+    // parquet sink, 3 deterministic micro-batches): the op is per-doc
+    // stateless, so the sink's union across batches equals the batch
+    // recompute the oracle performs — the driver-verifiable CORRECTNESS
+    // row for the streaming family (round-3 VERDICT next-round #4). Eval
+    // set = docs with doc_id % 17 == 3; stream = the rest, batched by
+    // doc_id % 3.
+    "p137_stream_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 17 === 3)
+      // bounded driver collect: the MemoryStream FEED (the test-harness
+      // ingest side, not an operator) — ≤ corpus rows of (id, text)
+      val streamRows = d.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val sink = streamDeconSinkPath(dir)
+      deleteRecursively(sink)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingExtraction
+        .decontaminateStream(stream.toDS(), bench, w = 4)
+        .toDF("doc_id", "n_hit_grams")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      (0 until 3).foreach { k =>
+        stream.addData(streamRows.filter(_._1 % 3 == k).toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(sink).orderBy(col("doc_id"))
+    }),
+
+    // STREAMING CDC upsert driven end-to-end (MemoryStream of (doc_id,
+    // text, seq, is_delete) change rows → upsertStream → parquet
+    // snapshot): three micro-batches — full insert, then updates+deletes,
+    // then re-inserts+more deletes, seqs increasing per key across
+    // batches — so the sequentially-maintained snapshot equals the
+    // global last-write-wins the oracle computes with arg_max(·, seq).
+    // The second driver-verifiable streaming row (the STATEFUL family:
+    // foreachBatch + MergeOps.upsert, idempotent under replay per
+    // StreamingSpec).
+    "p138_stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded driver collect: the MemoryStream feed (harness ingest)
+      val d = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      def batchFor(seq: Long): Seq[(Long, String, Long, Boolean)] =
+        seq match {
+          case 1L => d.map { case (id, t) => (id, t, 1L, false) }
+          case 2L =>
+            d.filter(_._1 % 7 == 2)
+              .map { case (id, t) => (id, t + " v2", 2L, false) } ++
+              d.filter(_._1 % 7 == 3).map { case (id, _) => (id, "", 2L, true) }
+          case _ =>
+            d.filter(_._1 % 14 == 3)
+              .map { case (id, t) => (id, t + " v3", 3L, false) } ++
+              d.filter(_._1 % 7 == 5).map { case (id, _) => (id, "", 3L, true) }
+        }
+      val snap = streamUpsertSnapshotPath(dir)
+      deleteRecursively(snap)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Boolean)]
+      val q = graft.streaming.StreamingExtraction
+        .upsertStream(stream.toDS(), snap)
+      (1L to 3L).foreach { k =>
+        stream.addData(batchFor(k))
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(snap)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Local recursive delete for the streaming sink/snapshot dirs —
+    * rerun-safe in one JVM and across JVMs (append-mode sinks would
+    * otherwise accumulate stale batches). */
+  private def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val f = new java.io.File(path)
+    if (f.exists) rm(f)
+  }
 
   /** Independent re-run of the whole BPE training loop as `steps` chained
     * CTE rounds: the same bracketed-string representation, pair counts
     * from a lateral range over the symbol list, (n DESC, l, r) argmax,
     * and the greedy apply as replace() — left-to-right non-overlapping in
     * DuckDB exactly as in Spark, which IS BPE's merge rule. The rounds
-    * are mechanical, so the SQL is generated, not hand-unrolled. */
+    * are mechanical, so the SQL is generated, not hand-unrolled. The
+    * argmax joins in as LEFT JOIN .. ON true (not a cross join): an empty
+    * b$k on pair-vocab exhaustion must leave `s` unchanged, mirroring the
+    * engine's `exhausted` halt, not collapse the vocab to zero rows. */
   private def bpeTrainOracle(steps: Int): String = {
     val sep = "chr(31)"
     val sep2 = "(chr(31) || chr(31))"
@@ -1587,10 +1690,11 @@ object PipelineOpsQueries {
                        FROM w$k) t0) t
            GROUP BY 1, 2),
          b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-         w${k + 1} AS (SELECT replace(t.s,
-             $sep || b.l || $sep2 || b.r || $sep,
-             $sep || b.l || b.r || $sep) AS s, t.freq
-           FROM w$k t, b$k b),
+         w${k + 1} AS (SELECT CASE WHEN b.l IS NULL THEN t.s
+             ELSE replace(t.s,
+               $sep || b.l || $sep2 || b.r || $sep,
+               $sep || b.l || b.r || $sep) END AS s, t.freq
+           FROM w$k t LEFT JOIN b$k b ON true),
          c$k AS (SELECT CAST(${k + 1} AS BIGINT) AS step, b.l AS lsym,
              b.r AS rsym, b.n AS n_pair,
              (SELECT CAST(sum(freq *
@@ -1738,10 +1842,11 @@ object PipelineOpsQueries {
                        FROM w$k) t0) t
            GROUP BY 1, 2),
          b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-         w${k + 1} AS (SELECT t.w, replace(t.s,
-             $sep || b.l || $sep2 || b.r || $sep,
-             $sep || b.l || b.r || $sep) AS s, t.freq
-           FROM w$k t, b$k b)"""
+         w${k + 1} AS (SELECT t.w, CASE WHEN b.l IS NULL THEN t.s
+             ELSE replace(t.s,
+               $sep || b.l || $sep2 || b.r || $sep,
+               $sep || b.l || b.r || $sep) END AS s, t.freq
+           FROM w$k t LEFT JOIN b$k b ON true)"""
     }.mkString
     s"""$w0$rounds,
          enc AS (SELECT w,
@@ -3776,8 +3881,8 @@ object PipelineOpsQueries {
              a.cents AS a_cents, b.cents AS b_cents,
              a.seg AS a_seg, b.seg AS b_seg
            FROM a JOIN b ON a.block = b.block
-             OR (a.cents + 100000) // 200 = (b.cents + 100000) // 200
-             OR (a.cents + 100100) // 200 = (b.cents + 100100) // 200),
+             OR a.cents // 200 = b.cents // 200
+             OR (a.cents + 100) // 200 = (b.cents + 100) // 200),
          w AS (SELECT a_key, b_key, lev,
              CASE WHEN lev = 0 THEN 24 WHEN lev <= 2 THEN 12
                   ELSE -8 END AS w_name,
@@ -4756,6 +4861,47 @@ object PipelineOpsQueries {
          SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(min(doc_id) AS BIGINT) AS min_doc_id,
                 CAST(max(doc_id) AS BIGINT) AS max_doc_id
-         FROM j GROUP BY status ORDER BY status"""
+         FROM j GROUP BY status ORDER BY status""",
+    // batch recompute of the streaming decontamination (the op is per-doc
+    // stateless, so the micro-batched sink must equal this): same word
+    // 4-gram md5-low63 hashing as p27, eval set doc_id % 17 == 3
+    "p137_stream_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS tk
+              FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+3], ' ')) END)) AS s
+                FROM toks),
+         hs AS (SELECT doc_id,
+                  CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT) AS h
+                FROM sh),
+         bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 17 = 3)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_hit_grams
+         FROM hs JOIN bench USING (h)
+         WHERE doc_id % 17 <> 3
+         GROUP BY doc_id ORDER BY doc_id""",
+    // global last-write-wins over the SAME generated change rows the
+    // stream fed batch-by-batch: per-key seqs increase across batches, so
+    // sequential snapshot maintenance == arg_max by seq, deletes dropping
+    // the key
+    "p138_stream_upsert" ->
+      """WITH c AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, text, 1 AS seq,
+                  FALSE AS del FROM documents
+           UNION ALL SELECT doc_id, text || ' v2', 2, FALSE
+             FROM documents WHERE doc_id % 7 = 2
+           UNION ALL SELECT doc_id, '', 2, TRUE
+             FROM documents WHERE doc_id % 7 = 3
+           UNION ALL SELECT doc_id, text || ' v3', 3, FALSE
+             FROM documents WHERE doc_id % 14 = 3
+           UNION ALL SELECT doc_id, '', 3, TRUE
+             FROM documents WHERE doc_id % 7 = 5),
+         f AS (SELECT doc_id, arg_max(text, seq) AS text,
+                 arg_max(del, seq) AS del
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         FROM f WHERE NOT del ORDER BY doc_id"""
   )
 }

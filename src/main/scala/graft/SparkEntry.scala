@@ -106,18 +106,44 @@ object SparkEntry {
     s"/tmp/graft_lineage_run_${docCountFor(dir)}"
   def lineageDumpPath(dir: String): String =
     s"/tmp/graft_lineage_dump_${docCountFor(dir)}"
-  def abDumpPath(dir: String): String =
-    s"/tmp/graft_ab_dump_${docCountFor(dir)}"
-  def cerDumpPath(dir: String): String =
-    s"/tmp/graft_cer_dump_${docCountFor(dir)}"
+
+  /** ONE shared mode-tagged extraction dump per sf feeding the whole
+    * mode-A/B query family (x21 flip census, x25 rescue pivot, x32 CER) —
+    * round-3 VERDICT "What's wrong #2": each of those queries needs BOTH
+    * pipeline modes' per-doc scalars, and without sharing, one
+    * Verify/Bench sweep executed six full extraction runs where two
+    * suffice. Memoized PER JVM (never reused across processes, so a code
+    * change cannot serve a stale dump), and any one query run alone still
+    * computes exactly what it needs — per-query oracle isolation is
+    * preserved because the oracle re-reads the same dumped bytes. */
+  def modeDumpPath(dir: String): String =
+    s"/tmp/graft_mode_dump_${docCountFor(dir)}"
+  private val modeDumpsWritten = scala.collection.mutable.Set.empty[String]
+  def modeDump(s: SparkSession, dir: String): DataFrame = {
+    val p = modeDumpPath(dir)
+    modeDumpsWritten.synchronized {
+      if (!modeDumpsWritten.contains(p)) {
+        def proj(m: String, useDonut: Boolean): DataFrame =
+          ExtractionPipeline.run(docTable(s, dir), useDonut = useDonut)
+            .toDF()
+            .select(col("doc_id"), col("document_type"),
+              when(col("is_valid"), 1L).otherwise(0L).as("valid"),
+              size(col("spans")).cast("long").as("n_spans"),
+              col("record_json"), lit(m).as("mode"))
+        proj("plain", useDonut = false)
+          .unionByName(proj("donut", useDonut = true))
+          .write.mode("overwrite").parquet(p)
+        modeDumpsWritten += p
+      }
+    }
+    s.read.parquet(p)
+  }
   def kindDumpPath(dir: String): String =
     s"/tmp/graft_kind_dump_${docCountFor(dir)}"
   def mediaSkewDumpPath(dir: String): String =
     s"/tmp/graft_media_skew_dump_${docCountFor(dir)}"
   def costTopkDumpPath(dir: String): String =
     s"/tmp/graft_cost_topk_dump_${docCountFor(dir)}"
-  def rescueDumpPath(dir: String): String =
-    s"/tmp/graft_rescue_dump_${docCountFor(dir)}"
   def spanLenDumpPath(dir: String): String =
     s"/tmp/graft_span_len_dump_${docCountFor(dir)}"
   def errorParetoDumpPath(dir: String): String =
@@ -544,15 +570,7 @@ object SparkEntry {
     // both runs' scalars dump mode-tagged, the oracle re-pivots the
     // identical bytes.
     "x25_donut_rescue" -> ((s, dir) => {
-      def proj(m: String, df: DataFrame): DataFrame =
-        df.select(col("doc_id"), col("document_type"),
-          when(col("is_valid"), 1L).otherwise(0L).as("valid"),
-          lit(m).as("mode"))
-      proj("plain", ExtractionPipeline.run(docTable(s, dir)).toDF())
-        .unionByName(proj("donut",
-          ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF()))
-        .write.mode("overwrite").parquet(rescueDumpPath(dir))
-      s.read.parquet(rescueDumpPath(dir))
+      modeDump(s, dir)
         .groupBy(col("doc_id")).agg(
           max(when(col("mode") === "plain", col("document_type")))
             .as("t_plain"),
@@ -742,16 +760,7 @@ object SparkEntry {
     // mode-tagged table; the oracle recomputes the pivot + diff from
     // identical bytes. One shuffle on doc_id, one on the type.
     "x21_mode_ab_diff" -> ((s, dir) => {
-      def proj(m: String, df: DataFrame): DataFrame = df.select(col("doc_id"),
-        col("document_type"),
-        when(col("is_valid"), 1L).otherwise(0L).as("valid"),
-        size(col("spans")).cast("long").as("n_spans"), lit(m).as("mode"))
-      val plain = proj("plain", ExtractionPipeline.run(docTable(s, dir)).toDF())
-      val donut = proj("donut",
-        ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())
-      plain.unionByName(donut)
-        .write.mode("overwrite").parquet(abDumpPath(dir))
-      val per = s.read.parquet(abDumpPath(dir))
+      val per = modeDump(s, dir)
         .groupBy(col("doc_id")).agg(
           max(when(col("mode") === "plain", col("document_type"))).as("t_plain"),
           max(when(col("mode") === "donut", col("document_type"))).as("t_donut"),
@@ -775,15 +784,7 @@ object SparkEntry {
     // O(n²) comparator at 10^12 docs; x21 counts WHICH fields flipped,
     // this measures edit magnitude, the OCR-quality drift signal)
     "x32_mode_cer" -> ((s, dir) => {
-      def proj(m: String, df: DataFrame): DataFrame = df.select(
-        col("doc_id"), col("document_type"), col("record_json"),
-        lit(m).as("mode"))
-      val plain = proj("plain", ExtractionPipeline.run(docTable(s, dir)).toDF())
-      val donut = proj("donut",
-        ExtractionPipeline.run(docTable(s, dir), useDonut = true).toDF())
-      plain.unionByName(donut)
-        .write.mode("overwrite").parquet(cerDumpPath(dir))
-      val per = s.read.parquet(cerDumpPath(dir)).groupBy(col("doc_id")).agg(
+      val per = modeDump(s, dir).groupBy(col("doc_id")).agg(
         max(when(col("mode") === "plain", col("document_type")))
           .as("document_type"),
         max(when(col("mode") === "plain", col("record_json"))).as("r_plain"),
@@ -940,7 +941,7 @@ object SparkEntry {
                  AS t_plain,
                max(CASE WHEN mode = 'plain' THEN valid END) AS v_plain,
                max(CASE WHEN mode = 'donut' THEN valid END) AS v_donut
-             FROM read_parquet('${rescueDumpPath(dir)}/*.parquet')
+             FROM read_parquet('${modeDumpPath(dir)}/*.parquet')
              GROUP BY doc_id)
            SELECT t_plain AS document_type, count(*) AS n_docs,
              CAST(sum(CASE WHEN v_plain = 0 AND v_donut = 1
@@ -994,7 +995,7 @@ object SparkEntry {
              max(CASE WHEN mode = 'donut' THEN valid END) AS v_donut,
              max(CASE WHEN mode = 'plain' THEN n_spans END) AS s_plain,
              max(CASE WHEN mode = 'donut' THEN n_spans END) AS s_donut
-             FROM read_parquet('${abDumpPath(dir)}/*.parquet')
+             FROM read_parquet('${modeDumpPath(dir)}/*.parquet')
              GROUP BY doc_id)
            SELECT t_plain AS document_type, count(*) AS n_docs,
              CAST(sum(CASE WHEN t_donut <> t_plain THEN 1 ELSE 0 END) AS BIGINT)
@@ -1011,7 +1012,7 @@ object SparkEntry {
                AS document_type,
              max(CASE WHEN mode = 'plain' THEN record_json END) AS r_plain,
              max(CASE WHEN mode = 'donut' THEN record_json END) AS r_donut
-             FROM read_parquet('${cerDumpPath(dir)}/*.parquet')
+             FROM read_parquet('${modeDumpPath(dir)}/*.parquet')
              GROUP BY doc_id),
            m AS (SELECT document_type,
                levenshtein(substring(r_plain, 1, 512),

@@ -47,8 +47,11 @@ object CalibrationOps {
     val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
     agg.zipWithIndex.foreach { case ((_, n, p), i) =>
       var cur = Block(i, i, n, p)
+      // rate comparison via BigInt: per-block counts beyond ~3e9 would
+      // overflow the Long cross-product at the claimed 100 TB scale; the
+      // loop runs over ≤ bins blocks so the arbitrary-precision cost is nil
       while (stack.nonEmpty &&
-        stack.last.p * cur.n > cur.p * stack.last.n) {
+        BigInt(stack.last.p) * cur.n > BigInt(cur.p) * stack.last.n) {
         val t = stack.remove(stack.length - 1)
         cur = Block(t.lo, cur.hi, t.n + cur.n, t.p + cur.p)
       }

@@ -95,12 +95,17 @@ object LinkageOps {
     * blocking field was corrupted never meets): union the candidates of
     * several cheap blocking passes and score once. Passes here:
     *   1. the caller's `block` field (nation in p118);
-    *   2. cents ÷ 200 bands;
-    *   3. the SAME bands offset by 100 — the classic two-offset trick:
-    *      any pair within 100 cents (⊇ the 75-cent agreement tolerance)
-    *      shares a band in at least one of the two shifted passes, so
-    *      balance-compatible pairs are GUARANTEED to meet even when
-    *      their blocking field was corrupted.
+    *   2. cents ÷ W bands, W = 2·centsTol + 50;
+    *   3. the SAME bands offset by W/2 — the classic two-offset trick:
+    *      union-grid boundaries are W/2 apart, so any pair within
+    *      W/2 − 1 ≥ centsTol cents straddles at most ONE grid's boundary
+    *      and shares a band in the other pass — balance-compatible pairs
+    *      are GUARANTEED to meet even when their blocking field was
+    *      corrupted, for ANY centsTol (the width derives from it).
+    * Banding uses FLOOR division (pmod-adjusted: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — q118's truncation-vs-floor
+    * pin), so arbitrarily negative balances band identically on both
+    * engines with no magic nonnegativity shift to outgrow.
     * Scoring is per-pair and deterministic, so unioning the three
     * passes' results and deduplicating rows is equivalent to scoring
     * the deduplicated candidate union (production dedups candidate keys
@@ -111,15 +116,18 @@ object LinkageOps {
   def fellegiSunterLinksMultiPass(a: DataFrame, b: DataFrame,
                                   threshold: Int = 18,
                                   centsTol: Int = 75): DataFrame = {
+    val width = 2 * centsTol + 50
+    val offset = width / 2
     def reblock(df: DataFrame, e: org.apache.spark.sql.Column) =
       df.withColumn("block", e)
+    // floor(x / w) for any-sign x: (x − pmod(x, w)) div w — pmod is
+    // nonnegative, so the dividend is an exact multiple and trunc == floor
+    def floorBand(shift: Int) =
+      expr(s"(cents + $shift - pmod(cents + $shift, $width)) div $width")
     val passes = Seq[DataFrame => DataFrame](
       identity,
-      // +100000 keeps the dividend nonnegative: Spark div TRUNCATES
-      // toward zero while DuckDB // FLOORS, so negative balances would
-      // band differently (q118's truncation-vs-floor pin, met in anger)
-      df => reblock(df, expr("(cents + 100000) div 200")),
-      df => reblock(df, expr("(cents + 100100) div 200")))
+      df => reblock(df, floorBand(0)),
+      df => reblock(df, floorBand(offset)))
     passes.map(p => fellegiSunterLinks(p(a), p(b), threshold, centsTol))
       .reduce(_.unionByName(_))
       .distinct()

@@ -17,7 +17,10 @@ class CalibrationOpsSpec extends AnyFunSuite {
       val s = binsNP.slice(j, k + 1)
       (s.map(_._2).sum, s.map(_._1).sum) // (p, n)
     }
-    def lt(a: (Long, Long), b: (Long, Long)) = a._1 * b._2 < b._1 * a._2
+    // BigInt cross-product — same overflow-proofing as the engine's PAV
+    // loop (per-block counts beyond ~3e9 overflow a Long product)
+    def lt(a: (Long, Long), b: (Long, Long)) =
+      BigInt(a._1) * b._2 < BigInt(b._1) * a._2
     (0 until m).map { i =>
       val best = (0 to i).map { j =>
         (i until m).map(k => seg(j, k)).reduce((a, b) => if (lt(a, b)) a else b)

@@ -647,6 +647,23 @@ class OpsSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("brute-force baselines refuse oversized inputs: the row-count " +
+    "guard trips BEFORE any driver collect, naming the scale path") {
+    val vecs = (0L until 8L).map(i => (i, Array(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      SimilarityOps.topPairs(vecs, k = 3, maxBroadcastRows = 4))
+    assert(e1.getMessage.contains("exactness BASELINE"))
+    assert(e1.getMessage.contains("embeddingNearDups"))
+    val e2 = intercept[IllegalArgumentException](
+      SimilarityOps.thresholdPairs(vecs, minCosine = 0.9,
+        maxBroadcastRows = 4))
+    assert(e2.getMessage.contains("refuses > 4 rows"))
+    // at or below the limit the baseline still runs
+    assert(SimilarityOps.topPairs(vecs.limit(4), k = 1,
+      maxBroadcastRows = 4).count() === 1L)
+  }
+
   test("embedding near-dups: planted near-identical vectors found via LSH") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
@@ -1485,6 +1502,33 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("score"), r.getAs[Long]("is_true")))
     assert(multi.contains((3L, 3L, 40L, 1L)))
     assert(links.toSet.subsetOf(multi.toSet))
+  }
+
+  test("multi-pass linkage bands FLOOR for deep-negative balances: a " +
+    "sub--100000-cents within-tolerance pair is recovered, and the old " +
+    "truncation-band over-merge straddling -100000 yields no candidate") {
+    // entity 4: corrupted block, cents -100074 vs -100050 (|Δ|=24 ≤ 75)
+    //   — below the former +100000 nonnegativity shift; the two-offset
+    //   guarantee must still recover it at full score
+    // entities 5/6: same name/seg, cents -100074 vs -99850 (|Δ|=224):
+    //   the former truncating (cents+100000) div 200 put BOTH in band 0
+    //   (trunc band 0 spans 400 cents) and linked them at score 24 while
+    //   the flooring oracle did not — with floor bands on both engines
+    //   the pair meets in NO pass and must not link
+    val a = Seq(
+      (4L, "Deepneg Account Alpha", 30L, -100074L, "AUTO"),
+      (5L, "Deepneg Account Beta", 31L, -100074L, "BLDG"))
+      .toDF("key", "name", "block", "cents", "seg")
+    val b = Seq(
+      (4L, "Deepneg Account Alpha", 99L, -100050L, "AUTO"),
+      (6L, "Deepneg Account Beta", 99L, -99850L, "BLDG"))
+      .toDF("key", "name", "block", "cents", "seg")
+    val multi = graft.ops.LinkageOps.fellegiSunterLinksMultiPass(a, b)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("score"), r.getAs[Long]("is_true")))
+    assert(multi.contains((4L, 4L, 40L, 1L)))
+    assert(!multi.exists(l => l._1 == 5L && l._2 == 6L))
   }
 
   test("leading-digit census: integer-exact digits at power-of-ten " +
