@@ -123,8 +123,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(cpus / 4, 1)
-    // enough work that job-submit overhead (~0.2s) is noise at the low level
-    val scalingDocs = math.max(SparkEntry.docCountFor(sfDir), 500000L)
+    // enough work that job-submit overhead (~0.2s) is noise at the low
+    // level; SPARK_GRAFT_SCALING_DOCS overrides for the sf1 campaign
+    // (5M-doc phases) without touching the driver's default invocation
+    val scalingDocs = sys.env.get("SPARK_GRAFT_SCALING_DOCS").map(_.toLong)
+      .getOrElse(math.max(SparkEntry.docCountFor(sfDir), 500000L))
     val partitions = cpus * 4 // fixed task granularity at both levels
 
     val docTablePath = sys.env.getOrElse("SPARK_GRAFT_DOCS_PATH",
@@ -146,10 +149,14 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
+      // SPARK_GRAFT_QUERY_REPS=1 for the sf1 sweep (min-of-3 at 10× data
+      // costs an extra half hour for precision the heavy-tail table
+      // doesn't need); default stays min-of-3
+      val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def one(): Double =
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        val sec = try Seq(one(), one(), one()).min catch { case _: Throwable => -1.0 }
+        val sec = try Seq.fill(reps)(one()).min catch { case _: Throwable => -1.0 }
         name -> sec
       }
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

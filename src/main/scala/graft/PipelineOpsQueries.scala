@@ -63,6 +63,11 @@ object PipelineOpsQueries {
   def streamUpsertSnapshotPath(dir: String): String =
     s"/tmp/graft_stream_upsert_${SparkEntry.docCountFor(dir)}"
 
+  def beamVisitedPath(dir: String): String =
+    s"/tmp/graft_beam_visited_${SparkEntry.docCountFor(dir)}"
+  def beamSweepPath(dir: String): String =
+    s"/tmp/graft_beam_sweep_${SparkEntry.docCountFor(dir)}"
+
   def semDedupAssignPath(dir: String): String =
     s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
 
@@ -1644,6 +1649,61 @@ object PipelineOpsQueries {
       s.read.parquet(snap)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // exact 8-NN adjacency — the graph half of the NSW/HNSW family: the
+    // index structure graph-based ANN serves from, fully SQL-expressible
+    // (row_number over cosine per node), so the oracle is exhaustive
+    "p139_knn_graph" -> ((s, dir) =>
+      graft.ops.GraphAnnOps.buildKnnGraph(emb(s, dir), m = 8)),
+
+    // NSW beam search over the M-NN graph: entry at min vec_id, 5 hops,
+    // beam ef=8 — the VISITED set dumps to parquet and the output is its
+    // exact top-10 re-rank (p13/p89 candidate-dump pattern: the walk's
+    // output is verified exactly; the walk itself is pinned by spec +
+    // the 8-vs-32-core determinism audit)
+    "p140_graph_beam_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val g = graft.ops.GraphAnnOps.buildKnnGraph(e, m = 8)
+        .localCheckpoint(true)
+      graft.ops.GraphAnnOps.beamVisited(e, g, numQueries = 10, ef = 8,
+          hops = 5)
+        .write.mode("overwrite").parquet(beamVisitedPath(dir))
+      graft.ops.GraphAnnOps.topKFromVisited(e,
+        s.read.parquet(beamVisitedPath(dir)), numQueries = 10, k = 10)
+    }),
+
+    // graph-ANN tuning table beside p89's IVF sweep: recall@10 vs the
+    // exact brute ranking as the beam width ef sweeps 2 → 8 → 32 — THE
+    // accuracy/cost trade-off of the graph path (visited candidates
+    // scale with ef·M·hops, not N)
+    "p141_graph_recall_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val g = graft.ops.GraphAnnOps.buildKnnGraph(e, m = 8)
+        .localCheckpoint(true)
+      Seq(2, 8, 32).map(ef =>
+          graft.ops.GraphAnnOps.beamVisited(e, g, numQueries = 10,
+              ef = ef, hops = 5)
+            .withColumn("ef", lit(ef.toLong)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(beamSweepPath(dir))
+      val vis = s.read.parquet(beamSweepPath(dir))
+      val brute = SimilarityOps.bruteTopK(e)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      Seq(2L, 8L, 32L).map { n =>
+        graft.ops.GraphAnnOps.topKFromVisited(e,
+            vis.where(col("ef") === n)
+              .select(col("query_id"), col("node_id")),
+            numQueries = 10, k = 10)
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(n).as("ef"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
+        .orderBy(col("ef"))
     })
   )
 
@@ -4902,6 +4962,75 @@ object PipelineOpsQueries {
                  arg_max(del, seq) AS del
                FROM c GROUP BY doc_id)
          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
-         FROM f WHERE NOT del ORDER BY doc_id"""
+         FROM f WHERE NOT del ORDER BY doc_id""",
+    // exhaustive adjacency oracle: per node, top-4 by (cosine DESC,
+    // neighbor_id) over ALL pairs — cosine bit-matched between engines
+    // (established by p07)
+    "p139_knn_graph" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(a.v, b.v) AS score
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT node_id, neighbor_id,
+                 row_number() OVER (PARTITION BY node_id
+                   ORDER BY score DESC, neighbor_id) AS rnk
+               FROM s)
+         SELECT node_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+         FROM r WHERE rnk <= 8 ORDER BY node_id, rnk""",
+    // exact re-rank of the engine's own dumped visited set — identical
+    // tie order (score DESC, neighbor_id), self-matches excluded
+    "p140_graph_beam_topk" ->
+      s"""WITH vis AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(node_id AS BIGINT) AS node_id
+             FROM read_parquet('${beamVisitedPath(dir)}/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         sc AS (SELECT v.query_id, v.node_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    q.q_emb) AS score
+                FROM vis v JOIN embeddings e ON e.vec_id = v.node_id
+                  JOIN q ON q.query_id = v.query_id
+                WHERE v.node_id <> v.query_id),
+         r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+               FROM sc)
+         SELECT query_id, rank, neighbor_id FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // recall table recomputed from the ef-tagged visited dump vs a full
+    // brute re-rank; zero-hit sweep levels preserved (the p89 lesson)
+    "p141_graph_recall_sweep" ->
+      s"""WITH vis AS (SELECT CAST(ef AS BIGINT) AS ef,
+               CAST(query_id AS BIGINT) AS query_id,
+               CAST(node_id AS BIGINT) AS node_id
+             FROM read_parquet('${beamSweepPath(dir)}/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         sc AS (SELECT v.ef, v.query_id, v.node_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    q.q_emb) AS score
+                FROM vis v JOIN embeddings e ON e.vec_id = v.node_id
+                  JOIN q ON q.query_id = v.query_id
+                WHERE v.node_id <> v.query_id),
+         g AS (SELECT ef, query_id, neighbor_id FROM (
+                 SELECT ef, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY ef, query_id
+                     ORDER BY score DESC, neighbor_id) AS rk
+                 FROM sc) WHERE rk <= 10),
+         brute AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   q.q_emb) DESC, e.vec_id) AS rk
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.query_id) WHERE rk <= 10),
+         hits AS (SELECT g.ef, count(*) AS n_hits
+           FROM g JOIN brute USING (query_id, neighbor_id) GROUP BY 1),
+         levels AS (SELECT DISTINCT ef FROM vis)
+         SELECT l.ef, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 100 AS BIGINT)
+             AS recall_ppm
+         FROM levels l LEFT JOIN hits h ON l.ef = h.ef ORDER BY l.ef"""
   )
 }

@@ -109,32 +109,67 @@ object functions {
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
   * registers the functions for SQL users. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.pyTitleDesc)
-    ext.injectFunction(GraftExtensions.pyRound2Desc)
-    ext.injectFunction(GraftExtensions.cosineDesc)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descs.foreach(ext.injectFunction)
 }
 object GraftExtensions {
-  val pyTitleDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  type Desc = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+  val pyTitleDesc: Desc =
     (FunctionIdentifier("py_title"),
       new ExpressionInfo(classOf[PyTitle].getName, "py_title"),
       (args: Seq[Expression]) => PyTitle(args.head))
-  val pyRound2Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  val pyRound2Desc: Desc =
     (FunctionIdentifier("py_round2"),
       new ExpressionInfo(classOf[PyRound2].getName, "py_round2"),
       (args: Seq[Expression]) => PyRound2(args.head))
-  val cosineDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  val cosineDesc: Desc =
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+  val nfcNormalizeDesc: Desc =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head))
+  val deflateLenDesc: Desc =
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "deflate_len"),
+      (args: Seq[Expression]) => DeflateLength(args.head))
+  val commonPrefixLenDesc: Desc =
+    (FunctionIdentifier("common_prefix_len"),
+      new ExpressionInfo(classOf[CommonPrefixLen].getName, "common_prefix_len"),
+      (args: Seq[Expression]) => CommonPrefixLen(args(0), args(1)))
+  val dHash64Desc: Desc =
+    (FunctionIdentifier("d_hash64"),
+      new ExpressionInfo(classOf[DHash64].getName, "d_hash64"),
+      (args: Seq[Expression]) => DHash64(args.head))
+  /** SQL form `sign_lsh_bucket(vec, dim, bits, seed)`: the plane matrix
+    * is a constructor parameter of the expression (shipped with the task
+    * binary, not a per-row input), so the SQL surface takes the three
+    * integers that DERIVE it deterministically — they must be foldable
+    * (literals), exactly like Spark's own `ntile(n)`. */
+  val signLshBucketDesc: Desc =
+    (FunctionIdentifier("sign_lsh_bucket"),
+      new ExpressionInfo(classOf[SignLshBucket].getName, "sign_lsh_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "sign_lsh_bucket(vec, dim, bits, seed) takes 4 arguments")
+        require(args.drop(1).forall(_.foldable),
+          "sign_lsh_bucket dim/bits/seed must be literals")
+        def intArg(e: Expression): Int =
+          e.eval(null).asInstanceOf[Number].intValue()
+        val planes = graft.ops.SimilarityOps.hyperplanes(
+          intArg(args(1)), intArg(args(2)), intArg(args(3)).toLong)
+        SignLshBucket(args(0), planes)
+      })
+
+  val descs: Seq[Desc] = Seq(pyTitleDesc, pyRound2Desc, cosineDesc,
+    nfcNormalizeDesc, deflateLenDesc, commonPrefixLenDesc, dHash64Desc,
+    signLshBucketDesc)
 
   /** Register into an already-running session (tests / REPL). */
   def registerInto(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(pyTitleDesc._1, pyTitleDesc._2, pyTitleDesc._3)
-    reg.registerFunction(pyRound2Desc._1, pyRound2Desc._2, pyRound2Desc._3)
-    reg.registerFunction(cosineDesc._1, cosineDesc._2, cosineDesc._3)
+    descs.foreach(d => reg.registerFunction(d._1, d._2, d._3))
   }
 }
 

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN — NSW-style beam search over a deterministic k-NN
+  * graph: the index family most production vector stores actually serve
+  * from (HNSW and friends), completing the engine's ANN coverage beside
+  * brute force (p07), sign-LSH (p08/p40), IVF-Flat (p13/p89) and PQ
+  * (p105–p109).
+  *
+  * Determinism contract (what makes the family oracle-able and
+  * partition-invariant): the graph is the EXACT M-NN adjacency with ties
+  * broken by neighbor id; the search entry point is the minimum vec_id;
+  * and every beam truncation ranks by (score DESC, node_id ASC) with the
+  * bit-stable cosine every ANN op shares (index-order fold, established
+  * by p07) — so the visited set after H hops is a pure function of the
+  * table, independent of partitioning, and the driver's 8-vs-32-core
+  * audit covers it like any other op.
+  *
+  * Scale shape: the adjacency build below is the brute exactness
+  * baseline (same broadcast-kernel contract and row guard as
+  * `SimilarityOps.topPairs`); at 10^12 rows the build swaps in LSH/IVF
+  * candidate generation + NN-descent refinement with the SAME output
+  * schema, so search code never changes. The search itself is the
+  * Spark-shaped part: each hop is ONE equi-join of the (query, beam)
+  * frontier against the adjacency table keyed by node_id (bucketed by
+  * node_id in production, so hops are shuffle-light), the per-hop state
+  * is bounded by queries × ef × M rows, and per-hop lineage is truncated
+  * with localCheckpoint exactly like the CC/Lloyd/BPE driver loops.
+  */
+object GraphAnnOps {
+
+  /** Exact M-nearest-neighbor adjacency: (node_id, rank, neighbor_id),
+    * rank 1..m by (cosine DESC, neighbor_id ASC). Broadcast-kernel brute
+    * build (per-node M-slot insertion against the collected side — same
+    * contract, arithmetic and guard as `SimilarityOps.topPairs`): the
+    * exactness baseline the 10^12-row NN-descent build is verified
+    * against. */
+  def buildKnnGraph(emb: DataFrame, m: Int = 4,
+                    maxBroadcastRows: Long = SimilarityOps.BruteRowLimit)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    SimilarityOps.guardBruteContract("buildKnnGraph", emb, maxBroadcastRows,
+      "LSH/IVF candidate generation + NN-descent (same adjacency schema)")
+    val vecs = emb.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Array[Double])]
+    val side = vecs.collect().sortBy(_._1) // broadcast side (brute contract)
+    val ids = side.map(_._1)
+    val es = side.map(_._2)
+    val norms = es.map(SimilarityOps.norm)
+    val bc = spark.sparkContext.broadcast((ids, es, norms))
+    vecs.flatMap { case (aId, ae) =>
+      val (ids, es, norms) = bc.value
+      val an = SimilarityOps.norm(ae)
+      // M-slot insertion sort: better = (score >, or == with smaller id)
+      val topScore = new Array[Double](m)
+      val topId = new Array[Long](m)
+      var filled = 0
+      var j = 0
+      while (j < ids.length) {
+        if (ids(j) != aId) {
+          val be = es(j)
+          var dot = 0.0
+          var i = 0
+          while (i < ae.length) { dot += ae(i) * be(i); i += 1 }
+          val sc = dot / (an * norms(j))
+          var pos = filled
+          while (pos > 0 && (topScore(pos - 1) < sc ||
+            (topScore(pos - 1) == sc && topId(pos - 1) > ids(j)))) pos -= 1
+          if (pos < m) {
+            val last = math.min(filled, m - 1)
+            var q = last
+            while (q > pos) {
+              topScore(q) = topScore(q - 1); topId(q) = topId(q - 1); q -= 1
+            }
+            topScore(pos) = sc; topId(pos) = ids(j)
+            if (filled < m) filled += 1
+          }
+        }
+        j += 1
+      }
+      Iterator.range(0, filled).map(r => (aId, (r + 1).toLong, topId(r)))
+    }.toDF("node_id", "rnk", "neighbor_id")
+      .orderBy(col("node_id"), col("rnk"))
+  }
+
+  /** The first `numQueries` vectors by vec_id as the query set — the
+    * convention every ANN op in the engine shares (p07/p89). */
+  private def querySet(emb: DataFrame, numQueries: Int): DataFrame =
+    emb.orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+
+  /** Beam search VISITED set: starting every query at the global minimum
+    * vec_id, expand the beam's adjacency `hops` times, after each hop
+    * keeping the top-`ef` visited nodes per query as the next beam.
+    * Returns every (query_id, node_id) ever visited — the candidate dump
+    * the oracle re-ranks (the p13/p89 pattern: the walk's OUTPUT is
+    * verified exactly even though the walk itself is not SQL).
+    *
+    * Per hop: one equi-join frontier⋈adjacency on node_id + one bounded
+    * window truncation; visited ≤ 1 + hops·ef·M rows per query. */
+  def beamVisited(emb: DataFrame, graph: DataFrame, numQueries: Int = 10,
+                  ef: Int = 8, hops: Int = 3): DataFrame = {
+    val queries = querySet(emb, numQueries)
+    // 1-row driver scalar: the deterministic entry point
+    val entry = emb.agg(min(col("vec_id").cast("long"))).head().getLong(0)
+    val adj = graph.select(col("node_id"), col("neighbor_id"))
+    val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    var visited = queries.select(col("query_id"),
+      lit(entry).as("node_id")).localCheckpoint(true)
+    var beam = visited
+    var h = 0
+    while (h < hops) {
+      val expanded = beam.join(adj, "node_id")
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+      visited = visited.unionByName(expanded).distinct()
+        .localCheckpoint(true) // per-hop lineage truncation
+      val scored = visited
+        .join(nodes, "node_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("node_id"),
+          SimilarityOps.cosine(col("q_emb"), col("n_emb")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("node_id"))
+      beam = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= ef).select(col("query_id"), col("node_id"))
+        .localCheckpoint(true)
+      h += 1
+    }
+    visited.orderBy(col("query_id"), col("node_id"))
+  }
+
+  /** Exact re-rank of a visited/candidate set: top-`k` per query by
+    * (cosine DESC, neighbor_id ASC), self-matches excluded — identical
+    * scoring path to `SimilarityOps.bruteTopK`, restricted to the
+    * candidates. Output (query_id, rank, neighbor_id). */
+  def topKFromVisited(emb: DataFrame, visited: DataFrame,
+                      numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val queries = querySet(emb, numQueries)
+    val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    val scored = visited
+      .where(col("node_id") =!= col("query_id"))
+      .join(nodes, "node_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        SimilarityOps.cosine(col("q_emb"), col("n_emb")).as("score"))
+    SimilarityOps.rankTopK(scored, k)
+  }
+}

@@ -25,7 +25,7 @@ object SimilarityOps {
     * exceeds `maxRows`. The count probe is `limit(maxRows+1).count()` —
     * it early-stops after maxRows+1 rows, so the guard costs a bounded
     * scan, never a full one. */
-  private def guardBruteContract(op: String, emb: DataFrame, maxRows: Long,
+  private[ops] def guardBruteContract(op: String, emb: DataFrame, maxRows: Long,
                                  scalePath: String): Unit = {
     val probe = emb.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
     require(probe <= maxRows,
@@ -401,7 +401,7 @@ object SimilarityOps {
     }.toDF("doc_a", "doc_b")
   }
 
-  private def norm(e: Array[Double]): Double = {
+  private[ops] def norm(e: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < e.length) { s += e(i) * e(i); i += 1 }

@@ -32,6 +32,47 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 0.12)
   }
 
+  test("EVERY codegen expression is SQL-registered: nfc_normalize, " +
+    "deflate_len, common_prefix_len, d_hash64, sign_lsh_bucket, " +
+    "cosine_sim run via spark.sql and match their Column-API twins") {
+    GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      """SELECT nfc_normalize('café') AS nfc,
+        |  deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS dl,
+        |  common_prefix_len('interleave', 'internal') AS cpl,
+        |  d_hash64('span-payload-bytes') AS dh,
+        |  sign_lsh_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.25 AS DOUBLE)),
+        |                  2, 4, 7) AS lsh,
+        |  cosine_sim(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |             array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS cs
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) === "café")
+    // Column-API twins on the same inputs
+    import spark.implicits._
+    val twin = Seq(("café", "aaaaaaaaaaaaaaaaaaaaaaaa",
+      "interleave", "internal", "span-payload-bytes"))
+      .toDF("n", "d", "a", "b", "p")
+      .select(gf.nfc_normalize(col("n")), gf.deflate_len(col("d")),
+        gf.common_prefix_len(col("a"), col("b")), gf.d_hash64(col("p")),
+        gf.sign_lsh_bucket(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit(0.5),
+            org.apache.spark.sql.functions.lit(-0.25)),
+          graft.ops.SimilarityOps.hyperplanes(2, 4, 7L)))
+      .collect()(0)
+    assert(r.getString(0) === twin.getString(0))
+    assert(r.getInt(1) === twin.getInt(1))
+    assert(r.getInt(2) === twin.getInt(2)) // "inter" → 5
+    assert(r.getInt(2) === 5)
+    assert(r.getLong(3) === twin.getLong(3))
+    assert(r.getLong(4) === twin.getLong(4))
+    assert(r.getDouble(5) === 1.0)
+    // non-literal dim/bits/seed must be rejected, not mis-planed
+    val err = intercept[Exception](spark.sql(
+      "SELECT sign_lsh_bucket(array(CAST(1.0 AS DOUBLE)), CAST(rand()*2 AS INT), 4, 7)").collect())
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("expression stays inside WholeStageCodegen") {
     val plan = spark.range(10)
       .select(gf.py_title(org.apache.spark.sql.functions.concat(

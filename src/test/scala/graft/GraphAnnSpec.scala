@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.GraphAnnOps
+
+class GraphAnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** 4 tight clusters of 8 vectors each around orthogonal axes, small
+    * deterministic within-cluster jitter so ranks are strict. */
+  private def clustered() = {
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 8
+    } yield {
+      val base = Array.fill(4)(0.05f)
+      base(c) = 1f + 0.01f * i // axis-dominant, distinct norms
+      ((c * 8 + i).toLong, base)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("knn graph: nearest neighbors are within-cluster, ranks strict, " +
+    "ties impossible by construction, layout-invariant") {
+    val e = clustered()
+    val g = GraphAnnOps.buildKnnGraph(e, m = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every node has exactly 3 neighbors, all from its own 8-cluster
+    assert(g.length === 32 * 3)
+    g.foreach { case (node, _, nbr) =>
+      assert(node / 8 === nbr / 8,
+        s"node $node got out-of-cluster neighbor $nbr")
+    }
+    val g2 = GraphAnnOps.buildKnnGraph(e.repartition(7), m = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g2.sortBy(x => (x._1, x._2)).toSeq ===
+      g.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("knn graph: cosine ties break by smaller neighbor id") {
+    // 0 and 1 identical; 2 and 3 identical and orthogonal to them —
+    // node 0's list must rank 1 (cosine 1) then 2 before 3 (tie on id)
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val g = GraphAnnOps.buildKnnGraph(e, m = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(g.filter(_._1 == 3L).sortBy(_._2).map(_._3).toSeq ===
+      Seq(2L, 0L, 1L))
+  }
+
+  test("beam search: visited grows with ef, recall@k is perfect once the " +
+    "beam covers the graph, and the walk is layout-invariant") {
+    val e = clustered()
+    val g = GraphAnnOps.buildKnnGraph(e, m = 3)
+    // entry is node 0 (cluster 0); queries are vec_ids 0..3 (cluster 0),
+    // so with a wide beam every query's own cluster is fully reachable
+    val visNarrow = GraphAnnOps.beamVisited(e, g, numQueries = 4,
+      ef = 1, hops = 2)
+    val visWide = GraphAnnOps.beamVisited(e, g, numQueries = 4,
+      ef = 8, hops = 6)
+    assert(visNarrow.count() < visWide.count())
+    val top = GraphAnnOps.topKFromVisited(e, visWide, numQueries = 4, k = 3)
+    val brute = graft.ops.SimilarityOps.bruteTopK(e, numQueries = 4, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    // within-cluster graph + queries in the entry cluster → exact recall
+    assert(top.join(brute, Seq("query_id", "neighbor_id")).count() === 12L)
+    val visWide2 = GraphAnnOps.beamVisited(e.repartition(5), g, 4, 8, 6)
+    assert(visWide2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq ===
+      visWide.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("beam search never escapes a disconnected component: out-of-entry " +
+    "clusters stay unvisited (the recall loss ef cannot fix — only the " +
+    "graph build can, the reason production layers entry points)") {
+    val e = clustered()
+    val g = GraphAnnOps.buildKnnGraph(e, m = 3)
+    val vis = GraphAnnOps.beamVisited(e, g, numQueries = 4, ef = 32,
+      hops = 8)
+    // within-cluster 3-NN graphs are disconnected across clusters and the
+    // entry is node 0 → only cluster 0's 8 nodes are ever reachable
+    assert(vis.select(col("node_id")).distinct().collect()
+      .map(_.getLong(0)).forall(_ < 8L))
+  }
+
+  test("knn graph build refuses oversized inputs (brute-contract guard)") {
+    val e = clustered()
+    val err = intercept[IllegalArgumentException](
+      GraphAnnOps.buildKnnGraph(e, m = 3, maxBroadcastRows = 4))
+    assert(err.getMessage.contains("buildKnnGraph"))
+    assert(err.getMessage.contains("NN-descent"))
+  }
+}

@@ -372,4 +372,40 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("AQE-native skew split triggers on planted skew: OptimizeSkewedJoin " +
+    "marks the SortMergeJoin skew=true — the runtime companion to the " +
+    "manual salted join q31 oracles (north_rule: salting + AQE for " +
+    "media-heavy skew)") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // keep the coalescer from merging everything back below the probe
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of the probe side lands on ONE join key → one shuffle
+      // partition dwarfs the rest by far more than factor 2
+      val big = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 97)
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 2000)
+        .select((col("id") % 97).as("k"), (col("id") * 3).as("w"))
+      val j = big.join(right, "k")
+        .groupBy().agg(sum(col("payload") + col("w")).as("s"))
+      assert(j.collect()(0).getLong(0) > 0L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not trigger:\n$plan")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
