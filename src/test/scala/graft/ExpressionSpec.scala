@@ -73,6 +73,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("dot_long equals the zip_with/aggregate fold, SQL-registered, " +
+    "null on length mismatch or null element") {
+    import spark.implicits._
+    GraftExtensions.registerInto(spark)
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextInt(2001) - 1000L),
+        Array.fill(64)(rng.nextInt(2001) - 1000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), gf.dot_long(col("a"), col("b")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val want = df.selectExpr("id",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    val sql = spark.sql(
+      "SELECT dot_long(array(2L, 3L), array(5L, 7L)) AS d").collect()(0)
+    assert(sql.getLong(0) === 31L)
+    val nulls = spark.sql(
+      """SELECT dot_long(array(1L), array(1L, 2L)) AS mismatch,
+        |       dot_long(array(1L, NULL), array(1L, 2L)) AS nullelem
+        |""".stripMargin).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("expression stays inside WholeStageCodegen") {
     val plan = spark.range(10)
       .select(gf.py_title(org.apache.spark.sql.functions.concat(
