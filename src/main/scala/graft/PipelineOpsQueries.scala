@@ -480,8 +480,12 @@ object PipelineOpsQueries {
     // Misra-Gries heavy hitters (k=16) with planted hot tokens; the
     // summary is dumped so the oracle re-derives the same error-bound
     // verdicts against exact counts
+    // k=64: the n/(k+1) threshold must sit BELOW the planted hot-token
+    // counts at every sf or the heavy set is vacuously empty (k=16's
+    // n/17 cleared nothing on this corpus once the output became the
+    // exact above-threshold set)
     "p57_heavy_hitters" -> ((s, dir) =>
-      graft.ops.CorpusOps.heavyHitters(docs(s, dir), 16, mgDumpPath(dir))),
+      graft.ops.CorpusOps.heavyHitters(docs(s, dir), 64, mgDumpPath(dir))),
 
     // bigram-LM surprisal: the conditional upgrade of p38's unigram
     // filter, pure integer bit-length arithmetic
@@ -4434,8 +4438,10 @@ object PipelineOpsQueries {
               CAST(max($c) AS VARCHAR) AS max_v FROM o""")
           .mkString(" UNION ALL ") +
         ") ORDER BY column_name"),
-    // Misra-Gries replica: exact counts over the identical planted stream,
-    // engine summary read back from the dump, same n div (k+1) bound
+    // Misra-Gries replica: exact counts + threshold over the identical
+    // planted stream select the TRUE heavy hitters (layout-invariant);
+    // the engine's dumped summary is re-read to re-derive the
+    // completeness and undercount-bound verdicts from the same bytes
     "p57_heavy_hitters" ->
       s"""WITH ex AS (SELECT tok AS token,
              CAST(count(*) AS BIGINT) AS exact_cnt FROM (
@@ -4447,12 +4453,17 @@ object PipelineOpsQueries {
              WHERE doc_id % 2 = 0
            ) GROUP BY tok),
          nt AS (SELECT sum(exact_cnt) AS n FROM ex),
-         d AS (SELECT * FROM read_parquet('${mgDumpPath(dir)}/*.parquet'))
-         SELECT d.token, d.est_cnt, ex.exact_cnt,
-           CAST(CASE WHEN d.est_cnt <= ex.exact_cnt
-                 AND ex.exact_cnt - d.est_cnt <= nt.n // 17
-                 THEN 1 ELSE 0 END AS INT) AS ok
-         FROM d JOIN ex USING (token), nt ORDER BY d.token""",
+         d AS (SELECT * FROM read_parquet('${mgDumpPath(dir)}/*.parquet')),
+         heavy AS (SELECT token, exact_cnt FROM ex, nt
+                   WHERE exact_cnt > nt.n // 65)
+         SELECT h.token, h.exact_cnt,
+           CAST(CASE WHEN d.token IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS in_summary,
+           CAST(CASE WHEN d.token IS NOT NULL
+                 AND d.est_cnt <= h.exact_cnt
+                 AND h.exact_cnt - d.est_cnt <= (SELECT n // 65 FROM nt)
+                 THEN 1 ELSE 0 END AS INT) AS bound_ok
+         FROM heavy h LEFT JOIN d USING (token) ORDER BY h.token""",
     // bigram replica: zipped unnests build the identical (w1, pair)
     // stream; same MLE context counts and bit-length arithmetic
     "p58_bigram_surprisal" ->

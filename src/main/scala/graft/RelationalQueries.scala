@@ -916,7 +916,12 @@ object RelationalQueries {
     // accumulated float is round(,6)-railed because both engines'
     // single-pass merges differ in the last ulp from partition order;
     // the rails hold under any partitioning (spec-free by construction:
-    // the driver gate runs the distributed merge for real)
+    // the driver gate runs the distributed merge for real). The three
+    // n-SCALED moments (regr_sxx/syy/sxy, magnitude ~n·var) rail at
+    // round(,1): at sf1 (6M-row accumulations, values ~1.5×10⁸) the
+    // 8-vs-32-core audit measured 1e-6-place drift straight through the
+    // old 6-decimal rail — accumulation error grows with n while the
+    // bounded-magnitude columns (avg/var/slope/corr) keep their 6 digits
     "q130_stat_aggregates" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_stat")
       s.sql("""WITH b AS (
@@ -942,9 +947,9 @@ object RelationalQueries {
           CAST(regr_count(y, x) AS BIGINT) AS rn,
           round(regr_avgx(y, x), 6) AS ravgx,
           round(regr_avgy(y, x), 6) AS ravgy,
-          round(regr_sxx(y, x), 6) AS rsxx,
-          round(regr_syy(y, x), 6) AS rsyy,
-          round(regr_sxy(y, x), 6) AS rsxy,
+          round(regr_sxx(y, x), 1) AS rsxx,
+          round(regr_syy(y, x), 1) AS rsyy,
+          round(regr_sxy(y, x), 1) AS rsxy,
           round(median(x), 6) AS med_x,
           CAST(count_if(x > y / 4) AS BIGINT) AS cif,
           CAST(every(y >= x) AS BIGINT) AS evr,
@@ -3689,9 +3694,9 @@ object RelationalQueries {
            CAST(regr_count(y, x) AS BIGINT) AS rn,
            round(regr_avgx(y, x), 6) AS ravgx,
            round(regr_avgy(y, x), 6) AS ravgy,
-           round(regr_sxx(y, x), 6) AS rsxx,
-           round(regr_syy(y, x), 6) AS rsyy,
-           round(regr_sxy(y, x), 6) AS rsxy,
+           round(regr_sxx(y, x), 1) AS rsxx,
+           round(regr_syy(y, x), 1) AS rsyy,
+           round(regr_sxy(y, x), 1) AS rsxy,
            round(median(x), 6) AS med_x,
            CAST(count_if(x > y / 4) AS BIGINT) AS cif,
            CAST(bool_and(y >= x) AS BIGINT) AS evr,

@@ -1174,11 +1174,19 @@ object CorpusOps {
     * validation output: per-partition MG summaries (bounded state, one
     * scan) merged by count-sum + single (k+1)-th-largest subtraction —
     * the mergeable-summaries construction, whose total undercount is
-    * ≤ n/(k+1) regardless of merge order, so the driver-side fold of the
-    * tiny (partitions × k)-row summary set is deterministic. Emits one
-    * row per surviving token: (token, est_cnt, exact_cnt, ok) where ok
-    * verifies 0 ≤ exact − est ≤ n div (k+1); the summary is also dumped
-    * to `dumpPath` so the oracle can re-derive the same verdicts. */
+    * ≤ n/(k+1) regardless of merge order.
+    *
+    * OUTPUT is the LAYOUT-INVARIANT face of the sketch (the round-4 sf1
+    * 8-vs-32-core audit caught the previous est_cnt output drifting with
+    * the partition layout — an MG summary's estimates are inherently
+    * layout-dependent even though its guarantees are not): one row per
+    * TRUE heavy hitter (exact_cnt > n div (k+1), a pure function of the
+    * data) with two verdict bits that the MG theorems force to 1 under
+    * ANY partitioning — `in_summary` (completeness: every
+    * above-threshold key survives the merged summary) and `bound_ok`
+    * (0 ≤ exact − est ≤ n div (k+1)). The raw layout-dependent summary
+    * still dumps to `dumpPath`, and the oracle re-derives both verdicts
+    * from those exact bytes. */
   def heavyHitters(df: DataFrame, k: Int, dumpPath: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1218,14 +1226,17 @@ object CorpusOps {
     val exact = stream.toDF("token").groupBy(col("token"))
       .agg(count(lit(1)).as("exact_cnt"))
     val total = exact.agg(sum(col("exact_cnt")).as("n"))
-    spark.read.parquet(dumpPath)
-      .join(exact, "token")
-      .crossJoin(broadcast(total))
-      .select(col("token"), col("est_cnt"), col("exact_cnt"),
-        when(col("est_cnt") <= col("exact_cnt") &&
+    exact.crossJoin(broadcast(total))
+      .where(col("exact_cnt") > expr(s"n div ${k + 1}"))
+      .join(spark.read.parquet(dumpPath), Seq("token"), "left")
+      .select(col("token"), col("exact_cnt"),
+        when(col("est_cnt").isNotNull, 1).otherwise(0)
+          .cast("int").as("in_summary"),
+        when(col("est_cnt").isNotNull &&
+          col("est_cnt") <= col("exact_cnt") &&
           col("exact_cnt") - col("est_cnt") <=
             expr(s"n div ${k + 1}"), 1).otherwise(0)
-          .cast("int").as("ok"))
+          .cast("int").as("bound_ok"))
       .orderBy(col("token"))
   }
 

@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   * the sf1 runs measure scaling and 8-vs-32-core determinism, while
   * correctness stays gated at sf0.01.
   *
-  * Strides sit far above every source key range (max source key ≈ 6×10⁵)
-  * and far below the 10⁹ offsets pipeline queries use for planted rows,
-  * so tiled ids can never collide with either. */
+  * Strides are computed PER KEY DOMAIN as the smallest power of 10 above
+  * the domain's maximum across every table sharing it (so foreign keys
+  * stay consistent) — tight strides matter because several queries PLANT
+  * synthetic rows at fixed offsets above the real id range (doc_id +
+  * 5×10⁵ homoglyph spoofs, + 10⁷ merge inserts, + 10⁹ near-dup plants;
+  * vec_id + 10⁶ eval ids), and a tiled id wandering into a planted range
+  * collides with those rows (found the hard way: a 10⁷ doc stride made
+  * q30's merge-insert ids collide with replica-1's real documents and
+  * tripped the unique-delta-keys gate). With power-of-10 strides from
+  * maxima ≤ 6×10⁵, ten replicas stay below 10·stride ≤ 10⁷ for orders/
+  * lineitem and below 10⁵–10⁶ for every planted-offset table. */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
@@ -34,6 +42,37 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def maxOf(table: String, c: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(c).cast("long"))).head().getLong(0)
+    def pow10Above(v: Long): Long = {
+      var s = 10L
+      while (s <= v) s *= 10
+      s
+    }
+    // key DOMAINS: one stride per domain, from the max across all tables
+    // sharing it, so referential integrity survives the tiling
+    val custStride = pow10Above(
+      math.max(maxOf("customer", "c_custkey"), maxOf("events", "user_id")))
+    val suppStride = pow10Above(
+      math.max(maxOf("supplier", "s_suppkey"), maxOf("lineitem", "l_suppkey")))
+    val partStride = pow10Above(
+      math.max(maxOf("part", "p_partkey"), maxOf("lineitem", "l_partkey")))
+    val orderStride = pow10Above(
+      math.max(maxOf("orders", "o_orderkey"), maxOf("lineitem", "l_orderkey")))
+    val eventStride = pow10Above(maxOf("events", "event_id"))
+    val docStride = pow10Above(maxOf("documents", "doc_id"))
+    val vecStride = pow10Above(maxOf("embeddings", "vec_id"))
+    // fail loudly if a domain's tiled range would reach the smallest
+    // planted-offset band (doc_id/vec_id plants start at 5×10⁵/10⁶)
+    require(docStride * reps <= 500000L,
+      s"documents stride $docStride × $reps reaches the planted-id band")
+    require(vecStride * reps <= 1000000L,
+      s"embeddings stride $vecStride × $reps reaches the planted-id band")
+    println(s"[scaleup] strides: cust=$custStride supp=$suppStride " +
+      s"part=$partStride order=$orderStride event=$eventStride " +
+      s"doc=$docStride vec=$vecStride")
 
     def tile(name: String, offsets: Map[String, Long],
              outParts: Int): Unit = {
@@ -53,19 +92,19 @@ object ScaleUp {
       println(s"[scaleup] $name (single copy)")
     }
 
-    val K = 1000000L   // entity-key stride (cust/supp/part/user/vec)
-    val O = 10000000L  // event/order/doc stride
     copy("region")
     copy("nation")
-    tile("customer", Map("c_custkey" -> K), 8)
-    tile("supplier", Map("s_suppkey" -> K), 2)
-    tile("part", Map("p_partkey" -> K), 8)
-    tile("orders", Map("o_orderkey" -> O, "o_custkey" -> K), 16)
-    tile("lineitem", Map("l_orderkey" -> O, "l_partkey" -> K,
-      "l_suppkey" -> K), 64)
-    tile("events", Map("event_id" -> O, "user_id" -> K), 16)
-    tile("documents", Map("doc_id" -> O), 16)
-    tile("embeddings", Map("vec_id" -> K), 8)
+    tile("customer", Map("c_custkey" -> custStride), 8)
+    tile("supplier", Map("s_suppkey" -> suppStride), 2)
+    tile("part", Map("p_partkey" -> partStride), 8)
+    tile("orders", Map("o_orderkey" -> orderStride,
+      "o_custkey" -> custStride), 16)
+    tile("lineitem", Map("l_orderkey" -> orderStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride), 64)
+    tile("events", Map("event_id" -> eventStride,
+      "user_id" -> custStride), 16)
+    tile("documents", Map("doc_id" -> docStride), 16)
+    tile("embeddings", Map("vec_id" -> vecStride), 8)
     spark.stop()
   }
 }

@@ -93,33 +93,42 @@ class OpsSpec extends AnyFunSuite {
     assert(rep.map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(9L -> 3L))
   }
 
-  test("misra-gries heavy hitters: with capacity above the vocabulary the " +
-    "estimates are exact; planted hot tokens always appear") {
+  test("misra-gries heavy hitters: above-threshold tokens (incl. every " +
+    "planted hot token) come back with both theorem bits = 1") {
     val df = docsDf((0L until 10L).map(i => i -> "x y"): _*)
     val out = graft.ops.CorpusOps
       .heavyHitters(df, 16, "/tmp/graft_mg_spec_16")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    // stream: 20 corpus tokens + 20 hot per even doc (0,2,4,6,8)
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // stream: 20 corpus tokens + 20 hot per even doc (0,2,4,6,8) →
+    // n = 120, threshold 120 div 17 = 7 → all five tokens are heavy
     val expectExact = Map("x" -> 10L, "y" -> 10L,
       "hot_0" -> 40L, "hot_1" -> 20L, "hot_2" -> 40L)
     assert(out.map(x => x._1 -> x._2).toMap === expectExact)
-    out.foreach { case (t, est, exact, ok) =>
-      assert(est === exact, t); assert(ok === 1, t)
+    out.foreach { case (t, _, inSum, ok) =>
+      assert(inSum === 1, t); assert(ok === 1, t)
     }
   }
 
-  test("misra-gries under pressure (k=3): every surviving estimate is an " +
-    "undercount within n div (k+1) — ok=1 on all rows") {
+  test("misra-gries under pressure (k=3): output is exactly the true " +
+    "heavy-hitter set with both bits 1 — and LAYOUT-INVARIANT under " +
+    "repartitioning (the sf1 audit's drift class)") {
     val df = docsDf((0L until 10L).map(i => i -> "x y"): _*)
     val out = graft.ops.CorpusOps
       .heavyHitters(df, 3, "/tmp/graft_mg_spec_3")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    assert(out.nonEmpty)
-    out.foreach { case (t, est, exact, ok) =>
-      assert(est <= exact, t); assert(ok === 1, t)
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // n = 120, threshold 120 div 4 = 30 → heavy = hot_0, hot_2 (40 each)
+    assert(out.map(x => x._1 -> x._2).toMap ===
+      Map("hot_0" -> 40L, "hot_2" -> 40L))
+    out.foreach { case (t, _, inSum, ok) =>
+      assert(inSum === 1, t); assert(ok === 1, t)
     }
+    val out2 = graft.ops.CorpusOps
+      .heavyHitters(df.repartition(7), 3, "/tmp/graft_mg_spec_3b")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out2.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
   test("embedding dimension stats: integer-quantized sums/extrema match " +
