@@ -62,6 +62,8 @@ object PipelineOpsQueries {
     s"/tmp/graft_stream_decon_${SparkEntry.docCountFor(dir)}"
   def streamUpsertSnapshotPath(dir: String): String =
     s"/tmp/graft_stream_upsert_${SparkEntry.docCountFor(dir)}"
+  def streamDedupSinkPath(dir: String): String =
+    s"/tmp/graft_stream_dedup_${SparkEntry.docCountFor(dir)}"
 
   def beamVisitedPath(dir: String): String =
     s"/tmp/graft_beam_visited_${SparkEntry.docCountFor(dir)}"
@@ -1676,6 +1678,74 @@ object PipelineOpsQueries {
         .write.mode("overwrite").parquet(beamVisitedPath(dir))
       graft.ops.GraphAnnOps.topKFromVisited(e,
         s.read.parquet(beamVisitedPath(dir)), numQueries = 10, k = 10)
+    }),
+
+    // feature-histogram drift census between two snapshots (v2 =
+    // deterministic mutation: drop doc_id%5==0, lengthen doc_id%7==0):
+    // per length-bin counts + ppm shares + |share delta| — the PSI/TVD
+    // dashboard number, all-integer so it is bit-stable anywhere
+    "p142_drift_census" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val v1 = docs(s, dir)
+      val v2 = v1.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" drift drift drift drift")))
+            .otherwise(col("text")).as("text"))
+      CorpusOps.driftCensus(v1, v2,
+        expr("least(length(text) div 128, 15)"))
+    }),
+
+    // Cohen's kappa between two deterministic quality raters (A: ≥60
+    // whitespace tokens, B: n_chars ≥ 380) — chance-corrected label
+    // agreement from one 4-cell count aggregation; κ floor-scaled to
+    // milli on both engines (κ can be negative: trunc-vs-floor class)
+    "p143_rater_agreement" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.ClassifierOps.raterAgreement(docs(s, dir),
+        size(split(trim(col("text")), "\\s+")) >= 60,
+        col("n_chars") >= 380)
+    }),
+
+    // STATEFUL streaming dedup driven end-to-end (MemoryStream → 3
+    // deterministic micro-batches by doc_id % 3 → dedupStream
+    // (flatMapGroupsWithState) → foreachBatch parquet sink): the keeper
+    // per content hash is the min doc_id of the EARLIEST batch containing
+    // the hash, so the oracle is arg_min by (batch index, doc_id) — the
+    // third streaming driver row, covering the custom-state family. The
+    // corpus has no duplicate texts, so every doc_id % 10 == 4 gets an
+    // ECHO copy at +10^6 whose batch index (id % 3) may fall EARLIER or
+    // LATER than the original's — cross-batch suppression is exercised
+    // in both directions, deterministically
+    "p144_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded driver collect: the MemoryStream feed (harness ingest)
+      val originals = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val rows = (originals ++ originals.filter(_._1 % 10 == 4)
+        .map { case (id, t) => (id + 1000000L, t) }).sortBy(_._1)
+      val sink = streamDedupSinkPath(dir)
+      deleteRecursively(sink)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingExtraction.dedupStream(stream.toDS())
+        .toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      (0 until 3).foreach { k =>
+        stream.addData(rows.filter(_._1 % 3 == k).toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(sink)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // graph-ANN tuning table beside p89's IVF sweep: recall@10 vs the
@@ -4974,6 +5044,69 @@ object PipelineOpsQueries {
                FROM c GROUP BY doc_id)
          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM f WHERE NOT del ORDER BY doc_id""",
+    // identical mutation + binning + full-outer share census; // floors
+    // but every operand is nonnegative so it equals Spark's div
+    "p142_drift_census" ->
+      """WITH v1 AS (SELECT least(length(text) // 128, 15) AS bin
+             FROM documents),
+         v2 AS (SELECT least(length(CASE WHEN doc_id % 7 = 0
+                 THEN text || ' drift drift drift drift' ELSE text END)
+               // 128, 15) AS bin
+             FROM documents WHERE doc_id % 5 <> 0),
+         a AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM v1 GROUP BY bin),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM v2 GROUP BY bin),
+         ta AS (SELECT greatest(sum(c), 1) AS t FROM a),
+         tb AS (SELECT greatest(sum(c), 1) AS t FROM b)
+         SELECT CAST(COALESCE(a.bin, b.bin) AS BIGINT) AS bin,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS n_v1,
+           CAST(COALESCE(b.c, 0) AS BIGINT) AS n_v2,
+           CAST(COALESCE(a.c, 0) * 1000000 // ta.t AS BIGINT)
+             AS share_v1_ppm,
+           CAST(COALESCE(b.c, 0) * 1000000 // tb.t AS BIGINT)
+             AS share_v2_ppm,
+           CAST(abs(COALESCE(a.c, 0) * 1000000 // ta.t
+                  - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT)
+             AS delta_ppm
+         FROM a FULL OUTER JOIN b ON a.bin = b.bin, ta, tb
+         ORDER BY bin""",
+    // identical 2x2 contingency + exact-integer kappa; DuckDB // FLOORS
+    // the (possibly negative) kappa numerator exactly like the engine's
+    // Math.floorDiv convention
+    "p143_rater_agreement" ->
+      """WITH r AS (SELECT
+             (len(regexp_split_to_array(trim(text), '\s+')) >= 60) AS a,
+             (n_chars >= 380) AS b
+           FROM documents),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+           FROM r),
+         k AS (SELECT n, n11, n10, n01, n00,
+             (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe
+           FROM c)
+         SELECT n, n11, n10, n01, n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(pe * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN n * n = pe THEN 0
+                ELSE (n * (n11 + n00) - pe) * 1000 // (n * n - pe)
+                END AS BIGINT) AS kappa_milli
+         FROM k""",
+    // first-batch-keeper recompute over the identically planted echo
+    // stream: batches are doc_id % 3 ascending, so the kept row per
+    // content hash is arg_min by (batch index, doc_id)
+    "p144_stream_dedup" ->
+      """WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+             FROM documents
+           UNION ALL SELECT doc_id + 1000000, text
+             FROM documents WHERE doc_id % 10 = 4),
+         h AS (SELECT doc_id, text, md5(text) AS h FROM r),
+         k AS (SELECT h, arg_min(doc_id,
+                 (doc_id % 3) * 100000000 + doc_id) AS doc_id
+               FROM h GROUP BY h)
+         SELECT k.doc_id, CAST(length(t.text) AS BIGINT) AS n_chars
+         FROM k JOIN h t ON t.doc_id = k.doc_id ORDER BY k.doc_id""",
     // exhaustive adjacency oracle: per node, top-4 by (cosine DESC,
     // neighbor_id) over ALL pairs — cosine bit-matched between engines
     // (established by p07)

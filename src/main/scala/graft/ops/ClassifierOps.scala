@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed quality-classifier TRAINING — the missing trainer half of
@@ -94,5 +94,54 @@ object ClassifierOps {
     feats.unpersist()
     out.toSeq.toDF("epoch", "n_mis", "delta_abs", "w_chk")
       .orderBy(col("epoch"))
+  }
+
+  /** Inter-rater agreement (Cohen's kappa) between two boolean raters —
+    * the labeling-QA number every human- or model-annotation pass is
+    * gated on before its labels train anything: chance-corrected
+    * agreement κ = (p_o − p_e) / (1 − p_e) from the 2×2 contingency.
+    * Everything is integer-exact: the corpus contributes ONE 4-cell count
+    * aggregation (map-side partial, bit-deterministic), the driver does
+    * the κ arithmetic on whole numbers — p_o and p_e stay as exact
+    * count products (n·(n11+n00) and a1·b1 + a0·b0 over n²) and κ is
+    * emitted FLOOR-scaled to milli-units via Math.floorDiv (κ can be
+    * negative — worse than chance — and Spark's `div` truncates toward
+    * zero where DuckDB's `//` floors, the q118 divergence class, so the
+    * floor convention is pinned on both sides). Degenerate marginals
+    * (p_e = 1: both raters constant) emit κ = 0 by convention.
+    * Output one row: (n, n11, n10, n01, n00, po_ppm, pe_ppm,
+    * kappa_milli). */
+  def raterAgreement(docs: DataFrame, raterA: Column,
+                     raterB: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = docs.select(raterA.cast("boolean").as("a"),
+        raterB.cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .head()
+    val (n, n11, n10, n01, n00) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // BigInt: n² and the marginal products overflow a Long past ~3e9
+    // rows (the PAV-advice overflow class); the arithmetic runs once on
+    // the driver so arbitrary precision is free
+    def floorDiv(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+    val a1 = BigInt(n11 + n10); val a0 = BigInt(n01 + n00)
+    val b1 = BigInt(n11 + n01); val b0 = BigInt(n10 + n00)
+    val poNum = BigInt(n11 + n00)    // p_o = poNum / n
+    val peNum = a1 * b1 + a0 * b0    // p_e = peNum / n²
+    val den = BigInt(n) * n - peNum  // κ = (n·poNum − peNum) / den
+    val kappaMilli =
+      if (den == 0) 0L
+      else floorDiv((BigInt(n) * poNum - peNum) * 1000, den).toLong
+    Seq((n, n11, n10, n01, n00,
+      if (n == 0) 0L else (poNum * 1000000 / n).toLong,
+      if (n == 0) 0L else (peNum * 1000000 / (BigInt(n) * n)).toLong,
+      kappaMilli))
+      .toDF("n", "n11", "n10", "n01", "n00", "po_ppm", "pe_ppm",
+        "kappa_milli")
   }
 }

@@ -355,6 +355,36 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Feature-HISTOGRAM drift census between two corpus snapshots — the
+    * PSI/TVD-style monitor a production pipeline alarms on (tokenDrift
+    * watches the token distribution; this watches a bounded FEATURE
+    * binning, the form drift dashboards actually chart): per bin of
+    * `binCol`, counts and parts-per-million shares on each side plus the
+    * absolute share delta. Total variation distance = Σ delta_ppm / 2 is
+    * derivable by the reader; everything is integer (ppm via div on
+    * nonnegative operands — Spark div ≡ DuckDB //), so the census is
+    * bit-stable under any partitioning. Scale shape: each snapshot
+    * collapses to ≤ bins rows before one full-outer join; raw text never
+    * shuffles. */
+  def driftCensus(v1: DataFrame, v2: DataFrame, binCol: Column): DataFrame = {
+    def counts(df: DataFrame) = df.select(binCol.cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val a = counts(v1)
+    val b = counts(v2)
+    val totA = math.max(a.agg(sum(col("c"))).collect()(0).getLong(0), 1L)
+    val totB = math.max(b.agg(sum(col("c"))).collect()(0).getLong(0), 1L)
+    a.as("a").join(b.as("b"), col("a.bin") === col("b.bin"), "full_outer")
+      .select(coalesce(col("a.bin"), col("b.bin")).as("bin"),
+        coalesce(col("a.c"), lit(0L)).as("n_v1"),
+        coalesce(col("b.c"), lit(0L)).as("n_v2"))
+      .select(col("bin"), col("n_v1"), col("n_v2"),
+        expr(s"(n_v1 * 1000000L) div ${totA}L").as("share_v1_ppm"),
+        expr(s"(n_v2 * 1000000L) div ${totB}L").as("share_v2_ppm"))
+      .withColumn("delta_ppm",
+        abs(col("share_v1_ppm") - col("share_v2_ppm")))
+      .orderBy(col("bin"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., NeurIPS'23 — "Data
     * Selection for Language Models via Importance Resampling"): rank raw
     * corpus documents by how target-like their token distribution is. The

@@ -79,4 +79,54 @@ class ClassifierOpsSpec extends AnyFunSuite {
     assert(got === bruteTrain(
       docs.map { case (id, t, l) => (id, l, t) }, 6, 64, "en"))
   }
+
+  test("Cohen's kappa: perfect agreement → 1000 milli, hand-computed " +
+    "contingency matches, negative kappa floors like DuckDB //, " +
+    "constant raters → 0 by convention, layout-invariant") {
+    import org.apache.spark.sql.functions._
+    def df(rows: Seq[(Boolean, Boolean)]) =
+      rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "ra", "rb")
+    // perfect agreement
+    val p = ClassifierOps.raterAgreement(
+      df(Seq((true, true), (false, false), (true, true))),
+      col("ra"), col("rb")).head()
+    assert(p.getAs[Long]("kappa_milli") === 1000L)
+    // hand case: n=10, n11=4, n10=1, n01=2, n00=3 →
+    // po=7/10, pe=(5*6+5*4)/100=1/2, κ=(7-5)/(10-5)=0.4 → 400 milli
+    val rows = Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val h = ClassifierOps.raterAgreement(df(rows), col("ra"), col("rb"))
+      .head()
+    assert((h.getAs[Long]("n11"), h.getAs[Long]("n10"),
+      h.getAs[Long]("n01"), h.getAs[Long]("n00")) === (4L, 1L, 2L, 3L))
+    assert(h.getAs[Long]("po_ppm") === 700000L)
+    assert(h.getAs[Long]("pe_ppm") === 500000L)
+    assert(h.getAs[Long]("kappa_milli") === 400L)
+    // systematic disagreement: n11=0,n10=2,n01=2,n00=0 → po=0,
+    // pe=(2*2+2*2)/16=1/2 → κ=(0-8)/(16-8)=-1 → -1000 (floor exact)
+    val neg = ClassifierOps.raterAgreement(
+      df(Seq((true, false), (true, false), (false, true), (false, true))),
+      col("ra"), col("rb")).head()
+    assert(neg.getAs[Long]("kappa_milli") === -1000L)
+    // a NON-exact negative kappa must FLOOR (DuckDB // semantics), not
+    // truncate: n11=1,n10=2,n01=2,n00=1 → po=2/6, pe=(3*3+3*3)/36=1/2
+    // → κ=(12-18)/(36-18)=-1/3 → floor(-1000/3)=-334 (trunc gives -333)
+    val nf = ClassifierOps.raterAgreement(
+      df(Seq((true, true), (true, false), (true, false),
+        (false, true), (false, true), (false, false))),
+      col("ra"), col("rb")).head()
+    assert(nf.getAs[Long]("kappa_milli") === -334L)
+    // constant raters → pe = 1 → κ = 0 by convention
+    val c = ClassifierOps.raterAgreement(
+      df(Seq((true, true), (true, true))), col("ra"), col("rb")).head()
+    assert(c.getAs[Long]("kappa_milli") === 0L)
+    // layout invariance
+    val big = df((0 until 100).map(i => (i % 3 == 0, i % 4 == 0)))
+    val x = ClassifierOps.raterAgreement(big, col("ra"), col("rb"))
+      .collect().toSeq
+    val y = ClassifierOps.raterAgreement(big.repartition(7), col("ra"),
+      col("rb")).collect().toSeq
+    assert(x === y)
+  }
 }

@@ -1540,6 +1540,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!multi.exists(l => l._1 == 5L && l._2 == 6L))
   }
 
+  test("drift census: hand-computed ppm shares, one-sided bins survive " +
+    "the full-outer join with zero counts, layout-invariant") {
+    import org.apache.spark.sql.functions._
+    // v1 bins (len div 4): [0,0,1,2]; v2 bins: [0,1,1]
+    val v1 = Seq((0L, "ab"), (1L, "cd"), (2L, "efghi"), (3L, "jklmnopq"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((0L, "ab"), (1L, "efghi"), (2L, "efghj"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.driftCensus(v1, v2,
+        expr("length(text) div 4")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 1L, 500000L, 333333L, 166667L),
+      (1L, 1L, 2L, 250000L, 666666L, 416666L),
+      (2L, 1L, 0L, 250000L, 0L, 250000L)))
+    val out2 = graft.ops.CorpusOps.driftCensus(v1.repartition(5),
+        v2.repartition(3), expr("length(text) div 4")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("leading-digit census: integer-exact digits at power-of-ten " +
     "boundaries, non-positive values excluded") {
     val vals = Seq(1L, 5L, 10L, 19L, 99L, 100L, 950L, 0L, -3L).toDF("v")
