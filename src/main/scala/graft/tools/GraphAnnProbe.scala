@@ -10,7 +10,8 @@ object GraphAnnProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val e = s.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
     val brute = graft.ops.SimilarityOps.bruteTopK(e)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     for (m <- Seq(4, 8, 16); hops <- Seq(3, 5)) {

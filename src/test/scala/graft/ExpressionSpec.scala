@@ -97,6 +97,17 @@ class ExpressionSpec extends AnyFunSuite {
         |       dot_long(array(1L, NULL), array(1L, 2L)) AS nullelem
         |""".stripMargin).collect()(0)
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // the hot-path property the p128 fix depends on: the kernel stays
+    // inside WholeStageCodegen (the HOF fold it replaced ran interpreted);
+    // spark.range forces a real scan — a local Seq constant-folds to
+    // LocalTableScan and shows no codegen span at all
+    val plan = spark.range(8)
+      .select(gf.dot_long(
+        org.apache.spark.sql.functions.array(col("id"), col("id") + 1),
+        org.apache.spark.sql.functions.array(col("id"),
+          org.apache.spark.sql.functions.lit(2L))))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*(1) Project [dot_long("), plan)
   }
 
   test("expression stays inside WholeStageCodegen") {
