@@ -5084,13 +5084,20 @@ object PipelineOpsQueries {
              CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
            FROM r),
          k AS (SELECT n, n11, n10, n01, n00,
-             (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe
+             -- HUGEINT numerators: pe reaches n², so plain BIGINT
+             -- overflows past ~10^8 docs while the engine side already
+             -- runs BigInt — both halves now share the ~3e9-row headroom
+             CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+               + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe
            FROM c)
          SELECT n, n11, n10, n01, n00,
-           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
-           CAST(pe * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
-           CAST(CASE WHEN n * n = pe THEN 0
-                ELSE (n * (n11 + n00) - pe) * 1000 // (n * n - pe)
+           CAST(CAST(n11 + n00 AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS po_ppm,
+           CAST(pe * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS pe_ppm,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * n = pe THEN 0
+                ELSE (CAST(n AS HUGEINT) * (n11 + n00) - pe) * 1000
+                  // (CAST(n AS HUGEINT) * n - pe)
                 END AS BIGINT) AS kappa_milli
          FROM k""",
     // first-batch-keeper recompute over the identically planted echo

@@ -790,8 +790,13 @@ object SparkEntry {
         max(when(col("mode") === "plain", col("record_json"))).as("r_plain"),
         max(when(col("mode") === "donut", col("record_json"))).as("r_donut"))
       per.select(col("document_type"),
-          levenshtein(substring(col("r_plain"), 1, 512),
-            substring(col("r_donut"), 1, 512)).cast("long").as("lev"),
+          // identical-string fast path: most docs are mode-identical, so
+          // the O(512²) DP comparator only runs on rows whose jsons
+          // actually differ — levenshtein(x, x) = 0 by definition, zero
+          // semantic change (r4 "What's wrong #2")
+          when(col("r_plain") === col("r_donut"), lit(0L))
+            .otherwise(levenshtein(substring(col("r_plain"), 1, 512),
+              substring(col("r_donut"), 1, 512)).cast("long")).as("lev"),
           greatest(length(substring(col("r_plain"), 1, 512)),
             length(substring(col("r_donut"), 1, 512))).cast("long").as("den"))
         .groupBy(col("document_type"))

@@ -106,6 +106,9 @@ object functions {
   def d_hash64(c: Column): Column = column(DHash64(expression(c)))
   def dot_long(a: Column, b: Column): Column =
     column(DotLong(expression(a), expression(b)))
+  def bloom_might_contain(c: Column,
+      f: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContain(expression(c), f))
 }
 
 /** `SparkSessionExtensions` hook: spark.sql.extensions=graft.functions.GraftExtensions
@@ -161,16 +164,55 @@ object GraftExtensions {
           "sign_lsh_bucket(vec, dim, bits, seed) takes 4 arguments")
         require(args.drop(1).forall(_.foldable),
           "sign_lsh_bucket dim/bits/seed must be literals")
-        def intArg(e: Expression): Int =
-          e.eval(null).asInstanceOf[Number].intValue()
+        // typed extraction: a foldable but non-integral or NULL literal
+        // (sign_lsh_bucket(v, '2', ...)) must get the same descriptive
+        // misuse error as the arity/foldability checks, not a raw CCE/NPE
+        def intArg(name: String, e: Expression): Int = e.eval(null) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case null => throw new IllegalArgumentException(
+            s"sign_lsh_bucket $name must be a non-null integer literal")
+          case _ => throw new IllegalArgumentException(
+            s"sign_lsh_bucket $name must be an integer literal, got " +
+              e.dataType.simpleString)
+        }
         val planes = graft.ops.SimilarityOps.hyperplanes(
-          intArg(args(1)), intArg(args(2)), intArg(args(3)).toLong)
+          intArg("dim", args(1)), intArg("bits", args(2)),
+          intArg("seed", args(3)).toLong)
         SignLshBucket(args(0), planes)
       })
 
+  /** SQL form `bloom_might_contain(key, filter_bytes)`: the sketch rides
+    * in as a foldable BINARY literal holding `BloomFilter.writeTo`
+    * serialization (the same shape Spark's own runtime-filter
+    * `BloomFilterMightContain` consumes) — built once by an aggregation,
+    * then inlined/parameterized into the probe query. Deserialized once
+    * at resolution, never per row. */
+  val bloomMightContainDesc: Desc =
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(key, filter_bytes) takes 2 arguments")
+        require(args(1).foldable &&
+          args(1).dataType == org.apache.spark.sql.types.BinaryType,
+          "bloom_might_contain filter_bytes must be a BINARY literal " +
+            "(BloomFilter.writeTo serialization)")
+        val bytes = args(1).eval(null).asInstanceOf[Array[Byte]]
+        require(bytes != null, "bloom_might_contain filter_bytes is NULL")
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        BloomMightContain(args(0), f)
+      })
+
+  /** Every codegen Expression in this file is SQL-registered — asserted
+    * by ExpressionSpec's descs-vs-objects enumeration (r4 item #7). */
   val descs: Seq[Desc] = Seq(pyTitleDesc, pyRound2Desc, cosineDesc,
     nfcNormalizeDesc, deflateLenDesc, commonPrefixLenDesc, dHash64Desc,
-    signLshBucketDesc, dotLongDesc)
+    signLshBucketDesc, dotLongDesc, bloomMightContainDesc)
 
   /** Register into an already-running session (tests / REPL). */
   def registerInto(spark: SparkSession): Unit = {

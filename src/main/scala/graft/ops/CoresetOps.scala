@@ -99,6 +99,12 @@ object CoresetOps {
         }
         if (bestGain < 0L) Iterator.empty else Iterator.single((bestGain, bestId))
       }.collect()
+      if (cand.isEmpty) {
+        // every un-picked candidate is exhausted (k > distinct candidates):
+        // the greedy is complete — stop instead of crashing on empty.maxBy
+        bc.destroy()
+        step = k + 1
+      } else {
       val (gain, sel) = cand.maxBy { case (g, id) => (g, -id) }
       picked += sel
       val selVec = cands.filter(_._1 == sel).map(_._2).head()
@@ -119,6 +125,7 @@ object CoresetOps {
       bc.destroy()
       out += ((step.toLong, sel, gain, objective))
       step += 1
+      }
     }
     cands.unpersist()
     out.toSeq.toDF("step", "vec_id", "gain", "objective")

@@ -27,7 +27,14 @@ object SimilarityOps {
     * scan, never a full one. */
   private[ops] def guardBruteContract(op: String, emb: DataFrame, maxRows: Long,
                                  scalePath: String): Unit = {
-    val probe = emb.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    // a collect() materializes into one Array, so the brute contract can
+    // never exceed Int.MaxValue rows anyway — rejecting oversized bounds
+    // here keeps the probe's limit() exact instead of silently capping at
+    // 2^31-1 and turning the guard into a no-op in the regime it blocks
+    require(maxRows < Int.MaxValue,
+      s"SimilarityOps.$op: maxBroadcastRows must be < Int.MaxValue " +
+        s"(got $maxRows) — the brute baseline driver-collects one Array")
+    val probe = emb.limit((maxRows + 1).toInt).count()
     require(probe <= maxRows,
       s"SimilarityOps.$op is the brute-force exactness BASELINE " +
         s"(driver-collected broadcast side) and refuses > $maxRows rows; " +

@@ -65,11 +65,26 @@ object ScaleUp {
     val docStride = pow10Above(maxOf("documents", "doc_id"))
     val vecStride = pow10Above(maxOf("embeddings", "vec_id"))
     // fail loudly if a domain's tiled range would reach the smallest
-    // planted-offset band (doc_id/vec_id plants start at 5×10⁵/10⁶)
-    require(docStride * reps <= 500000L,
-      s"documents stride $docStride × $reps reaches the planted-id band")
-    require(vecStride * reps <= 1000000L,
-      s"embeddings stride $vecStride × $reps reaches the planted-id band")
+    // planted-offset band. Floors are CENTRALIZED per key domain (r4
+    // advice: the doc/vec-only requires left five domains unguarded — a
+    // future planted-offset query on e.g. orders could silently
+    // reintroduce the q30 collision class). A query planting synthetic
+    // ids above a domain's real range must register its lowest offset in
+    // THIS map; domains with no planted band today carry Long.MaxValue.
+    val plantedFloor: Map[String, Long] = Map(
+      "doc" -> 500000L,   // homoglyph spoofs +5×10⁵ (then 10⁷ merge, 10⁹)
+      "vec" -> 1000000L,  // planted eval-set ids at +10⁶
+      "cust" -> Long.MaxValue, "supp" -> Long.MaxValue,
+      "part" -> Long.MaxValue, "order" -> Long.MaxValue,
+      "event" -> Long.MaxValue)
+    val strides = Map("cust" -> custStride, "supp" -> suppStride,
+      "part" -> partStride, "order" -> orderStride,
+      "event" -> eventStride, "doc" -> docStride, "vec" -> vecStride)
+    strides.foreach { case (d, s) =>
+      require(s * reps <= plantedFloor(d),
+        s"$d stride $s × $reps reaches the domain's planted-id band " +
+          s"(floor ${plantedFloor(d)})")
+    }
     println(s"[scaleup] strides: cust=$custStride supp=$suppStride " +
       s"part=$partStride order=$orderStride event=$eventStride " +
       s"doc=$docStride vec=$vecStride")

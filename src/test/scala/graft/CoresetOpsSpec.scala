@@ -79,4 +79,17 @@ class CoresetOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum === got.last._4)
     assert(got === bruteGreedy(vecs, k = 3, coverageMod = 1))
   }
+
+  test("facility location with k > candidate count stops cleanly after " +
+    "exhausting candidates (no empty.maxBy crash)") {
+    val vecs = Seq(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f), 3L -> Seq(1.0f, 1.0f))
+    val got = CoresetOps.facilityLocation(embDf(vecs), k = 10,
+        coverageMod = 1)
+      .collect()
+    // exactly the 3 candidates picked, steps 1..3, then the greedy halts
+    assert(got.length === 3)
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
+  }
 }
