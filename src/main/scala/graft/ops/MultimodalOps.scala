@@ -127,8 +127,23 @@ object MultimodalOps {
     * only on band-collision candidates. The distinct-ref table is dumped
     * first so the oracle can recompute every hash from the payload and
     * brute-force the exact all-pairs answer the bands must reproduce. */
+  /** Scale fix (r4 "What's wrong #1" — sf1 showed ~19× wall for 10×
+    * data): the band join runs over ONE REPRESENTATIVE PER DISTINCT
+    * 64-BIT HASH, not per ref. Exact-dup clusters (hash-identical refs —
+    * the dominant image-dup structure in any crawl) used to pair
+    * quadratically through all four bands before the distinct(); now
+    * their pairs are emitted arithmetically from a plain equi-join on
+    * the full hash (output-sized, lossless: hamming(x,x)=0 always
+    * qualifies) and the band join's input shrinks to the distinct-hash
+    * count. On top, `maxBandBucket` caps reps per (band, key) bucket —
+    * flat/synthetic images concentrate on hot 16-bit keys and a hot
+    * bucket is quadratic in the join; like p25's maxDf this is a
+    * DOCUMENTED recall trade (pairs whose ONLY shared band is capped are
+    * missed — the default is far above anything the test corpora reach,
+    * so the oracle's exact-equality contract is unaffected). */
   def phashNearDupsDumped(docs: Dataset[Doc], dumpPath: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBandBucket: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.flatMap(d => d.spans.filter(_.kind == "media").map(_.media_ref))
@@ -137,20 +152,39 @@ object MultimodalOps {
     val hashed = spark.read.parquet(dumpPath)
       .select(col("ref"), graft.functions.functions.d_hash64(col("ref"))
         .as("h"))
-    val banded = hashed.select(col("ref"), col("h"),
+    // hash-identical pairs: equi-join on the full 64-bit hash — no
+    // banding, no distinct; the join is output-sized by construction
+    val samePairs = hashed.as("x").join(hashed.as("y"),
+        col("x.h") === col("y.h") && col("x.ref") < col("y.ref"))
+      .select(col("x.ref").as("ref_a"), col("y.ref").as("ref_b"),
+        lit(0L).as("hamming"))
+    // distinct-hash representatives carry the banded candidate search;
+    // any cross-hash pair within hamming ≤ 3 differs in ≤ 3 of 4 bands,
+    // so its two hashes still share a band (pigeonhole recall 1.0)
+    val reps = hashed.groupBy(col("h")).agg(min(col("ref")).as("rep"))
+    val banded = reps.select(col("h"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
         "CAST(shiftright(h, b * 16) & 65535 AS INT) AS key))")).as("bk"))
-      .select(col("ref"), col("h"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val okBuckets = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBandBucket)
+      .select(col("band"), col("key"))
+    val pruned = banded.join(okBuckets, Seq("band", "key"))
+    val hashPairs = pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.ref") < col("b.ref"))
-      .select(col("a.ref").as("ref_a"), col("b.ref").as("ref_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
       .distinct()
-      .select(col("ref_a"), col("ref_b"),
-        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
+    // expand qualifying hash pairs back to member refs (output-sized)
+    val crossPairs = hashPairs
+      .join(hashed.select(col("h").as("ha"), col("ref").as("ra")), "ha")
+      .join(hashed.select(col("h").as("hb"), col("ref").as("rb")), "hb")
+      .select(least(col("ra"), col("rb")).as("ref_a"),
+        greatest(col("ra"), col("rb")).as("ref_b"), col("hamming"))
+    samePairs.unionByName(crossPairs)
       .orderBy(col("ref_a"), col("ref_b"))
   }
 

@@ -1184,6 +1184,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  test("phash near-dups: hash-identical collapse is output-identical and " +
+    "the band-bucket cap trips as a pure recall trade") {
+    // the r4 scale fix: the band join runs over distinct-hash reps with
+    // exact-dup pairs emitted arithmetically. The brute-equality test
+    // above already pins losslessness at the default cap; here: (1) a
+    // CONSTRUCTED hash-identical group (the dHash grid samples byte
+    // positions 0..71 only, so distinct refs differing past byte 72
+    // share the full 64-bit hash — the exact-dup-cluster shape the
+    // collapse exists for) comes out as its 3 hamming-0 pairs, and
+    // (2) maxBandBucket=1 drops every cross-hash candidate (every bucket
+    // with ≥2 reps is pruned) while hash-identical pairs survive
+    // untouched — the documented p25-style recall trade, never a
+    // correctness change on the kept pairs
+    import spark.implicits._
+    val pad = "m:pad:" + "x" * 66 // 72 chars: every sampled position fixed
+    val collide = Seq("A", "B", "C").map(pad + _)
+    val planted = Seq(graft.model.Doc("dup1",
+      collide.map(r => graft.model.Span("media", "", r, 0))))
+    val docs = graft.io.Synthesizer.docs(spark, 120, 42L)
+      .union(planted.toDS())
+    val collidePairs = for {
+      i <- collide.indices; j <- (i + 1) until collide.length
+    } yield (collide(i), collide(j), 0L)
+    val dump = "/tmp/graft_phash_refs_spec_cap"
+    val full = MultimodalOps.phashNearDupsDumped(docs, dump, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val exactDups = full.filter(_._3 == 0L)
+    val crossDups = full.filter(_._3 > 0L)
+    assert(crossDups.nonEmpty) // the banded path is actually exercised
+    // the planted collision group surfaces as exactly its 3 zero-pairs
+    assert(collidePairs.forall(exactDups.contains), exactDups.take(5))
+    val capped = MultimodalOps.phashNearDupsDumped(docs, dump,
+        maxHamming = 3, maxBandBucket = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(capped.filter(_._3 == 0L) === exactDups)
+    assert(capped.toSet.subsetOf(full.toSet)) // cap only ever DROPS pairs
+    assert(capped.count(_._3 > 0L) < crossDups.size)
+  }
+
   test("hll registers: independent re-derivation + estimate within HLL error") {
     val docs = docsDf(
       1L -> (1 to 300).map(i => s"word$i").mkString(" "),
