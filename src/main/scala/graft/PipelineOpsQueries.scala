@@ -69,6 +69,8 @@ object PipelineOpsQueries {
     s"/tmp/graft_beam_visited_${SparkEntry.docCountFor(dir)}"
   def beamSweepPath(dir: String): String =
     s"/tmp/graft_beam_sweep_${SparkEntry.docCountFor(dir)}"
+  def descentSweepPath(dir: String): String =
+    s"/tmp/graft_descent_sweep_${SparkEntry.docCountFor(dir)}"
 
   def semDedupAssignPath(dir: String): String =
     s"/tmp/graft_semdedup_assign_${SparkEntry.docCountFor(dir)}"
@@ -1746,6 +1748,44 @@ object PipelineOpsQueries {
       s.read.parquet(sink)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // beam recall over the PRODUCTION graph constructor (LSH-seeded
+    // NN-descent, never collects the vector table) vs the exact brute
+    // ranking — the r4 #1 item: p141 measures the search's recall on the
+    // exact graph; this measures what the search loses when the graph
+    // itself is approximate. Same ef-tagged visited-dump pattern, so the
+    // oracle re-ranks the dump exactly and the recall table is
+    // driver-oracled end to end
+    "p145_graph_descent_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      // bits ≈ log2(N / wanted-bucket) — 64 buckets keeps seed
+      // neighborhoods healthy from the 500-vector gate up to the sf1
+      // campaign's 20k (and is a per-deployment knob beyond that)
+      val g = graft.ops.GraphAnnOps.buildKnnGraphDescent(e, m = 8, bits = 6)
+        .localCheckpoint(true)
+      Seq(2, 8, 32).map(ef =>
+          graft.ops.GraphAnnOps.beamVisited(e, g, numQueries = 10,
+              ef = ef, hops = 5)
+            .withColumn("ef", lit(ef.toLong)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(descentSweepPath(dir))
+      val vis = s.read.parquet(descentSweepPath(dir))
+      val brute = SimilarityOps.bruteTopK(e)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      Seq(2L, 8L, 32L).map { n =>
+        graft.ops.GraphAnnOps.topKFromVisited(e,
+            vis.where(col("ef") === n)
+              .select(col("query_id"), col("node_id")),
+            numQueries = 10, k = 10)
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(n).as("ef"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
+        .orderBy(col("ef"))
     }),
 
     // graph-ANN tuning table beside p89's IVF sweep: recall@10 vs the
@@ -5149,6 +5189,43 @@ object PipelineOpsQueries {
                FROM sc)
          SELECT query_id, rank, neighbor_id FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // same recall-table recompute as p141, over the NN-descent walk's
+    // ef-tagged visited dump — the graph build is pinned by spec
+    // (deterministic, layout-invariant, zero-job lazy construction); its
+    // SEARCH OUTPUT is what the oracle re-ranks exactly
+    "p145_graph_descent_recall" ->
+      s"""WITH vis AS (SELECT CAST(ef AS BIGINT) AS ef,
+               CAST(query_id AS BIGINT) AS query_id,
+               CAST(node_id AS BIGINT) AS node_id
+             FROM read_parquet('${descentSweepPath(dir)}/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         sc AS (SELECT v.ef, v.query_id, v.node_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    q.q_emb) AS score
+                FROM vis v JOIN embeddings e ON e.vec_id = v.node_id
+                  JOIN q ON q.query_id = v.query_id
+                WHERE v.node_id <> v.query_id),
+         g AS (SELECT ef, query_id, neighbor_id FROM (
+                 SELECT ef, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY ef, query_id
+                     ORDER BY score DESC, neighbor_id) AS rk
+                 FROM sc) WHERE rk <= 10),
+         brute AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   q.q_emb) DESC, e.vec_id) AS rk
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.query_id) WHERE rk <= 10),
+         hits AS (SELECT g.ef, count(*) AS n_hits
+           FROM g JOIN brute USING (query_id, neighbor_id) GROUP BY 1),
+         levels AS (SELECT DISTINCT ef FROM vis)
+         SELECT l.ef, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 100 AS BIGINT)
+             AS recall_ppm
+         FROM levels l LEFT JOIN hits h ON l.ef = h.ef ORDER BY l.ef""",
+
     // recall table recomputed from the ef-tagged visited dump vs a full
     // brute re-rank; zero-hit sweep levels preserved (the p89 lesson)
     "p141_graph_recall_sweep" ->

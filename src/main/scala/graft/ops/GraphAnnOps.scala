@@ -87,6 +87,118 @@ object GraphAnnOps {
       .orderBy(col("node_id"), col("rnk"))
   }
 
+  /** PRODUCTION-SCALE k-NN-graph construction — sign-LSH candidate
+    * seeding + NN-descent refinement (Dong, Moses & Li, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures", WWW 2011) — emitting the SAME `(node_id, rnk,
+    * neighbor_id)` adjacency schema as [[buildKnnGraph]], so
+    * [[beamVisited]]/[[topKFromVisited]] consume either interchangeably.
+    * This closes r4 "What's missing #1": the brute build is now the
+    * exactness BASELINE only; this is the constructor a 10^9+-row vector
+    * index actually runs.
+    *
+    * Shape, stage by stage — the vector table is NEVER collected and no
+    * stage is quadratic in N:
+    *   1. SEED: `tables` independent sign-LSH bucketings (the p40
+    *      multi-table convention, seed 7 + 1000·t); candidate pairs are
+    *      within-bucket with a `maxBucket` cap on hot buckets (the
+    *      p25/p127 documented recall trade) — Σ per-bucket quadratics,
+    *      bounded by cap², never N².
+    *   2. DESCENT round: the current adjacency plus its REVERSE (capped
+    *      at m per node by smallest-source-id, the reverse-sampling of
+    *      the paper) gives every node a ≤2m undirected neighborhood;
+    *      neighbors OF A COMMON NODE become candidate pairs — ≤ C(2m,2)
+    *      pairs per node, linear in N per round. Candidates union the
+    *      current edges (good edges persist), are scored with the
+    *      bit-stable codegen cosine, and each node keeps top-m by
+    *      (score DESC, neighbor_id ASC).
+    *   3. Repeat `rounds` times (fixed — deterministic work, no
+    *      data-dependent convergence test), truncating lineage per round
+    *      with localCheckpoint of the BOUNDED adjacency (≤ N·m rows) —
+    *      the CC/Lloyd/BPE driver-loop pattern. With
+    *      `lineageTruncate = false` the whole build is one lazy Catalyst
+    *      plan: constructing it launches ZERO jobs (spec-pinned — the
+    *      structural proof nothing in the algorithm materializes the
+    *      vector table driver-side).
+    *
+    * Determinism: buckets, candidate sets, scores and tie-breaks are all
+    * pure functions of the table — the output is partition-invariant
+    * (spec-pinned under repartition), so the 8-vs-32-core audit covers
+    * it like any batch op. Approximation contract: nodes whose buckets
+    * are all singletons/capped may emit < m rows (or none) — recall vs
+    * the exact graph is MEASURED, not asserted, by the p145 driver row
+    * (beam recall over this graph vs p139's brute graph, the p141 sweep
+    * pattern). */
+  def buildKnnGraphDescent(emb: DataFrame, m: Int = 8, dim: Int = 64,
+                           bits: Int = 8, tables: Int = 4, rounds: Int = 3,
+                           maxBucket: Int = 1024,
+                           lineageTruncate: Boolean = true): DataFrame = {
+    val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    def maybeCk(df: DataFrame): DataFrame =
+      if (lineageTruncate) df.localCheckpoint(true) else df
+
+    // rank unordered candidate pairs into a per-node top-m adjacency
+    def rankTopM(pairs: DataFrame): DataFrame = {
+      val directed = pairs
+        .select(col("u").as("node_id"), col("v").as("nb"))
+        .unionByName(pairs.select(col("v").as("node_id"), col("u").as("nb")))
+        .distinct()
+      val scored = directed
+        .join(nodes.select(col("node_id"), col("n_emb").as("a_emb")),
+          "node_id")
+        .join(nodes.select(col("node_id").as("nb"), col("n_emb").as("b_emb")),
+          "nb")
+        .select(col("node_id"), col("nb"),
+          SimilarityOps.cosine(col("a_emb"), col("b_emb")).as("score"))
+      val w = Window.partitionBy(col("node_id"))
+        .orderBy(col("score").desc, col("nb"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= m)
+        .select(col("node_id"), col("rnk"), col("nb").as("neighbor_id"))
+    }
+
+    // 1. multi-table sign-LSH seeding
+    val buckets = (0 until tables).map { t =>
+      val planes = SimilarityOps.hyperplanes(dim, bits, seed = 7L + 1000L * t)
+      nodes.select(col("node_id"), lit(t).as("tbl"),
+        graft.functions.functions.sign_lsh_bucket(col("n_emb"), planes)
+          .as("bkt"))
+    }.reduce(_ unionByName _)
+    val okBuckets = buckets.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("bn")).where(col("bn") <= maxBucket)
+      .select(col("tbl"), col("bkt"))
+    val pruned = buckets.join(okBuckets, Seq("tbl", "bkt"))
+    val seedPairs = pruned.as("a").join(pruned.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.node_id") < col("b.node_id"))
+      .select(col("a.node_id").as("u"), col("b.node_id").as("v"))
+      .distinct()
+    var adj = maybeCk(rankTopM(seedPairs))
+
+    // 2-3. NN-descent rounds over bounded neighborhoods
+    var r = 0
+    while (r < rounds) {
+      val fwd = adj.select(col("node_id").as("c"), col("neighbor_id").as("w"))
+      val wRev = Window.partitionBy(col("c")).orderBy(col("w"))
+      val rev = adj
+        .select(col("neighbor_id").as("c"), col("node_id").as("w"))
+        .withColumn("rr", row_number().over(wRev)).where(col("rr") <= m)
+        .drop("rr")
+      val und = fwd.unionByName(rev).distinct()
+      val cand = und.as("x").join(und.as("y"),
+          col("x.c") === col("y.c") && col("x.w") < col("y.w"))
+        .select(col("x.w").as("u"), col("y.w").as("v"))
+        .distinct()
+      val cur = adj.select(
+        least(col("node_id"), col("neighbor_id")).as("u"),
+        greatest(col("node_id"), col("neighbor_id")).as("v"))
+      adj = maybeCk(rankTopM(cand.unionByName(cur).distinct()))
+      r += 1
+    }
+    adj.orderBy(col("node_id"), col("rnk"))
+  }
+
   /** The first `numQueries` vectors by vec_id as the query set — the
     * convention every ANN op in the engine shares (p07/p89). */
   private def querySet(emb: DataFrame, numQueries: Int): DataFrame =
