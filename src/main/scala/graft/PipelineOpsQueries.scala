@@ -64,6 +64,12 @@ object PipelineOpsQueries {
     s"/tmp/graft_stream_upsert_${SparkEntry.docCountFor(dir)}"
   def streamDedupSinkPath(dir: String): String =
     s"/tmp/graft_stream_dedup_${SparkEntry.docCountFor(dir)}"
+  def streamSessionSinkPath(dir: String): String =
+    s"/tmp/graft_stream_session_${SparkEntry.docCountFor(dir)}"
+  def streamIntervalSinkPath(dir: String): String =
+    s"/tmp/graft_stream_interval_${SparkEntry.docCountFor(dir)}"
+  def streamTwsSinkPath(dir: String): String =
+    s"/tmp/graft_stream_tws_${SparkEntry.docCountFor(dir)}"
 
   def beamVisitedPath(dir: String): String =
     s"/tmp/graft_beam_visited_${SparkEntry.docCountFor(dir)}"
@@ -1786,6 +1792,155 @@ object PipelineOpsQueries {
       }.reduce(_ unionByName _)
         .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
         .orderBy(col("ef"))
+    }),
+
+    // STREAMING session windows driven end-to-end (MemoryStream of
+    // ts-ordered (ts, user_id) batches → session_window groupBy →
+    // append-mode foreachBatch parquet sink): 3 batches split by GLOBAL
+    // ts order — the watermark advances monotonically, nothing is late —
+    // then a far-future sentinel event pushes the watermark past every
+    // real session's close so append mode emits each session exactly
+    // once. The fourth streaming driver row: the DYNAMIC-GAP session
+    // state family (p137 stateless / p138 foreachBatch-merge / p144
+    // custom state covered the other three shapes). Oracle replays the
+    // gaps-and-islands rule: new session iff ts − lag(ts) ≥ gap (session
+    // windows are half-open [start, last+gap), merging on strict
+    // overlap), session_end = last_ts + gap.
+    "p146_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded driver collect: the MemoryStream feed (harness ingest)
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("user_id").cast("long"))
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+      val sink = streamSessionSinkPath(dir)
+      deleteRecursively(sink)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val q = graft.streaming.StreamingExtraction
+        .sessionMetrics(stream.toDS().toDF("ts", "user_id"),
+          gap = "30 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      val n = rows.length
+      Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+          rows.slice(2 * n / 3, n)).foreach { batch =>
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      val sentinel = new java.sql.Timestamp(
+        rows.last._1.getTime + 86400L * 1000)
+      stream.addData(Seq((sentinel, -1L)))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch finalizes the emit
+      q.stop()
+      s.read.parquet(sink)
+        .where(col("user_id") >= 0) // sentinel key (never emits anyway)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // STREAM-STREAM interval join driven end-to-end (two MemoryStreams —
+    // click events as the "purchase" side, view events as the "click"
+    // side — fed in 3 SYNCHRONIZED batches split at the same global ts
+    // cuts, so both watermarks advance together and state eviction can
+    // never outrun a future match: a click evicted after batch k has
+    // c_ts < cut_k − 3h while every batch-k+1 purchase needs c_ts >
+    // cut_k − 1h). Inner join emits on match, not on watermark — no
+    // sentinel needed; the emitted set equals the batch interval join
+    // the oracle computes. The fifth streaming driver row: the
+    // dual-state symmetric-join family.
+    "p147_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded driver collect: the MemoryStream feed (harness ingest)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long"), col("ts"),
+          col("user_id").cast("long"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, Long, String)].collect()
+        .sortBy(r => (r._2.getTime, r._1))
+      val pRows = ev.filter(_._4 == "click").map(r => (r._3, r._2, r._1))
+      val cRows = ev.filter(_._4 == "view").map(r => (r._3, r._2, r._1))
+      val cut1 = ev(ev.length / 3)._2.getTime
+      val cut2 = ev(2 * ev.length / 3)._2.getTime
+      def batchOf(t: java.sql.Timestamp): Int =
+        if (t.getTime <= cut1) 0 else if (t.getTime <= cut2) 1 else 2
+      val sink = streamIntervalSinkPath(dir)
+      deleteRecursively(sink)
+      val pStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val cStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val q = graft.streaming.StreamingExtraction.intervalJoinStream(
+          pStream.toDS().toDF("p_user", "p_ts", "p_id"),
+          cStream.toDS().toDF("c_user", "c_ts", "c_id"),
+          windowSeconds = 3600, watermark = "2 hours", joinType = "inner")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      (0 until 3).foreach { k =>
+        pStream.addData(pRows.filter(r => batchOf(r._2) == k).toSeq)
+        cStream.addData(cRows.filter(r => batchOf(r._2) == k).toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(sink)
+        .select(col("p_id"), col("c_id"), col("user_id"))
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
+    // transformWithState running counts driven end-to-end (MemoryStream
+    // of (user_id, event_id) in 3 batches by event_id % 3 → the
+    // RunningCountProcessor's ValueState in the RocksDB store →
+    // update-mode foreachBatch parquet sink): each batch emits one row
+    // per key it touched carrying the key's CUMULATIVE count, so the
+    // sink equals the per-(user, batch) running-sum table the oracle
+    // computes. The sixth streaming driver row: Spark 4's
+    // arbitrary-state API — the state shape a 10^12-key deployment runs
+    // (typed state handles + RocksDB spill) — previously spec-only.
+    "p148_stream_running_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded driver collect: the MemoryStream feed (harness ingest)
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("long"), col("event_id").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._2)
+      val sink = streamTwsSinkPath(dir)
+      deleteRecursively(sink)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val q = graft.streaming.StreamingExtraction
+          .runningCountsTws(stream.toDS())
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(sink); ()
+          }
+          .start()
+        (0 until 3).foreach { k =>
+          stream.addData(rows.filter(_._2 % 3 == k).toSeq)
+          q.processAllAvailable()
+        }
+        q.stop()
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(sink).select(col("user_id"), col("n_events"))
+        .orderBy(col("user_id"), col("n_events"))
     }),
 
     // graph-ANN tuning table beside p89's IVF sweep: recall@10 vs the
@@ -5154,6 +5309,53 @@ object PipelineOpsQueries {
                FROM h GROUP BY h)
          SELECT k.doc_id, CAST(length(t.text) AS BIGINT) AS n_chars
          FROM k JOIN h t ON t.doc_id = k.doc_id ORDER BY k.doc_id""",
+    // gaps-and-islands replay of the session rule: new session iff
+    // ts − lag(ts) ≥ gap (session windows are half-open [start,
+    // last+gap), merging only on STRICT overlap), end = last + gap —
+    // the sentinel never appears (real events only)
+    "p146_stream_sessions" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts
+             FROM events),
+         g AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s FROM e),
+         s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    // plain batch interval join over the same click/view split — the
+    // streaming inner join must emit exactly this set, once each
+    "p147_stream_interval_join" ->
+      """WITH p AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts AS p_ts,
+               CAST(event_id AS BIGINT) AS p_id
+             FROM events WHERE event_type = 'click'),
+         c AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts AS c_ts,
+               CAST(event_id AS BIGINT) AS c_id
+             FROM events WHERE event_type = 'view')
+         SELECT p.p_id, c.c_id, p.user_id
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.c_ts >= p.p_ts - INTERVAL 3600 SECOND
+           AND c.c_ts <= p.p_ts
+         ORDER BY p.p_id, c.c_id""",
+    // per-(user, batch) running sum: update mode emits each touched
+    // key's cumulative count once per batch
+    "p148_stream_running_counts" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             event_id % 3 AS b FROM events),
+         per AS (SELECT user_id, b, count(*) AS n FROM e GROUP BY 1, 2),
+         cum AS (SELECT user_id,
+             CAST(sum(n) OVER (PARTITION BY user_id ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_events FROM per)
+         SELECT user_id, n_events FROM cum
+         ORDER BY user_id, n_events""",
+
     // exhaustive adjacency oracle: per node, top-4 by (cosine DESC,
     // neighbor_id) over ALL pairs — cosine bit-matched between engines
     // (established by p07)
