@@ -182,7 +182,25 @@ object DedupOps {
     * table is stored bucketed by doc_id (TableIO.writeBucketed). */
   def minhashLsh(df: DataFrame, w: Int = 3, bands: Int = 32,
                  rowsPerBand: Int = 3, minJaccardPct: Int = 60,
-                 broadcastVerify: Boolean = true): DataFrame = {
+                 broadcastVerify: Boolean = true,
+                 collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      // exact-dup collapse (r5, shared with the Jaccard family):
+      // identical texts have identical minhash signatures, so both LSH
+      // candidacy and the exact verify are text-pure — banding and
+      // verifying one rep per distinct text then expanding member pairs
+      // arithmetically is output-identical (spec-pinned) and removes the
+      // dup-cluster quadratic from every band bucket
+      val (repDocs, members) = textGroups(df)
+      val repPairs = minhashLsh(repDocs, w, bands, rowsPerBand,
+        minJaccardPct, broadcastVerify, collapseExact = false)
+      val withinVals = shingleSets(repDocs, w)
+        .select(col("doc_id").as("rep_id"),
+          size(col("sh")).as("n_inter"))
+        .withColumn("n_union", col("n_inter"))
+      return expandCollapsed(repPairs, members, withinVals,
+        Seq("n_inter", "n_union"))
+    }
     val candidates = minhashCandidates(df, w, bands, rowsPerBand)
 
     // exact verify: fetch shingle sets for candidates only, Jaccard as
@@ -278,6 +296,55 @@ object DedupOps {
     sig
   }
 
+  /** EXACT-DUP COLLAPSE for the text pair family — the r5 p127 lesson
+    * generalized from images to text. A tiled/crawled corpus carries
+    * byte-identical duplicate clusters, and every pair op whose joins run
+    * per DOC pays the cluster quadratic (size 100 cluster → 10^4
+    * in-cluster join rows through every posting/band/prefix key — the sf10
+    * probe measured p113 exhausting 50+ GB of shuffle spill on exactly
+    * this). Set/bag similarity is a pure function of the TEXT, so the
+    * joins may run over one representative per distinct text and the
+    * member pairs be emitted arithmetically afterwards — lossless by
+    * construction: identical-text pairs score n_inter = n_union (Jaccard
+    * 1, always ≥ threshold), and a cross pair's score equals its reps'.
+    * Returns (repDocs = one (doc_id, text) per distinct text, keyed by
+    * min doc_id; members = (rep_id, doc_id) for every doc). */
+  private[ops] def textGroups(df: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = df.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"), md5(col("text")).as("tkey"))
+    val reps = keyed.groupBy(col("tkey")).agg(min(col("doc_id")).as("rep_id"))
+    val joined = keyed.join(reps, Seq("tkey"))
+    (joined.where(col("doc_id") === col("rep_id"))
+       .select(col("doc_id"), col("text")),
+     joined.select(col("rep_id"), col("doc_id")))
+  }
+
+  /** Expand rep-level pairs back to member level (both joins are
+    * OUTPUT-sized — the true answer is quadratic in cluster size, the
+    * point is that no JOIN is anymore): cross pairs copy `valueCols`
+    * verbatim (score is text-pure), within-group pairs take the per-group
+    * constants in `withinVals` (rep_id, valueCols...). */
+  private[ops] def expandCollapsed(repPairs: DataFrame, members: DataFrame,
+                                   withinVals: DataFrame,
+                                   valueCols: Seq[String]): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("doc_a"),
+        col("doc_id").as("ma")), "doc_a")
+      .join(members.select(col("rep_id").as("doc_b"),
+        col("doc_id").as("mb")), "doc_b")
+      .select(Seq(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b")) ++
+        valueCols.map(col): _*)
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rep_id").as("rep_id"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .join(withinVals, "rep_id")
+      .select(Seq(col("doc_a"), col("doc_b")) ++ valueCols.map(col): _*)
+    cross.unionByName(within)
+  }
+
   /** EXACT n-gram Jaccard pairs via an inverted-index self-join — the
     * non-approximate counterpart of `minhashLsh` (use when the threshold is
     * low enough that LSH recall curves get expensive, or as the ground-truth
@@ -297,7 +364,24 @@ object DedupOps {
     * `md5_number_lower` masked, so the oracle replicates hash-exactly. */
   def exactJaccardPairs(df: DataFrame, w: Int = 3,
                         minJaccardPct: Int = 50,
-                        maxDf: Option[Int] = None): DataFrame = {
+                        maxDf: Option[Int] = None,
+                        collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      // exact-dup collapse (r5): the inverted-index self-join runs over
+      // one rep per distinct text; member pairs expand arithmetically —
+      // output-identical (spec-pinned), join cost no longer quadratic in
+      // dup-cluster size
+      val (repDocs, members) = textGroups(df)
+      val repPairs = exactJaccardPairs(repDocs, w, minJaccardPct, maxDf,
+        collapseExact = false)
+      val withinVals = shingleHashTable(repDocs, w)
+        .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+        .select(col("doc_id").as("rep_id"),
+          col("n_sh").cast("long").as("n_inter"),
+          col("n_sh").cast("long").as("n_union"))
+      return expandCollapsed(repPairs, members, withinVals,
+        Seq("n_inter", "n_union"))
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = shingleHashTable(df, w)
@@ -392,7 +476,25 @@ object DedupOps {
     * not fire across the typed flatMap subtree. */
   def prefixFilteredJaccardPairs(df: DataFrame, w: Int = 3,
                                  minJaccardPct: Int = 50,
-                                 materialize: Boolean = false): DataFrame = {
+                                 materialize: Boolean = false,
+                                 collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      // exact-dup collapse (r5): without it, every member of a
+      // byte-identical cluster shares its full prefix with every other —
+      // the sf10 probe (dup clusters of 100) spilled 50+ GB and
+      // exhausted the disk on exactly this join; reps-only prefix join +
+      // arithmetic expansion is output-identical (spec-pinned)
+      val (repDocs, members) = textGroups(df)
+      val repPairs = prefixFilteredJaccardPairs(repDocs, w, minJaccardPct,
+        materialize, collapseExact = false)
+      val withinVals = shingleHashTable(repDocs, w)
+        .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+        .select(col("doc_id").as("rep_id"),
+          col("n_sh").cast("long").as("n_inter"),
+          col("n_sh").cast("long").as("n_union"))
+      return expandCollapsed(repPairs, members, withinVals,
+        Seq("n_inter", "n_union"))
+    }
     val hashedRaw = shingleHashTable(df, w)
     val hashed = if (materialize) hashedRaw.localCheckpoint(false) else hashedRaw
     val cands = prefixJaccardCandidates(hashed, minJaccardPct)
@@ -428,7 +530,25 @@ object DedupOps {
     * before the join; wsum stays uncapped so w_union is exact and only
     * w_inter can undercount. */
   def weightedJaccardPairs(df: DataFrame, w: Int = 3, minPct: Int = 50,
-                           maxDf: Option[Int] = None): DataFrame = {
+                           maxDf: Option[Int] = None,
+                           collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      // exact-dup collapse (r5): identical texts have identical shingle
+      // BAGS, so the weighted score is text-pure too — reps-only posting
+      // join, arithmetic expansion, within pairs at w_inter = w_union =
+      // wsum (output-identical, spec-pinned)
+      val (repDocs, members) = textGroups(df)
+      val repPairs = weightedJaccardPairs(repDocs, w, minPct, maxDf,
+        collapseExact = false)
+      // wsum mirror of the posting flatMap: toks < w → 1 whole-text
+      // shingle, else toks − w + 1 sliding shingles (with multiplicity)
+      val withinVals = repDocs.select(col("doc_id").as("rep_id"),
+        greatest(size(split(trim(col("text")), "\\s+")) - (w - 1), lit(1))
+          .cast("long").as("w_inter"))
+        .withColumn("w_union", col("w_inter"))
+      return expandCollapsed(repPairs, members, withinVals,
+        Seq("w_inter", "w_union"))
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val postings = df.select(col("doc_id").cast("long"), col("text"))

@@ -38,9 +38,47 @@ object LinkageOps {
     *  - cents: |Δ| ≤ `centsTol` → +10, else −6
     *  - seg: equal → +6, else −4
     */
+  /** Attribute-identical collapse for the linkage inputs — the r5 lesson
+    * shared with `DedupOps.textGroups`/p127: every comparator is a pure
+    * function of (name, block, cents, seg), so a crawled/tiled corpus's
+    * exact-duplicate records multiply every in-block quadratic by the
+    * dup-cluster size squared for no information. Candidates are
+    * generated and scored over ONE representative per distinct attribute
+    * tuple; member pairs expand arithmetically afterwards (output-sized
+    * joins). `is_true` is the one key-DEPENDENT output column and is
+    * recomputed per expanded pair, so the expansion is output-identical
+    * (spec-pinned). */
+  private def attrGroups(df: DataFrame): (DataFrame, DataFrame) = {
+    val reps = df.groupBy(col("name"), col("block"), col("cents"),
+        col("seg"))
+      .agg(min(col("key")).as("key"))
+    val members = df.join(reps.select(col("name"), col("block"),
+        col("cents"), col("seg"), col("key").as("rep_key")),
+      Seq("name", "block", "cents", "seg"))
+      .select(col("rep_key"), col("key"))
+    (reps.select(col("key"), col("name"), col("block"), col("cents"),
+      col("seg")), members)
+  }
+
   def fellegiSunterLinks(a: DataFrame, b: DataFrame,
                          threshold: Int = 18,
-                         centsTol: Int = 75): DataFrame = {
+                         centsTol: Int = 75,
+                         collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      val (ra, ma) = attrGroups(a)
+      val (rb, mb) = attrGroups(b)
+      val repLinks = fellegiSunterLinks(ra, rb, threshold, centsTol,
+        collapseExact = false)
+      return repLinks
+        .join(ma.select(col("rep_key").as("a_key"), col("key").as("ka")),
+          "a_key")
+        .join(mb.select(col("rep_key").as("b_key"), col("key").as("kb")),
+          "b_key")
+        .select(col("ka").as("a_key"), col("kb").as("b_key"), col("lev"),
+          col("w_name"), col("w_bal"), col("w_seg"), col("score"),
+          (col("ka") === col("kb")).cast("long").as("is_true"))
+        .orderBy(col("a_key"), col("b_key"))
+    }
     val pa = a.select(col("key").as("a_key"), col("name").as("a_name"),
       col("block"), col("cents").as("a_cents"), col("seg").as("a_seg"))
     val pb = b.select(col("key").as("b_key"), col("name").as("b_name"),

@@ -17,7 +17,8 @@ object QProbe {
         (System.nanoTime() - t0) / 1e9
       }
       one() // warm
-      val times = (1 to 3).map(_ => one())
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+      val times = (1 to reps).map(_ => one())
       println(f"QPROBE $name min=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()

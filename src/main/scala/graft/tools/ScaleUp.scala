@@ -34,6 +34,14 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/target/testdata_sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // Optional 4th arg: comma-separated table subset (e.g.
+    // "documents,embeddings,customer") for the PAIR-FAMILY heavy-tail
+    // probes — tiles ONLY those tables and SKIPS the planted-band floor
+    // checks, because a subset dir is by construction NOT a full contract
+    // dir: planted-offset queries (p115 homoglyph, q30 merge, vector-QA
+    // evals) must never run against it, only the pair/linkage/suffix
+    // probes that read raw tables. Printed loudly below.
+    val subset: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,17 +88,22 @@ object ScaleUp {
     val strides = Map("cust" -> custStride, "supp" -> suppStride,
       "part" -> partStride, "order" -> orderStride,
       "event" -> eventStride, "doc" -> docStride, "vec" -> vecStride)
-    strides.foreach { case (d, s) =>
-      require(s * reps <= plantedFloor(d),
-        s"$d stride $s × $reps reaches the domain's planted-id band " +
-          s"(floor ${plantedFloor(d)})")
-    }
+    if (subset.isEmpty)
+      strides.foreach { case (d, s) =>
+        require(s * reps <= plantedFloor(d),
+          s"$d stride $s × $reps reaches the domain's planted-id band " +
+            s"(floor ${plantedFloor(d)})")
+      }
+    else
+      println(s"[scaleup] SUBSET MODE ${subset.get.mkString(",")}: " +
+        "planted-band floors SKIPPED — this dir is for raw-table " +
+        "pair/linkage/suffix probes ONLY, never planted-offset queries")
     println(s"[scaleup] strides: cust=$custStride supp=$suppStride " +
       s"part=$partStride order=$orderStride event=$eventStride " +
       s"doc=$docStride vec=$vecStride")
 
     def tile(name: String, offsets: Map[String, Long],
-             outParts: Int): Unit = {
+             outParts: Int): Unit = if (subset.forall(_.contains(name))) {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val out = (0 until reps).map { r =>
         offsets.foldLeft(base) { case (df, (c, stride)) =>
@@ -101,7 +114,7 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name × $reps → $dst/$name.parquet")
     }
-    def copy(name: String): Unit = {
+    def copy(name: String): Unit = if (subset.forall(_.contains(name))) {
       spark.read.parquet(s"$src/$name.parquet").coalesce(1)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name (single copy)")

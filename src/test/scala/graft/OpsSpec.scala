@@ -1372,6 +1372,48 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.head.getLong(0) === 100L && cands.head.getLong(1) === 101L)
   }
 
+  test("exact-dup collapse is output-identical across the whole pair " +
+    "family on a corpus with planted byte-identical clusters") {
+    // the r5 sf10 lesson: dup clusters of 100 made the per-doc joins
+    // quadratic (p113 spilled 50+ GB); the collapse runs the joins over
+    // one rep per distinct text and expands arithmetically. Pin: for
+    // exact/prefix/weighted Jaccard and minhashLsh, collapse=true equals
+    // collapse=false row-for-row on a corpus where dup clusters, a near
+    // pair, and singletons all coexist (incl. a near pair BETWEEN
+    // clusters, which must score once per member combination).
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 5) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val docs = docsDf(
+      (Seq(1L, 2L, 3L, 4L).map(_ -> base) ++ // cluster A (4 copies)
+        Seq(10L, 11L, 12L).map(_ -> near) ++ // cluster B (3 copies)
+        Seq(20L -> "lonely text with no match at all",
+          21L -> (1 to 30).map(i => s"other$i").mkString(" "))): _*)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(_.toSeq).toSet
+    val cases = Seq[(String, Boolean => org.apache.spark.sql.DataFrame)](
+      "exact" -> (c => graft.ops.DedupOps.exactJaccardPairs(docs,
+        collapseExact = c)),
+      "prefix" -> (c => graft.ops.DedupOps.prefixFilteredJaccardPairs(docs,
+        collapseExact = c)),
+      "weighted" -> (c => graft.ops.DedupOps.weightedJaccardPairs(docs,
+        collapseExact = c)),
+      "minhash" -> (c => graft.ops.DedupOps.minhashLsh(docs,
+        collapseExact = c)))
+    cases.foreach { case (name, f) =>
+      val on = rows(f(true))
+      val off = rows(f(false))
+      assert(on === off, s"$name collapse changed the output")
+      // the A×B cross pairs exist per member combination (4×3 = 12) and
+      // the in-cluster pairs per C(n,2): 6 + 3 — the quadratic OUTPUT the
+      // collapse must keep while removing the quadratic JOIN
+      val ids = on.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+      assert(ids.count(p => p._1 <= 4 && p._2 >= 10) === 12, name)
+      assert(ids.count(p => p._2 <= 4) === 6, name)
+      assert(ids.count(p => p._1 >= 10 && p._2 >= 10) === 3, name)
+    }
+  }
+
   test("weighted jaccard: repetition-divergent docs with identical token " +
     "SETS score below threshold; true duplicate pairs at 100%") {
     val docs = docsDf(
@@ -1552,6 +1594,40 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("score"), r.getAs[Long]("is_true")))
     assert(multi.contains((3L, 3L, 40L, 1L)))
     assert(links.toSet.subsetOf(multi.toSet))
+  }
+
+  test("linkage attribute collapse is output-identical, including the " +
+    "key-dependent is_true recomputed per expanded pair") {
+    // clusters of attribute-identical records on BOTH sides (the tiled-
+    // corpus shape that multiplied the in-block quadratic by cluster²):
+    // a-side keys 1,2,3 identical; b-side keys 1,11 identical — the 3×2
+    // expanded pairs must carry identical scores but is_true only on
+    // (1,1); plus a singleton pair and a sub-threshold non-link
+    val a = Seq(
+      (1L, "Customer#000000001", 10L, 1000L, "AUTO"),
+      (2L, "Customer#000000001", 10L, 1000L, "AUTO"),
+      (3L, "Customer#000000001", 10L, 1000L, "AUTO"),
+      (7L, "Customer#000000007", 10L, 9000L, "HOME"))
+      .toDF("key", "name", "block", "cents", "seg")
+    val b = Seq(
+      (1L, "Customer#000000001", 10L, 1010L, "AUTO"),
+      (11L, "Customer#000000001", 10L, 1010L, "AUTO"),
+      (7L, "Customer#000000007", 10L, 9005L, "HOME"),
+      (9L, "Totally Different Name", 10L, 99999L, "MACH"))
+      .toDF("key", "name", "block", "cents", "seg")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val on = rows(graft.ops.LinkageOps.fellegiSunterLinks(a, b))
+    val off = rows(graft.ops.LinkageOps.fellegiSunterLinks(a, b,
+      collapseExact = false))
+    assert(on === off) // ordered comparison: orderBy contract kept too
+    val pairs = on.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long],
+      s(7).asInstanceOf[Long]))
+    assert(pairs.count(p => p._1 <= 3 && (p._2 == 1L || p._2 == 11L)) === 6)
+    assert(pairs.filter(_._3 == 1L).map(p => (p._1, p._2)).toSet ===
+      Set((1L, 1L), (7L, 7L)))
+    val multiOn = rows(graft.ops.LinkageOps.fellegiSunterLinksMultiPass(a, b))
+    assert(multiOn.toSet.intersect(on.toSet) === on.toSet)
   }
 
   test("multi-pass linkage bands FLOOR for deep-negative balances: a " +
