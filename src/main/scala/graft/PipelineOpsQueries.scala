@@ -1725,7 +1725,7 @@ object PipelineOpsQueries {
     // ECHO copy at +10^6 whose batch index (id % 3) may fall EARLIER or
     // LATER than the original's — cross-batch suppression is exercised
     // in both directions, deterministically
-    "p144_stream_dedup" -> ((s, dir) => {
+    "p144_stream_dedup" -> ((s, dir) => withStreamingPartitions(s) {
       import org.apache.spark.sql.functions._
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1806,7 +1806,7 @@ object PipelineOpsQueries {
     // gaps-and-islands rule: new session iff ts − lag(ts) ≥ gap (session
     // windows are half-open [start, last+gap), merging on strict
     // overlap), session_end = last_ts + gap.
-    "p146_stream_sessions" -> ((s, dir) => {
+    "p146_stream_sessions" -> ((s, dir) => withStreamingPartitions(s) {
       import org.apache.spark.sql.functions._
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1855,7 +1855,7 @@ object PipelineOpsQueries {
     // sentinel needed; the emitted set equals the batch interval join
     // the oracle computes. The fifth streaming driver row: the
     // dual-state symmetric-join family.
-    "p147_stream_interval_join" -> ((s, dir) => {
+    "p147_stream_interval_join" -> ((s, dir) => withStreamingPartitions(s) {
       import org.apache.spark.sql.functions._
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1906,7 +1906,7 @@ object PipelineOpsQueries {
     // computes. The sixth streaming driver row: Spark 4's
     // arbitrary-state API — the state shape a 10^12-key deployment runs
     // (typed state handles + RocksDB spill) — previously spec-only.
-    "p148_stream_running_counts" -> ((s, dir) => {
+    "p148_stream_running_counts" -> ((s, dir) => withStreamingPartitions(s) {
       import org.apache.spark.sql.functions._
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1975,6 +1975,26 @@ object PipelineOpsQueries {
         .orderBy(col("ef"))
     })
   )
+
+  /** Run a STREAMING driver row under a reduced shuffle-partition count:
+    * a streaming query's state-store partition count is fixed by
+    * `spark.sql.shuffle.partitions` at first start, and at gate scale
+    * each micro-batch's cost is dominated by state-store INSTANCE
+    * bookkeeping (32 instances × join sides × batches), not by data —
+    * p147 spent 18.9 s of the sweep on exactly that. 8 partitions cuts
+    * it 4× with zero semantic effect: output content is
+    * partition-count-invariant (the 8-vs-32-core bit-identity audits pin
+    * precisely this), and at 10^12 rows the same knob goes the OTHER
+    * way — sized to executor count, which is why it is a per-query
+    * setting here rather than a session constant. Restores the previous
+    * value so batch queries are untouched. */
+  private def withStreamingPartitions[A](s: SparkSession, n: Int = 8)
+                                        (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 
   /** Local recursive delete for the streaming sink/snapshot dirs —
     * rerun-safe in one JVM and across JVMs (append-mode sinks would
