@@ -40,6 +40,14 @@ object PipelineOpsQueries {
     s"/tmp/graft_ivf_probe_${SparkEntry.docCountFor(dir)}"
   def ivfSweepAssignPath(dir: String): String =
     s"/tmp/graft_ivf_sweep_assign_${SparkEntry.docCountFor(dir)}"
+  def ivfIncBasePath(dir: String): String =
+    s"/tmp/graft_ivf_inc_base_${SparkEntry.docCountFor(dir)}"
+  def ivfIncDeltaPath(dir: String): String =
+    s"/tmp/graft_ivf_inc_delta_${SparkEntry.docCountFor(dir)}"
+  def ivfIncProbePath(dir: String): String =
+    s"/tmp/graft_ivf_inc_probe_${SparkEntry.docCountFor(dir)}"
+  def graphInsertSweepPath(dir: String): String =
+    s"/tmp/graft_graph_insert_sweep_${SparkEntry.docCountFor(dir)}"
   def ivfSweepProbePath(dir: String): String =
     s"/tmp/graft_ivf_sweep_probe_${SparkEntry.docCountFor(dir)}"
 
@@ -1941,6 +1949,90 @@ object PipelineOpsQueries {
       }
       s.read.parquet(sink).select(col("user_id"), col("n_events"))
         .orderBy(col("user_id"), col("n_events"))
+    }),
+
+    // INCREMENTAL IVF: train on the base split only, assign the delta
+    // batch to the FROZEN centroids (assignment IS the whole insert
+    // path — why IVF is the cheapest index to maintain), and search the
+    // MERGED assignment: inserted vectors must be immediately reachable.
+    // Same dumped-candidate re-rank oracle as p13, over base ∪ delta.
+    "p149_ivf_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val base = e.where(col("vec_id") % 7 =!= 3)
+      val delta = e.where(col("vec_id") % 7 === 3)
+      val centroids = graft.ops.IvfOps.train(base)
+      graft.ops.IvfOps.assign(base, centroids)
+        .write.mode("overwrite").parquet(ivfIncBasePath(dir))
+      graft.ops.IvfOps.assign(delta, centroids)
+        .write.mode("overwrite").parquet(ivfIncDeltaPath(dir))
+      graft.ops.IvfOps.probes(e, centroids, numQueries = 10, nprobe = 2)
+        .write.mode("overwrite").parquet(ivfIncProbePath(dir))
+      graft.ops.IvfOps.topKFrom(e,
+        s.read.parquet(ivfIncBasePath(dir))
+          .unionByName(s.read.parquet(ivfIncDeltaPath(dir))),
+        s.read.parquet(ivfIncProbePath(dir)), numQueries = 10, topK = 10)
+    }),
+
+    // the maintenance DECISION table for p149's incremental index: per
+    // cell, base/delta/total counts, total share (ppm) and the retrain
+    // trigger bit (total > 200% of ideal N/k) — retraining is monitored,
+    // not a per-ingest reflex; oracle recomputes the census over the
+    // same dumped assignment tables
+    "p150_ivf_cell_census" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val base = e.where(col("vec_id") % 7 =!= 3)
+      val delta = e.where(col("vec_id") % 7 === 3)
+      val centroids = graft.ops.IvfOps.train(base)
+      graft.ops.IvfOps.assign(base, centroids)
+        .write.mode("overwrite").parquet(ivfIncBasePath(dir))
+      graft.ops.IvfOps.assign(delta, centroids)
+        .write.mode("overwrite").parquet(ivfIncDeltaPath(dir))
+      graft.ops.IvfOps.cellCensus(
+        s.read.parquet(ivfIncBasePath(dir)),
+        s.read.parquet(ivfIncDeltaPath(dir)), k = 16)
+    }),
+
+    // INCREMENTAL graph insert (the HNSW insertion primitive, batched):
+    // build the descent graph on the base split, insert the delta batch
+    // (beam-search candidates → top-m links → back-edge re-rank prune),
+    // then sweep beam recall over the POST-INSERT graph for the standard
+    // queries vs the exact brute ranking on the FULL set — inserted
+    // vectors must be REACHABLE, and the recall cost of batch insertion
+    // (no intra-batch edges) is measured, not asserted. Same ef-tagged
+    // visited-dump oracle as p141/p145.
+    "p151_graph_insert_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val base = e.where(col("vec_id") % 7 =!= 3)
+      val delta = e.where(col("vec_id") % 7 === 3)
+      val g0 = graft.ops.GraphAnnOps
+        .buildKnnGraphDescent(base, m = 8, bits = 6)
+        .localCheckpoint(true)
+      val g1 = graft.ops.GraphAnnOps.insertIntoGraph(e, g0, delta, m = 8)
+        .localCheckpoint(true)
+      Seq(2, 8, 32).map(ef =>
+          graft.ops.GraphAnnOps.beamVisited(e, g1, numQueries = 10,
+              ef = ef, hops = 5)
+            .withColumn("ef", lit(ef.toLong)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(graphInsertSweepPath(dir))
+      val vis = s.read.parquet(graphInsertSweepPath(dir))
+      val brute = SimilarityOps.bruteTopK(e)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      Seq(2L, 8L, 32L).map { n =>
+        graft.ops.GraphAnnOps.topKFromVisited(e,
+            vis.where(col("ef") === n)
+              .select(col("query_id"), col("node_id")),
+            numQueries = 10, k = 10)
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(n).as("ef"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
+        .orderBy(col("ef"))
     }),
 
     // graph-ANN tuning table beside p89's IVF sweep: recall@10 vs the
@@ -5420,6 +5512,88 @@ object PipelineOpsQueries {
                CAST(query_id AS BIGINT) AS query_id,
                CAST(node_id AS BIGINT) AS node_id
              FROM read_parquet('${descentSweepPath(dir)}/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         sc AS (SELECT v.ef, v.query_id, v.node_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    q.q_emb) AS score
+                FROM vis v JOIN embeddings e ON e.vec_id = v.node_id
+                  JOIN q ON q.query_id = v.query_id
+                WHERE v.node_id <> v.query_id),
+         g AS (SELECT ef, query_id, neighbor_id FROM (
+                 SELECT ef, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY ef, query_id
+                     ORDER BY score DESC, neighbor_id) AS rk
+                 FROM sc) WHERE rk <= 10),
+         brute AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   q.q_emb) DESC, e.vec_id) AS rk
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.query_id) WHERE rk <= 10),
+         hits AS (SELECT g.ef, count(*) AS n_hits
+           FROM g JOIN brute USING (query_id, neighbor_id) GROUP BY 1),
+         levels AS (SELECT DISTINCT ef FROM vis)
+         SELECT l.ef, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 100 AS BIGINT)
+             AS recall_ppm
+         FROM levels l LEFT JOIN hits h ON l.ef = h.ef ORDER BY l.ef""",
+
+    // merged-index (base ∪ delta assignment) candidate re-rank — the p13
+    // oracle over the incremental dumps: inserted vectors that the probes
+    // reach MUST appear exactly where the exhaustive re-rank puts them
+    "p149_ivf_incremental" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('${ivfIncBasePath(dir)}/*.parquet')
+               UNION ALL
+             SELECT * FROM read_parquet('${ivfIncDeltaPath(dir)}/*.parquet')),
+         p AS (SELECT * FROM read_parquet('${ivfIncProbePath(dir)}/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 10),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM p JOIN a USING (cell)),
+         scored AS (SELECT c.query_id, c.neighbor_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             q.q_emb) AS score
+                    FROM cand c
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id
+                    JOIN q ON q.query_id = c.query_id
+                    WHERE c.neighbor_id <> c.query_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank
+                    FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // census recompute over the same dumped assignment tables: counts,
+    // ppm share and the >200%-of-ideal retrain bit, every cell present
+    "p150_ivf_cell_census" ->
+      s"""WITH b AS (SELECT cell, count(*) AS n_base
+             FROM read_parquet('${ivfIncBasePath(dir)}/*.parquet')
+             GROUP BY 1),
+         d AS (SELECT cell, count(*) AS n_delta
+             FROM read_parquet('${ivfIncDeltaPath(dir)}/*.parquet')
+             GROUP BY 1),
+         cells AS (SELECT unnest(range(16)) AS cell),
+         j AS (SELECT CAST(c.cell AS BIGINT) AS cell,
+                 CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+                 CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta
+               FROM cells c LEFT JOIN b ON b.cell = c.cell
+                 LEFT JOIN d ON d.cell = c.cell),
+         t AS (SELECT *, n_base + n_delta AS n_total,
+                 sum(n_base + n_delta) OVER () AS grand FROM j)
+         SELECT cell, n_base, n_delta, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_total * 1000000 // grand AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN n_total * 16 * 100 > grand * 200
+                THEN 1 ELSE 0 END AS BIGINT) AS retrain_bit
+         FROM t ORDER BY cell""",
+    // post-insert beam recall re-ranked from the ef-tagged visited dump —
+    // the p141/p145 oracle over the merged graph's walk
+    "p151_graph_insert_recall" ->
+      s"""WITH vis AS (SELECT CAST(ef AS BIGINT) AS ef,
+               CAST(query_id AS BIGINT) AS query_id,
+               CAST(node_id AS BIGINT) AS node_id
+             FROM read_parquet('${graphInsertSweepPath(dir)}/*.parquet')),
          q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
                FROM embeddings ORDER BY vec_id LIMIT 10),
          sc AS (SELECT v.ef, v.query_id, v.node_id AS neighbor_id,

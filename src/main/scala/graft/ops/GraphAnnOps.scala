@@ -217,9 +217,17 @@ object GraphAnnOps {
     * window truncation; visited ≤ 1 + hops·ef·M rows per query. */
   def beamVisited(emb: DataFrame, graph: DataFrame, numQueries: Int = 10,
                   ef: Int = 8, hops: Int = 3): DataFrame = {
-    val queries = querySet(emb, numQueries)
     // 1-row driver scalar: the deterministic entry point
     val entry = emb.agg(min(col("vec_id").cast("long"))).head().getLong(0)
+    beamVisitedFor(emb, graph, querySet(emb, numQueries), ef, hops, entry)
+  }
+
+  /** [[beamVisited]] generalized to an explicit query set (query_id,
+    * q_emb) and entry node — the form the INSERT path uses, where the
+    * queries are the new vectors (not yet in the graph) and the entry
+    * must be a node the graph actually contains. */
+  def beamVisitedFor(emb: DataFrame, graph: DataFrame, queries: DataFrame,
+                     ef: Int, hops: Int, entry: Long): DataFrame = {
     val adj = graph.select(col("node_id"), col("neighbor_id"))
     val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
       col("embedding").cast("array<double>").as("n_emb"))
@@ -245,6 +253,68 @@ object GraphAnnOps {
       h += 1
     }
     visited.orderBy(col("query_id"), col("node_id"))
+  }
+
+  /** INCREMENTAL graph insert — the HNSW insertion primitive, batched:
+    * each new vector beam-searches the EXISTING graph for candidates
+    * (the same walk a query runs), links to its top-`m` by (cosine DESC,
+    * id ASC), and the touched existing nodes re-rank their edge set —
+    * old edges ∪ new back-edges, keep top-m — so degrees stay capped and
+    * a closer new neighbor evicts the worst old edge exactly as HNSW's
+    * neighbor-selection prune does. Everything is joins over bounded
+    * state: the delta's beam (≤ hops·ef·M candidates per new vector), one
+    * scoring join, two window truncations; the full vector table is
+    * never collected and old nodes untouched by back-edges keep their
+    * adjacency bit-identical (re-ranking an already cosine-ranked list
+    * is idempotent).
+    *
+    * Batch-vs-sequential contract (documented, measured by the p151
+    * recall row): inserting a BATCH connects each new vector to the
+    * existing graph only — intra-batch edges do not form (sequential
+    * insertion or a follow-up descent round adds them). Recall over the
+    * merged graph is therefore the honest lower bound of the insert
+    * path. */
+  def insertIntoGraph(emb: DataFrame, graph: DataFrame, delta: DataFrame,
+                      m: Int = 8, ef: Int = 8, hops: Int = 3): DataFrame = {
+    val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    val dq = delta.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    // 1-row driver scalar: entry must be a node the OLD graph contains
+    val entry = graph.agg(min(col("node_id"))).head().getLong(0)
+    val visited = beamVisitedFor(emb, graph, dq, ef, hops, entry)
+    val scored = visited
+      .where(col("node_id") =!= col("query_id"))
+      .join(nodes, "node_id")
+      .join(dq, "query_id")
+      .select(col("query_id"), col("node_id"),
+        SimilarityOps.cosine(col("q_emb"), col("n_emb")).as("score"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node_id"))
+    val newFwd = scored.withColumn("rnk", row_number().over(wq).cast("long"))
+      .where(col("rnk") <= m)
+      .select(col("query_id").as("node_id"), col("rnk"),
+        col("node_id").as("neighbor_id"))
+    // back-edges: touched existing nodes re-rank (old ∪ reverse) top-m
+    val revCand = newFwd.select(col("neighbor_id").as("node_id"),
+      col("node_id").as("nb"))
+    val oldEdges = graph.select(col("node_id"),
+      col("neighbor_id").as("nb"))
+    val merged = oldEdges.unionByName(revCand).distinct()
+      .join(nodes.select(col("node_id"), col("n_emb").as("a_emb")),
+        "node_id")
+      .join(nodes.select(col("node_id").as("nb"), col("n_emb").as("b_emb")),
+        "nb")
+      .select(col("node_id"), col("nb"),
+        SimilarityOps.cosine(col("a_emb"), col("b_emb")).as("score"))
+    val wn = Window.partitionBy(col("node_id"))
+      .orderBy(col("score").desc, col("nb"))
+    val rerankedOld = merged
+      .withColumn("rnk", row_number().over(wn).cast("long"))
+      .where(col("rnk") <= m)
+      .select(col("node_id"), col("rnk"), col("nb").as("neighbor_id"))
+    rerankedOld.unionByName(newFwd)
+      .orderBy(col("node_id"), col("rnk"))
   }
 
   /** Exact re-rank of a visited/candidate set: top-`k` per query by

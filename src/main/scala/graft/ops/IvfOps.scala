@@ -137,6 +137,41 @@ object IvfOps {
     SimilarityOps.rankTopK(scored, topK)
   }
 
+  /** IVF MAINTENANCE census — the monitored-retrain decision of an
+    * incrementally-updated index: deltas are assigned to FROZEN centroids
+    * (no retrain per ingest batch — `assign` is the whole insert path,
+    * which is what makes IVF the cheapest index to maintain), and
+    * retraining happens when this table says so, not as a reflex. Per
+    * cell: base/delta/total counts, total share in ppm, and the retrain
+    * trigger bit — total > `retrainFactorPct`% of the ideal N/k (a hot
+    * cell degrades recall at fixed nprobe because candidates concentrate
+    * where the quantizer stopped separating them). All-integer; every
+    * cell 0..k−1 is present even when empty (a STARVED cell is the other
+    * retrain signal). The tiny window runs over exactly k rows. */
+  def cellCensus(baseAssigned: DataFrame, deltaAssigned: DataFrame,
+                 k: Int, retrainFactorPct: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = baseAssigned.sparkSession
+    val b = baseAssigned.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val d = deltaAssigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_delta"))
+    val cells = spark.range(k).select(col("id").cast("int").as("cell"))
+    val w = Window.partitionBy()
+    cells.join(b, Seq("cell"), "left").join(d, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("n_total", col("n_base") + col("n_delta"))
+      .withColumn("grand", sum(col("n_total")).over(w))
+      .withColumn("share_ppm",
+        expr("n_total * 1000000L div grand"))
+      .withColumn("retrain_bit",
+        (col("n_total") * k * 100 > col("grand") * retrainFactorPct)
+          .cast("long"))
+      .drop("grand")
+      .orderBy(col("cell"))
+  }
+
   /** End-to-end IVF ANN: train → assign → probe → rank. */
   def ivfTopK(emb: DataFrame, numQueries: Int = 10, topK: Int = 10,
               k: Int = 16, nprobe: Int = 2, iters: Int = 5): DataFrame = {

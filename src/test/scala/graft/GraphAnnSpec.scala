@@ -161,4 +161,52 @@ class GraphAnnSpec extends AnyFunSuite {
       tables = 4, rounds = 2, maxBucket = 0)
     assert(g.count() === 0L)
   }
+
+  /** 32 vectors fanning along a line: cosine strictly decreasing in
+    * index distance, so the exact M-NN graph is a CONNECTED chain and
+    * every rank is strict — the right base for insert/reachability
+    * tests (the clustered() graph is deliberately disconnected). */
+  private def chain() =
+    (0 until 32).map(i => (i.toLong, Array(1f, 0.02f * i)))
+      .toDF("vec_id", "embedding")
+
+  test("graph insert: batch-inserted vectors get m ranked links, evict " +
+    "worse old back-edges under the degree cap, and a full-coverage beam " +
+    "over the post-insert graph reproduces the exact brute top-k on the " +
+    "merged set — inserted vectors are reachable AND correctly ranked") {
+    val e = chain()
+    val base = e.where(col("vec_id") % 8 =!= 5)
+    val delta = e.where(col("vec_id") % 8 === 5)
+    val g0 = GraphAnnOps.buildKnnGraph(base, m = 3)
+    val g1 = GraphAnnOps.insertIntoGraph(e, g0, delta, m = 3, ef = 32,
+      hops = 8)
+    val edges = g1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    edges.foreach { case (n, _, nb) => assert(n !== nb) }
+    edges.groupBy(_._1).foreach { case (n, rows) =>
+      assert(rows.length <= 3, s"node $n degree ${rows.length}")
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // every delta node carries exactly m forward links
+    Seq(5L, 13L, 21L, 29L).foreach { d =>
+      assert(edges.count(_._1 == d) === 3, s"delta $d link count")
+    }
+    // at least one base node adopted a delta back-edge (the prune ran)
+    assert(edges.exists(x => x._1 % 8 != 5 && x._3 % 8 == 5))
+    // exhaustive beam (ef=32 covers the 32-node graph) == brute top-k on
+    // the FULL merged set: insert left the index answer-exact here
+    val vis = GraphAnnOps.beamVisited(e, g1, numQueries = 4, ef = 32,
+      hops = 16)
+    val got = GraphAnnOps.topKFromVisited(e, vis, numQueries = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val brute = graft.ops.SimilarityOps.bruteTopK(e, numQueries = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === brute)
+    // determinism under repartition
+    val g2 = GraphAnnOps.insertIntoGraph(e.repartition(7), g0,
+        delta.repartition(3), m = 3, ef = 32, hops = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g2.sortBy(x => (x._1, x._2)).toSeq ===
+      edges.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }

@@ -1596,6 +1596,25 @@ class OpsSpec extends AnyFunSuite {
     assert(links.toSet.subsetOf(multi.toSet))
   }
 
+  test("IVF cell census: hand-computed counts/shares, empty cells " +
+    "present, hot cell trips the retrain bit") {
+    import spark.implicits._
+    // k=4, 10 base + 6 delta rows; cell 2 ends hot (10/16 > 2×ideal 4/16
+    // — 10·4·100 = 4000 > 16·200 = 3200), cell 3 is empty/starved
+    val base = (Seq.fill(6)(2) ++ Seq(0, 0, 1, 1)).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "cell")
+    val delta = Seq((100L, 2), (101L, 2), (102L, 2), (103L, 2),
+      (104L, 0), (105L, 1)).toDF("vec_id", "cell")
+    val got = graft.ops.IvfOps.cellCensus(base, delta, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 3L, 187500L, 0L),
+      (1L, 2L, 1L, 3L, 187500L, 0L),
+      (2L, 6L, 4L, 10L, 625000L, 1L),
+      (3L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("linkage attribute collapse is output-identical, including the " +
     "key-dependent is_true recomputed per expanded pair") {
     // clusters of attribute-identical records on BOTH sides (the tiled-
