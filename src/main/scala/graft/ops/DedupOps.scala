@@ -858,16 +858,61 @@ object DedupOps {
   /** SimHash near-dup pairs: docs sharing any 16-bit band (≤3 differing
     * bands ⇐ hamming ≤ 3 guaranteed candidates), verified by exact hamming
     * distance ≤ maxHamming. */
-  def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** r5: the p127/textGroups collapse applied to SimHash — the banded
+    * self-join runs over ONE representative per distinct 64-bit
+    * SIGNATURE (stronger than text collapse: any signature-identical
+    * docs collapse), signature-identical pairs come from an output-sized
+    * equi-join on the full hash (hamming 0 always qualifies), and
+    * qualifying cross-signature pairs expand back to members — the sf10
+    * probe measured this op's pre-collapse band join filling the disk on
+    * dup clusters of 100 exactly like p113's. `maxBandBucket` is the
+    * p127-style hot-bucket recall cap over distinct signatures. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   collapseExact: Boolean = true,
+                   maxBandBucket: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, simhashSig(text)) }
       .toDF("doc_id", "simhash")
-    val bands = (0 to 3).map(i =>
-      shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)))
+    def bandsOf(c: org.apache.spark.sql.Column) = (0 to 3).map(i =>
+      shiftrightunsigned(c, i * 16).bitwiseAND(lit(0xffffL)))
+    if (collapseExact) {
+      val same = sh.as("x").join(sh.as("y"),
+          col("x.simhash") === col("y.simhash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0).as("hamming"))
+      val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")))
+        .select(col("simhash"))
+      val banded = reps.select(col("simhash"),
+        posexplode(array(bandsOf(col("simhash")): _*))
+          .as(Seq("band_id", "band_key")))
+      val okBuckets = banded.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("bn")).where(col("bn") <= maxBandBucket)
+        .select(col("band_id"), col("band_key"))
+      val pruned = banded.join(okBuckets, Seq("band_id", "band_key"))
+      val sigPairs = pruned.as("l").join(pruned.as("r"),
+          col("l.band_id") === col("r.band_id") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.simhash") < col("r.simhash"))
+        .select(col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .where(col("hamming") <= maxHamming)
+      val cross = sigPairs
+        .join(sh.select(col("simhash").as("sa"), col("doc_id").as("da")),
+          "sa")
+        .join(sh.select(col("simhash").as("sb"), col("doc_id").as("db")),
+          "sb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      return same.unionByName(cross)
+    }
     val exploded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(bands: _*)).as(Seq("band_id", "band_key")))
+      posexplode(array(bandsOf(col("simhash")): _*))
+        .as(Seq("band_id", "band_key")))
     exploded.as("l").join(exploded.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_key") === col("r.band_key") &&

@@ -104,20 +104,52 @@ object SimilarityOps {
     * witness. Output = the dropped rows (what a curation pass deletes).
     */
   def semDedupFrom(emb: DataFrame, assigned: DataFrame,
-                   tau: Double): DataFrame = {
+                   tau: Double, collapseExact: Boolean = true): DataFrame = {
     val vecs = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .join(assigned, "vec_id")
-    val l = vecs.select(col("cell"), col("vec_id").as("witness_id"),
-      col("v").as("va"))
-    val r = vecs.select(col("cell"), col("vec_id"), col("v").as("vb"))
-    l.join(r, "cell")
-      .where(col("witness_id") < col("vec_id") &&
-        cosine(col("va"), col("vb")) >= lit(tau))
-      .groupBy(col("cell"), col("vec_id"))
-      .agg(min(col("witness_id")).as("canonical_id"))
-      .select(col("vec_id"), col("cell"), col("canonical_id"))
-      .orderBy(col("vec_id"))
+    if (collapseExact) {
+      // r5 identical-vector collapse, min-witness form: if y < x
+      // witnesses x, then rep(group(y)) ≤ y also witnesses x (same
+      // vector), so the minimum witness is ALWAYS a group rep — the
+      // in-cell pair scan runs over reps only and each member takes
+      // min(qualifying rep < vec_id). Group key is (cell, v): identical
+      // vectors under a caller-supplied assignment that split cells stay
+      // separate groups, so the collapse is correct for ANY assignment.
+      // Self-similarity uses the same cosine expression (≥ tau is the
+      // caller's rule even for cos(v, v) ≈ 1.0 ± ulp).
+      val reps = vecs.groupBy(col("cell"), col("v"))
+        .agg(min(col("vec_id")).as("rep_id"))
+      val members = vecs.join(reps, Seq("cell", "v"))
+        .select(col("rep_id"), col("vec_id"), col("cell"))
+      val l = reps.select(col("cell"), col("rep_id").as("w_rep"),
+        col("v").as("va"))
+      val r = reps.select(col("cell"), col("rep_id"), col("v").as("vb"))
+      // qualifying witness-reps per group: every rep in the cell (itself
+      // included) whose cosine clears tau — direction-free, the member
+      // filter below applies the < ordering
+      val qualifying = l.join(r, "cell")
+        .where(cosine(col("va"), col("vb")) >= lit(tau))
+        .select(col("rep_id"), col("w_rep"))
+      members
+        .join(qualifying, "rep_id")
+        .where(col("w_rep") < col("vec_id"))
+        .groupBy(col("cell"), col("vec_id"))
+        .agg(min(col("w_rep")).as("canonical_id"))
+        .select(col("vec_id"), col("cell"), col("canonical_id"))
+        .orderBy(col("vec_id"))
+    } else {
+      val l = vecs.select(col("cell"), col("vec_id").as("witness_id"),
+        col("v").as("va"))
+      val r = vecs.select(col("cell"), col("vec_id"), col("v").as("vb"))
+      l.join(r, "cell")
+        .where(col("witness_id") < col("vec_id") &&
+          cosine(col("va"), col("vb")) >= lit(tau))
+        .groupBy(col("cell"), col("vec_id"))
+        .agg(min(col("witness_id")).as("canonical_id"))
+        .select(col("vec_id"), col("cell"), col("canonical_id"))
+        .orderBy(col("vec_id"))
+    }
   }
 
   /** Cosine similarity between two array<double> columns: the codegen'd
@@ -442,15 +474,56 @@ object SimilarityOps {
     * pair with its own cosine; also the natural shape when buckets are a
     * persisted index (see `StreamingExtraction.nearDupStream`). */
   def embeddingNearDupsFrom(emb: DataFrame, buckets: DataFrame,
-                            minCosine: Double = 0.9): DataFrame = {
+                            minCosine: Double = 0.9,
+                            collapseExact: Boolean = true): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    if (collapseExact) {
+      // r5 identical-VECTOR collapse (the DedupOps.textGroups lesson on
+      // the embedding side — the sf10 probe measured the uncollapsed
+      // bucket self-join exhausting the disk on dup clusters of 100):
+      // bucket keys and cosine are pure functions of the vector, so the
+      // candidate join runs over one representative per distinct array
+      // and member pairs expand arithmetically. Within-group scores are
+      // computed with the SAME cosine expression (cosine(v, v) is ~1.0
+      // only up to the sqrt ulp — copying the expression keeps the
+      // collapse bit-identical to the uncollapsed path).
+      val reps = vecs.groupBy(col("e")).agg(min(col("vec_id")).as("rep_id"))
+      val members = vecs.join(reps, Seq("e"))
+        .select(col("rep_id"), col("vec_id"))
+      val repBuckets = buckets.join(
+        reps.select(col("rep_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val repPairs = bucketPairsVerify(repBuckets, vecs, minCosine)
+      val within = members.as("x").join(members.as("y"),
+          col("x.rep_id") === col("y.rep_id") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.rep_id").as("rep_id"), col("x.vec_id").as("vec_a"),
+          col("y.vec_id").as("vec_b"))
+        .join(reps.select(col("rep_id"), col("e")), "rep_id")
+        .select(col("vec_a"), col("vec_b"),
+          cosine(col("e"), col("e")).as("score"))
+        .where(col("score") >= minCosine)
+      val cross = repPairs
+        .join(members.select(col("rep_id").as("vec_a"),
+          col("vec_id").as("ma")), "vec_a")
+        .join(members.select(col("rep_id").as("vec_b"),
+          col("vec_id").as("mb")), "vec_b")
+        .select(least(col("ma"), col("mb")).as("vec_a"),
+          greatest(col("ma"), col("mb")).as("vec_b"), col("score"))
+      within.unionByName(cross)
+    } else bucketPairsVerify(buckets, vecs, minCosine)
+  }
+
+  /** The uncollapsed band-join + exact-verify kernel (shared by both
+    * [[embeddingNearDupsFrom]] paths). */
+  private def bucketPairsVerify(buckets: DataFrame, vecs: DataFrame,
+                                minCosine: Double): DataFrame = {
     val candidates = buckets.as("l").join(buckets.as("r"),
         col("l.table_id") === col("r.table_id") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    val vecs = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
     candidates
       .join(vecs.withColumnRenamed("vec_id", "vec_a")
         .withColumnRenamed("e", "ea"), "vec_a")

@@ -1399,18 +1399,24 @@ class OpsSpec extends AnyFunSuite {
       "weighted" -> (c => graft.ops.DedupOps.weightedJaccardPairs(docs,
         collapseExact = c)),
       "minhash" -> (c => graft.ops.DedupOps.minhashLsh(docs,
+        collapseExact = c)),
+      "simhash" -> (c => graft.ops.DedupOps.simhashPairs(docs,
         collapseExact = c)))
     cases.foreach { case (name, f) =>
       val on = rows(f(true))
       val off = rows(f(false))
       assert(on === off, s"$name collapse changed the output")
-      // the A×B cross pairs exist per member combination (4×3 = 12) and
-      // the in-cluster pairs per C(n,2): 6 + 3 — the quadratic OUTPUT the
-      // collapse must keep while removing the quadratic JOIN
       val ids = on.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
-      assert(ids.count(p => p._1 <= 4 && p._2 >= 10) === 12, name)
+      // the in-cluster pairs per C(n,2): 6 + 3 — the quadratic OUTPUT
+      // the collapse must keep while removing the quadratic JOIN
       assert(ids.count(p => p._2 <= 4) === 6, name)
       assert(ids.count(p => p._1 >= 10 && p._2 >= 10) === 3, name)
+      // A×B cross pairs exist per member combination (4×3 = 12) for the
+      // Jaccard family (one token of 40 changed ⇒ above every threshold);
+      // simhash's cross count depends on the signatures' hamming, so only
+      // the equality above pins it
+      if (name != "simhash")
+        assert(ids.count(p => p._1 <= 4 && p._2 >= 10) === 12, name)
     }
   }
 
@@ -1594,6 +1600,70 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("score"), r.getAs[Long]("is_true")))
     assert(multi.contains((3L, 3L, 40L, 1L)))
     assert(links.toSet.subsetOf(multi.toSet))
+  }
+
+  test("embedding near-dup identical-vector collapse is output-identical " +
+    "(scores included — within-group pairs use the same cosine " +
+    "expression, not a literal 1.0)") {
+    import spark.implicits._
+    def v(axis: Int, bump: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0.01f)
+      a(axis) = 1f
+      if (bump != 0f) a((axis + 1) % 64) = bump
+      a
+    }
+    val vecs = Seq(
+      1L -> v(0), 2L -> v(0), 3L -> v(0), // identical cluster
+      10L -> v(0, 0.4f),                  // near the cluster
+      20L -> v(32))                       // far
+      .toDF("vec_id", "embedding")
+    val buckets = graft.ops.SimilarityOps
+      .lshBucketsMulti(vecs, bits = 4, tables = 8)
+    def rows(c: Boolean) = graft.ops.SimilarityOps
+      .embeddingNearDupsFrom(vecs, buckets, minCosine = 0.45,
+        collapseExact = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val on = rows(true)
+    val off = rows(false)
+    assert(on === off) // bit-identical, scores included
+    val ids = on.map(p => (p._1, p._2))
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(ids))
+    assert(ids.exists(p => p._2 == 10L)) // the near pair survives too
+    assert(!ids.exists(p => p._1 == 20L || p._2 == 20L))
+  }
+
+  test("semDedup identical-vector collapse is output-identical — " +
+    "including under an adversarial assignment that splits identical " +
+    "vectors across cells (the (cell, v) group key)") {
+    import spark.implicits._
+    def v(axis: Int, bump: Float = 0f): Array[Float] = {
+      val a = Array.fill(8)(0.01f)
+      a(axis) = 1f
+      if (bump != 0f) a((axis + 1) % 8) = bump
+      a
+    }
+    val vecs = Seq(
+      1L -> v(0), 2L -> v(0), 3L -> v(0), // identical cluster
+      10L -> v(0, 0.3f),                  // near the cluster
+      20L -> v(4), 21L -> v(4))           // identical pair, other axis
+      .toDF("vec_id", "embedding")
+    def rows(assigned: org.apache.spark.sql.DataFrame, c: Boolean) =
+      graft.ops.SimilarityOps.semDedupFrom(vecs, assigned, tau = 0.8,
+          collapseExact = c)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // one cell: cluster members 2, 3 drop with canonical 1; 21 → 20; the
+    // near vector 10 also collapses onto 1 at tau=0.8
+    val oneCell = vecs.select(col("vec_id"), lit(0).as("cell"))
+    assert(rows(oneCell, true) === rows(oneCell, false))
+    assert(rows(oneCell, true).map(x => (x._1, x._3)) ===
+      Seq((2L, 1L), (3L, 1L), (10L, 1L), (21L, 20L)))
+    // adversarial split: identical vectors 1 and 2/3 land in DIFFERENT
+    // cells — 2 keeps 3 as its group-mate's... 2 is the min of cell 1's
+    // group so only 3 drops there; both paths must agree exactly
+    val split = vecs.select(col("vec_id"),
+      when(col("vec_id") === 1L, 0).otherwise(1).as("cell"))
+    assert(rows(split, true) === rows(split, false))
   }
 
   test("IVF cell census: hand-computed counts/shares, empty cells " +
