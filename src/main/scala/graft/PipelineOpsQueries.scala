@@ -1772,34 +1772,18 @@ object PipelineOpsQueries {
     // oracle re-ranks the dump exactly and the recall table is
     // driver-oracled end to end
     "p145_graph_descent_recall" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
       val e = emb(s, dir)
       // bits ≈ log2(N / wanted-bucket) — 64 buckets keeps seed
       // neighborhoods healthy from the 500-vector gate up to the sf1
       // campaign's 20k (and is a per-deployment knob beyond that)
       val g = graft.ops.GraphAnnOps.buildKnnGraphDescent(e, m = 8, bits = 6)
         .localCheckpoint(true)
-      Seq(2, 8, 32).map(ef =>
-          graft.ops.GraphAnnOps.beamVisited(e, g, numQueries = 10,
-              ef = ef, hops = 5)
-            .withColumn("ef", lit(ef.toLong)))
-        .reduce(_ unionByName _)
+      // r6: one fused multi-ef sweep + one fused re-rank — row-identical
+      // to the r5 per-ef union (spec-pinned per-slice equality)
+      graft.ops.GraphAnnOps.beamVisitedSweep(e, g, Seq(2, 8, 32),
+          numQueries = 10, hops = 5)
         .write.mode("overwrite").parquet(descentSweepPath(dir))
-      val vis = s.read.parquet(descentSweepPath(dir))
-      val brute = SimilarityOps.bruteTopK(e)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
-      Seq(2L, 8L, 32L).map { n =>
-        graft.ops.GraphAnnOps.topKFromVisited(e,
-            vis.where(col("ef") === n)
-              .select(col("query_id"), col("node_id")),
-            numQueries = 10, k = 10)
-          .join(brute, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(n).as("ef"), col("n_hits"))
-      }.reduce(_ unionByName _)
-        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
-        .orderBy(col("ef"))
+      graphRecallTable(s, e, s.read.parquet(descentSweepPath(dir)))
     }),
 
     // STREAMING session windows driven end-to-end (MemoryStream of
@@ -2012,27 +1996,12 @@ object PipelineOpsQueries {
         .localCheckpoint(true)
       val g1 = graft.ops.GraphAnnOps.insertIntoGraph(e, g0, delta, m = 8)
         .localCheckpoint(true)
-      Seq(2, 8, 32).map(ef =>
-          graft.ops.GraphAnnOps.beamVisited(e, g1, numQueries = 10,
-              ef = ef, hops = 5)
-            .withColumn("ef", lit(ef.toLong)))
-        .reduce(_ unionByName _)
+      // r6: one fused multi-ef sweep + one fused re-rank — row-identical
+      // to the r5 per-ef union (spec-pinned per-slice equality)
+      graft.ops.GraphAnnOps.beamVisitedSweep(e, g1, Seq(2, 8, 32),
+          numQueries = 10, hops = 5)
         .write.mode("overwrite").parquet(graphInsertSweepPath(dir))
-      val vis = s.read.parquet(graphInsertSweepPath(dir))
-      val brute = SimilarityOps.bruteTopK(e)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
-      Seq(2L, 8L, 32L).map { n =>
-        graft.ops.GraphAnnOps.topKFromVisited(e,
-            vis.where(col("ef") === n)
-              .select(col("query_id"), col("node_id")),
-            numQueries = 10, k = 10)
-          .join(brute, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(n).as("ef"), col("n_hits"))
-      }.reduce(_ unionByName _)
-        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
-        .orderBy(col("ef"))
+      graphRecallTable(s, e, s.read.parquet(graphInsertSweepPath(dir)))
     }),
 
     // graph-ANN tuning table beside p89's IVF sweep: recall@10 vs the
@@ -2040,33 +2009,41 @@ object PipelineOpsQueries {
     // accuracy/cost trade-off of the graph path (visited candidates
     // scale with ef·M·hops, not N)
     "p141_graph_recall_sweep" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
       val e = emb(s, dir)
       val g = graft.ops.GraphAnnOps.buildKnnGraph(e, m = 8)
         .localCheckpoint(true)
-      Seq(2, 8, 32).map(ef =>
-          graft.ops.GraphAnnOps.beamVisited(e, g, numQueries = 10,
-              ef = ef, hops = 5)
-            .withColumn("ef", lit(ef.toLong)))
-        .reduce(_ unionByName _)
+      // r6: one fused multi-ef sweep + one fused re-rank — row-identical
+      // to the r5 per-ef union (spec-pinned per-slice equality)
+      graft.ops.GraphAnnOps.beamVisitedSweep(e, g, Seq(2, 8, 32),
+          numQueries = 10, hops = 5)
         .write.mode("overwrite").parquet(beamSweepPath(dir))
-      val vis = s.read.parquet(beamSweepPath(dir))
-      val brute = SimilarityOps.bruteTopK(e)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
-      Seq(2L, 8L, 32L).map { n =>
-        graft.ops.GraphAnnOps.topKFromVisited(e,
-            vis.where(col("ef") === n)
-              .select(col("query_id"), col("node_id")),
-            numQueries = 10, k = 10)
-          .join(brute, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(n).as("ef"), col("n_hits"))
-      }.reduce(_ unionByName _)
-        .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
-        .orderBy(col("ef"))
+      graphRecallTable(s, e, s.read.parquet(beamSweepPath(dir)))
     })
   )
+
+  /** r6 shared tail of the graph recall sweeps (p141/p145/p151): ONE
+    * fused re-rank of the ef-tagged visited dump + ONE brute join,
+    * grouped by ef — row-identical to the r5 per-ef agg union (the left
+    * join + coalesce keeps the n_hits=0 row a bare groupBy would drop,
+    * matching the old per-slice global agg's always-one-row semantics). */
+  private def graphRecallTable(s: SparkSession,
+                               embTab: org.apache.spark.sql.DataFrame,
+                               vis: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val brute = SimilarityOps.bruteTopK(embTab)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = graft.ops.GraphAnnOps.topKFromVisitedSweep(embTab, vis,
+        numQueries = 10, k = 10)
+      .join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("ef")).agg(count(lit(1)).as("hits"))
+    Seq(2L, 8L, 32L).toDF("ef")
+      .join(hits, Seq("ef"), "left")
+      .select(col("ef"), coalesce(col("hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000L div 100"))
+      .orderBy(col("ef"))
+  }
 
   /** Run a STREAMING driver row under a reduced shuffle-partition count:
     * a streaming query's state-store partition count is fixed by

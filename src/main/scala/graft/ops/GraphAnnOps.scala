@@ -138,12 +138,21 @@ object GraphAnnOps {
     def maybeCk(df: DataFrame): DataFrame =
       if (lineageTruncate) df.localCheckpoint(true) else df
 
-    // rank unordered candidate pairs into a per-node top-m adjacency
+    // rank unordered candidate pairs into a per-node top-m adjacency.
+    // r6 shape: ONE exchange instead of three — candidate-pair dedup no
+    // longer pays its own `distinct` exchange. Duplicated (node, nb) rows
+    // flow into the window (duplicates carry the identical score — cosine
+    // is a pure function of the pair, dup multiplicity is bounded by
+    // `tables` seeds / common-neighbor counts), are marked by a lag() over
+    // the SAME window ordering (equal (score, nb) rows are adjacent in the
+    // (score DESC, nb) sort), and row_number runs on the filtered stream —
+    // same partitioning+ordering, so Catalyst plans dedup AND rank in one
+    // Exchange/Sort (plans/r06 evidence: 3 Exchange → 1 per rankTopM call).
+    // Output rows are bit-identical to the old distinct-first formulation.
     def rankTopM(pairs: DataFrame): DataFrame = {
       val directed = pairs
         .select(col("u").as("node_id"), col("v").as("nb"))
         .unionByName(pairs.select(col("v").as("node_id"), col("u").as("nb")))
-        .distinct()
       val scored = directed
         .join(nodes.select(col("node_id"), col("n_emb").as("a_emb")),
           "node_id")
@@ -153,12 +162,16 @@ object GraphAnnOps {
           SimilarityOps.cosine(col("a_emb"), col("b_emb")).as("score"))
       val w = Window.partitionBy(col("node_id"))
         .orderBy(col("score").desc, col("nb"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
+      scored
+        .withColumn("prev_nb", lag(col("nb"), 1).over(w))
+        .where(col("prev_nb").isNull || col("prev_nb") =!= col("nb"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= m)
         .select(col("node_id"), col("rnk"), col("nb").as("neighbor_id"))
     }
 
-    // 1. multi-table sign-LSH seeding
+    // 1. multi-table sign-LSH seeding (seed-pair dedup is now inside
+    // rankTopM's windowed lag — no standalone `distinct` exchange)
     val buckets = (0 until tables).map { t =>
       val planes = SimilarityOps.hyperplanes(dim, bits, seed = 7L + 1000L * t)
       nodes.select(col("node_id"), lit(t).as("tbl"),
@@ -173,10 +186,14 @@ object GraphAnnOps {
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.node_id") < col("b.node_id"))
       .select(col("a.node_id").as("u"), col("b.node_id").as("v"))
-      .distinct()
     var adj = maybeCk(rankTopM(seedPairs))
 
-    // 2-3. NN-descent rounds over bounded neighborhoods
+    // 2-3. NN-descent rounds over bounded neighborhoods. The three
+    // intermediate `distinct` exchanges of the r5 shape are gone: every
+    // candidate stream dedups exactly once, inside rankTopM (duplicate
+    // fan-out stays bounded — ≤ C(2m,2) candidates per common node and
+    // ≤ 2× from the fwd/rev union — so dup scoring is cheaper than the
+    // exchanges it replaces).
     var r = 0
     while (r < rounds) {
       val fwd = adj.select(col("node_id").as("c"), col("neighbor_id").as("w"))
@@ -185,15 +202,14 @@ object GraphAnnOps {
         .select(col("neighbor_id").as("c"), col("node_id").as("w"))
         .withColumn("rr", row_number().over(wRev)).where(col("rr") <= m)
         .drop("rr")
-      val und = fwd.unionByName(rev).distinct()
+      val und = fwd.unionByName(rev)
       val cand = und.as("x").join(und.as("y"),
           col("x.c") === col("y.c") && col("x.w") < col("y.w"))
         .select(col("x.w").as("u"), col("y.w").as("v"))
-        .distinct()
       val cur = adj.select(
         least(col("node_id"), col("neighbor_id")).as("u"),
         greatest(col("node_id"), col("neighbor_id")).as("v"))
-      adj = maybeCk(rankTopM(cand.unionByName(cur).distinct()))
+      adj = maybeCk(rankTopM(cand.unionByName(cur)))
       r += 1
     }
     adj.orderBy(col("node_id"), col("rnk"))
@@ -216,10 +232,26 @@ object GraphAnnOps {
     * Per hop: one equi-join frontier⋈adjacency on node_id + one bounded
     * window truncation; visited ≤ 1 + hops·ef·M rows per query. */
   def beamVisited(emb: DataFrame, graph: DataFrame, numQueries: Int = 10,
-                  ef: Int = 8, hops: Int = 3): DataFrame = {
+                  ef: Int = 8, hops: Int = 3): DataFrame =
+    beamVisitedSweep(emb, graph, Seq(ef), numQueries, hops)
+      .select(col("query_id"), col("node_id"))
+      .orderBy(col("query_id"), col("node_id"))
+
+  /** Multi-`ef` beam sweep in ONE pass (r6): the p141/p145/p151 recall
+    * sweeps run the SAME walk at ef ∈ {2, 8, 32}; the searches never
+    * interact, so tagging all state with an `ef` column and keying every
+    * window/aggregate by (ef, query_id) computes all of them with one
+    * exchange per step instead of one per ef — and one localCheckpoint
+    * job per hop instead of three (r5 paid 2 checkpoints × hops × efs).
+    * Each ef-slice of the output is row-identical to an independent
+    * [[beamVisited]] run at that ef (spec-pinned). Output columns:
+    * (query_id, node_id, ef). */
+  def beamVisitedSweep(emb: DataFrame, graph: DataFrame, efs: Seq[Int],
+                       numQueries: Int = 10, hops: Int = 3): DataFrame = {
     // 1-row driver scalar: the deterministic entry point
     val entry = emb.agg(min(col("vec_id").cast("long"))).head().getLong(0)
-    beamVisitedFor(emb, graph, querySet(emb, numQueries), ef, hops, entry)
+    beamVisitedSweepFor(emb, graph, querySet(emb, numQueries), efs, hops,
+      entry)
   }
 
   /** [[beamVisited]] generalized to an explicit query set (query_id,
@@ -227,32 +259,57 @@ object GraphAnnOps {
     * queries are the new vectors (not yet in the graph) and the entry
     * must be a node the graph actually contains. */
   def beamVisitedFor(emb: DataFrame, graph: DataFrame, queries: DataFrame,
-                     ef: Int, hops: Int, entry: Long): DataFrame = {
+                     ef: Int, hops: Int, entry: Long): DataFrame =
+    beamVisitedSweepFor(emb, graph, queries, Seq(ef), hops, entry)
+      .select(col("query_id"), col("node_id"))
+      .orderBy(col("query_id"), col("node_id"))
+
+  /** The sweep core. r6 hop shape (vs r5's): scores are computed ONCE per
+    * newly-reached (query, node) and carried in the visited state — the
+    * r5 loop re-scored the ENTIRE visited set every hop — and the per-hop
+    * dedup is a (ef, query, node) aggregate (max(score) over copies of the
+    * bit-identical pure-function score), so each hop is one eager job:
+    * groupBy exchange + (lazy, next-hop) beam window. Nodes absent from
+    * `emb` stay in the visited dump but never enter the beam (score NULL,
+    * filtered before ranking) — exactly the r5 inner-join-scored
+    * semantics. */
+  def beamVisitedSweepFor(emb: DataFrame, graph: DataFrame,
+                          queries: DataFrame, efs: Seq[Int], hops: Int,
+                          entry: Long): DataFrame = {
     val adj = graph.select(col("node_id"), col("neighbor_id"))
     val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
       col("embedding").cast("array<double>").as("n_emb"))
-    var visited = queries.select(col("query_id"),
-      lit(entry).as("node_id")).localCheckpoint(true)
-    var beam = visited
+    // score new arrivals; LEFT join keeps graph nodes missing from emb in
+    // the visited set (score NULL → excluded from the beam, as in r5)
+    def scoreNew(df: DataFrame): DataFrame = df
+      .join(nodes, Seq("node_id"), "left")
+      .join(broadcast(queries), "query_id")
+      .select(col("ef"), col("query_id"), col("node_id"),
+        when(col("n_emb").isNotNull,
+          SimilarityOps.cosine(col("q_emb"), col("n_emb")))
+          .as("score"))
+    val efArr = array(efs.map(e => lit(e.toLong)): _*)
+    var visited = scoreNew(
+      queries.select(col("query_id"), explode(efArr).as("ef"),
+        lit(entry).as("node_id")))
+      .localCheckpoint(true)
     var h = 0
     while (h < hops) {
-      val expanded = beam.join(adj, "node_id")
-        .select(col("query_id"), col("neighbor_id").as("node_id"))
-      visited = visited.unionByName(expanded).distinct()
-        .localCheckpoint(true) // per-hop lineage truncation
-      val scored = visited
-        .join(nodes, "node_id")
-        .join(broadcast(queries), "query_id")
-        .select(col("query_id"), col("node_id"),
-          SimilarityOps.cosine(col("q_emb"), col("n_emb")).as("score"))
-      val w = Window.partitionBy(col("query_id"))
+      val w = Window.partitionBy(col("ef"), col("query_id"))
         .orderBy(col("score").desc, col("node_id"))
-      beam = scored.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= ef).select(col("query_id"), col("node_id"))
-        .localCheckpoint(true)
+      val beam = visited.where(col("score").isNotNull)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("ef"))
+        .select(col("ef"), col("query_id"), col("node_id"))
+      val expanded = beam.join(adj, "node_id")
+        .select(col("ef"), col("query_id"), col("neighbor_id").as("node_id"))
+      visited = visited.unionByName(scoreNew(expanded))
+        .groupBy(col("ef"), col("query_id"), col("node_id"))
+        .agg(max(col("score")).as("score"))
+        .localCheckpoint(true) // per-hop lineage truncation — ONE job/hop
       h += 1
     }
-    visited.orderBy(col("query_id"), col("node_id"))
+    visited.select(col("query_id"), col("node_id"), col("ef"))
   }
 
   /** INCREMENTAL graph insert — the HNSW insertion primitive, batched:
@@ -273,7 +330,25 @@ object GraphAnnOps {
     * existing graph only — intra-batch edges do not form (sequential
     * insertion or a follow-up descent round adds them). Recall over the
     * merged graph is therefore the honest lower bound of the insert
-    * path. */
+    * path.
+    *
+    * Input contract: `emb` must be the MERGED vector table (base ∪ delta)
+    * — the back-edge re-rank and the beam scoring both resolve embeddings
+    * for delta ids through `emb`, so a base-only table silently loses
+    * every back-edge. Likewise every node of `graph` (including the beam
+    * entry, its min node_id) must appear in `emb`.
+    *
+    * r6 incremental shape (the r5 "weak" fix): only nodes that actually
+    * RECEIVE a back-edge re-rank their adjacency; every untouched node's
+    * rows pass through verbatim — no cosine, no window. This is
+    * output-identical for any rank-consistent graph (one whose stored rnk
+    * already orders by (cosine DESC, neighbor ASC), which every builder
+    * here produces — re-ranking an already-ranked list is idempotent),
+    * and it makes the per-batch cost O(|delta| · ef · M) scored rows plus
+    * one semi/anti-join over the adjacency — not a full-graph rescore
+    * (GraphAnnSpec pins the pass-through behaviorally: a deliberately
+    * rank-corrupted untouched node survives the insert bit-identical,
+    * which a rescoring implementation would repair). */
   def insertIntoGraph(emb: DataFrame, graph: DataFrame, delta: DataFrame,
                       m: Int = 8, ef: Int = 8, hops: Int = 3): DataFrame = {
     val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
@@ -295,12 +370,18 @@ object GraphAnnOps {
       .where(col("rnk") <= m)
       .select(col("query_id").as("node_id"), col("rnk"),
         col("node_id").as("neighbor_id"))
-    // back-edges: touched existing nodes re-rank (old ∪ reverse) top-m
+    // back-edges: ONLY nodes receiving a reverse edge re-rank
+    // (old-touched ∪ reverse) top-m; the two union legs are disjoint row
+    // sets (old neighbors are base nodes, reverse targets are delta
+    // nodes) and each is internally duplicate-free, so no dedup exchange
+    // is needed
     val revCand = newFwd.select(col("neighbor_id").as("node_id"),
       col("node_id").as("nb"))
-    val oldEdges = graph.select(col("node_id"),
-      col("neighbor_id").as("nb"))
-    val merged = oldEdges.unionByName(revCand).distinct()
+    val touched = revCand.select(col("node_id")).distinct()
+    val oldTouched = graph
+      .join(touched, Seq("node_id"), "left_semi")
+      .select(col("node_id"), col("neighbor_id").as("nb"))
+    val merged = oldTouched.unionByName(revCand)
       .join(nodes.select(col("node_id"), col("n_emb").as("a_emb")),
         "node_id")
       .join(nodes.select(col("node_id").as("nb"), col("n_emb").as("b_emb")),
@@ -309,11 +390,16 @@ object GraphAnnOps {
         SimilarityOps.cosine(col("a_emb"), col("b_emb")).as("score"))
     val wn = Window.partitionBy(col("node_id"))
       .orderBy(col("score").desc, col("nb"))
-    val rerankedOld = merged
+    val rerankedTouched = merged
       .withColumn("rnk", row_number().over(wn).cast("long"))
       .where(col("rnk") <= m)
       .select(col("node_id"), col("rnk"), col("nb").as("neighbor_id"))
-    rerankedOld.unionByName(newFwd)
+    // untouched adjacency passes through verbatim (rnk already ranked)
+    val untouched = graph
+      .select(col("node_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"))
+      .join(touched, Seq("node_id"), "left_anti")
+    untouched.unionByName(rerankedTouched).unionByName(newFwd)
       .orderBy(col("node_id"), col("rnk"))
   }
 
@@ -333,5 +419,32 @@ object GraphAnnOps {
       .select(col("query_id"), col("node_id").as("neighbor_id"),
         SimilarityOps.cosine(col("q_emb"), col("n_emb")).as("score"))
     SimilarityOps.rankTopK(scored, k)
+  }
+
+  /** Multi-ef [[topKFromVisited]] (r6): ONE scoring pass + ONE bounded-
+    * heap aggregation over the ef-tagged visited dump, keyed by
+    * (ef, query_id) — each ef-slice's top-k set is identical to the
+    * per-slice call (same insert comparator: score DESC, id ASC). Rank is
+    * dropped: the recall join consumes the SET. Output
+    * (ef, query_id, neighbor_id). */
+  def topKFromVisitedSweep(emb: DataFrame, visited: DataFrame,
+                           numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = querySet(emb, numQueries)
+    val nodes = emb.select(col("vec_id").cast("long").as("node_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    visited
+      .where(col("node_id") =!= col("query_id"))
+      .join(nodes, "node_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("ef"), col("query_id"), col("node_id").as("neighbor_id"),
+        SimilarityOps.cosine(col("q_emb"), col("n_emb")).as("score"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .agg(new TopK.TopKIdsTagged(k).toColumn.name("topk"))
+      .toDF("key", "topk")
+      .select(col("key._1").as("ef"), col("key._2").as("query_id"),
+        explode(col("topk")).as("neighbor_id"))
   }
 }

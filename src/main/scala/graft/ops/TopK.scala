@@ -72,6 +72,21 @@ object TopK {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** Per-(tag, group) top-k single ids by (score desc, id asc) — the
+    * [[TopKIds]] shape for composite-keyed sweeps (r6 graph-recall fusion).
+    * Input rows: (tag, groupKey, id, score); tag and groupKey are ignored
+    * (carried by groupByKey). */
+  class TopKIdsTagged(k: Int)
+      extends Aggregator[(Long, Long, Long, Double), Buf, Seq[Long]] {
+    def zero: Buf = emptyBuf
+    def reduce(b: Buf, in: (Long, Long, Long, Double)): Buf =
+      insert(k, b._1, b._2, b._3, in._4, in._3, 0L)
+    def merge(x: Buf, y: Buf): Buf = mergeBufs(k, x, y)
+    def finish(b: Buf): Seq[Long] = b._2.toSeq
+    def bufferEncoder: Encoder[Buf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** Global top-k pairs by (score desc, a asc, b asc). Input rows:
     * (a, b, score). */
   class TopKPairs(k: Int) extends Aggregator[(Long, Long, Double), Buf, Seq[(Long, Long)]] {

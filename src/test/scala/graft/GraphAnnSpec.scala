@@ -209,4 +209,47 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(g2.sortBy(x => (x._1, x._2)).toSeq ===
       edges.sortBy(x => (x._1, x._2)).toSeq)
   }
+
+  test("graph insert is INCREMENTAL: untouched nodes' adjacency passes " +
+    "through verbatim — a deliberately rank-corrupted untouched node " +
+    "survives the insert bit-identical (the r5 full-graph re-rank would " +
+    "have repaired it), so per-batch re-scoring cost is bounded by the " +
+    "delta's back-edges, not the graph") {
+    val e = chain()
+    val base = e.where(col("vec_id") % 8 =!= 5)
+    val delta = e.where(col("vec_id") % 8 === 5)
+    val g0 = GraphAnnOps.buildKnnGraph(base, m = 3)
+    val g1 = GraphAnnOps.insertIntoGraph(e, g0, delta, m = 3, ef = 32,
+      hops = 8)
+    // touched = nodes that adopted a delta back-edge; pick an untouched
+    // BASE node (delta nodes are new rows, not pass-through)
+    val touched = g1.where(col("neighbor_id") % 8 === 5)
+      .select(col("node_id")).distinct().collect().map(_.getLong(0)).toSet
+    val target = g0.select(col("node_id")).distinct().collect()
+      .map(_.getLong(0)).filterNot(touched).filterNot(_ % 8 == 5).min
+    // corrupt the stored ranking of the untouched node (swap rnk 1 ↔ 2):
+    // the edge SET is unchanged, so the beam walk and the touched set are
+    // identical — only a re-scoring pass could repair the swap
+    val g0c = g0.withColumn("rnk",
+      when(col("node_id") === target && col("rnk") === 1L, 2L)
+        .when(col("node_id") === target && col("rnk") === 2L, 1L)
+        .otherwise(col("rnk")))
+    val g1c = GraphAnnOps.insertIntoGraph(e, g0c, delta, m = 3, ef = 32,
+      hops = 8)
+    def rows(df: org.apache.spark.sql.DataFrame, n: Long) =
+      df.where(col("node_id") === n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._2).toSeq
+    // the corrupted rows survive verbatim (still swapped)…
+    assert(rows(g1c, target) === rows(g0c, target))
+    assert(rows(g1c, target) !== rows(g1, target))
+    // …and every other node is exactly as in the uncorrupted insert
+    val restC = g1c.where(col("node_id") =!= target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val rest = g1.where(col("node_id") =!= target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(restC === rest)
+  }
 }
