@@ -310,13 +310,24 @@ object DedupOps {
     * Returns (repDocs = one (doc_id, text) per distinct text, keyed by
     * min doc_id; members = (rep_id, doc_id) for every doc). */
   private[ops] def textGroups(df: DataFrame): (DataFrame, DataFrame) = {
+    val (reps, members, _) = textGroupsSized(df)
+    (reps, members)
+  }
+
+  /** [[textGroups]] plus the per-rep cluster size — the count rides the
+    * SAME aggregation that picks the rep, so the df-capped paths get
+    * their document weights with zero extra exchange (r6). */
+  private[ops] def textGroupsSized(df: DataFrame)
+    : (DataFrame, DataFrame, DataFrame) = {
     val keyed = df.select(col("doc_id").cast("long").as("doc_id"),
       col("text"), md5(col("text")).as("tkey"))
-    val reps = keyed.groupBy(col("tkey")).agg(min(col("doc_id")).as("rep_id"))
-    val joined = keyed.join(reps, Seq("tkey"))
+    val reps = keyed.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("csize"))
+    val joined = keyed.join(reps.select(col("tkey"), col("rep_id")), Seq("tkey"))
     (joined.where(col("doc_id") === col("rep_id"))
        .select(col("doc_id"), col("text")),
-     joined.select(col("rep_id"), col("doc_id")))
+     joined.select(col("rep_id"), col("doc_id")),
+     reps.select(col("rep_id"), col("csize")))
   }
 
   /** Expand rep-level pairs back to member level (both joins are
@@ -371,29 +382,64 @@ object DedupOps {
       // one rep per distinct text; member pairs expand arithmetically —
       // output-identical (spec-pinned), join cost no longer quadratic in
       // dup-cluster size
-      val (repDocs, members) = textGroups(df)
-      val repPairs = exactJaccardPairs(repDocs, w, minJaccardPct, maxDf,
-        collapseExact = false)
-      val withinVals = shingleHashTable(repDocs, w)
-        .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
-        .select(col("doc_id").as("rep_id"),
-          col("n_sh").cast("long").as("n_inter"),
-          col("n_sh").cast("long").as("n_union"))
-      return expandCollapsed(repPairs, members, withinVals,
-        Seq("n_inter", "n_union"))
+      val (repDocs, members, csize) = textGroupsSized(df)
+      maxDf match {
+        case Some(cap) =>
+          // r6 fix (ADVICE #1): df counts DOCUMENTS, so under the collapse
+          // each rep's contribution to a shingle's df is its CLUSTER SIZE,
+          // and within-cluster pairs obey the capped-intersection rule
+          // like every other pair (n_inter = surviving shared shingles;
+          // n_union via the same n_a + n_b − n_inter formula the
+          // uncollapsed path and the p25 oracle apply). A cluster larger
+          // than the cap correctly drops out entirely — every shingle it
+          // carries has df ≥ cluster size.
+          val hashed = shingleHashTable(repDocs, w)
+          val rare = hashed
+            .join(csize, hashed("doc_id") === csize("rep_id"))
+            .groupBy(col("h")).agg(sum(col("csize")).as("dfw"))
+            .where(col("dfw") <= cap)
+            .select(col("h"))
+          val indexed = hashed.join(rare, Seq("h"), "left_semi")
+          val repPairs = jaccardPairsFromIndex(indexed, minJaccardPct)
+          val withinVals = indexed.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("k"), max(col("n_sh")).as("n_sh"))
+            .select(col("doc_id").as("rep_id"),
+              col("k").cast("long").as("n_inter"),
+              (lit(2L) * col("n_sh") - col("k")).cast("long").as("n_union"))
+            .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
+          expandCollapsed(repPairs, members, withinVals,
+            Seq("n_inter", "n_union"))
+        case None =>
+          val repPairs = exactJaccardPairs(repDocs, w, minJaccardPct, None,
+            collapseExact = false)
+          val withinVals = shingleHashTable(repDocs, w)
+            .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+            .select(col("doc_id").as("rep_id"),
+              col("n_sh").cast("long").as("n_inter"),
+              col("n_sh").cast("long").as("n_union"))
+          expandCollapsed(repPairs, members, withinVals,
+            Seq("n_inter", "n_union"))
+      }
+    } else {
+      val hashed = shingleHashTable(df, w)
+      // df-cap: keys-only aggregation + semi-join, both keyed on `h` — the
+      // same partitioning the self-join needs, so AQE/exchange-reuse keeps
+      // the extra pass cheap relative to the fan-out it prevents.
+      val indexed = maxDf.fold(hashed) { cap =>
+        val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap)
+          .select(col("h"))
+        hashed.join(rare, Seq("h"), "left_semi")
+      }
+      jaccardPairsFromIndex(indexed, minJaccardPct)
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashed = shingleHashTable(df, w)
-    // df-cap: keys-only aggregation + semi-join, both keyed on `h` — the
-    // same partitioning the self-join needs, so AQE/exchange-reuse keeps
-    // the extra pass cheap relative to the fan-out it prevents.
-    val indexed = maxDf.fold(hashed) { cap =>
-      val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap)
-        .select(col("h"))
-      hashed.join(rare, Seq("h"), "left_semi")
-    }
+  }
+
+  /** Inverted-index self-join tail shared by the capped/uncapped and
+    * collapsed/uncollapsed exact-Jaccard paths: rows = (doc_id, h, n_sh)
+    * postings, n_sh always the UNCAPPED per-doc distinct-shingle count. */
+  private def jaccardPairsFromIndex(indexed: DataFrame,
+                                    minJaccardPct: Int): DataFrame =
     indexed.as("a").join(indexed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -402,7 +448,6 @@ object DedupOps {
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .where(col("n_inter") * 100 >= col("n_union") * minJaccardPct)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
-  }
 
   /** Distinct shingle-hash postings (doc_id, h, n_sh) — the shared front
     * of every exact set-similarity join. Hash = DuckDB `md5_number_lower`
@@ -537,21 +582,58 @@ object DedupOps {
       // BAGS, so the weighted score is text-pure too — reps-only posting
       // join, arithmetic expansion, within pairs at w_inter = w_union =
       // wsum (output-identical, spec-pinned)
-      val (repDocs, members) = textGroups(df)
-      val repPairs = weightedJaccardPairs(repDocs, w, minPct, maxDf,
-        collapseExact = false)
-      // wsum mirror of the posting flatMap: toks < w → 1 whole-text
-      // shingle, else toks − w + 1 sliding shingles (with multiplicity)
-      val withinVals = repDocs.select(col("doc_id").as("rep_id"),
-        greatest(size(split(trim(col("text")), "\\s+")) - (w - 1), lit(1))
-          .cast("long").as("w_inter"))
-        .withColumn("w_union", col("w_inter"))
-      return expandCollapsed(repPairs, members, withinVals,
-        Seq("w_inter", "w_union"))
+      val (repDocs, members, csize) = textGroupsSized(df)
+      maxDf match {
+        case Some(cap) =>
+          // r6 fix (ADVICE #1), same rule as the exact path: df counts
+          // DOCUMENTS (rep weight = cluster size) and within-cluster
+          // pairs take the capped w_inter = Σ tf over SURVIVING postings
+          // with the uncollapsed w_union formula ws_a + ws_b − w_inter.
+          val posts = weightedPostings(df.sparkSession, repDocs, w)
+          val rare = posts
+            .join(csize, posts("doc_id") === csize("rep_id"))
+            .groupBy(col("h")).agg(sum(col("csize")).as("dfw"))
+            .where(col("dfw") <= cap)
+            .select(col("h"))
+          val indexed = posts.join(rare, Seq("h"), "left_semi")
+          val repPairs = weightedPairsFromIndex(indexed, minPct)
+          val withinVals = indexed.groupBy(col("doc_id"))
+            .agg(sum(col("tf")).as("k"), max(col("wsum")).as("wsum"))
+            .select(col("doc_id").as("rep_id"),
+              col("k").cast("long").as("w_inter"),
+              (lit(2L) * col("wsum") - col("k")).cast("long").as("w_union"))
+            .where(col("w_inter") * 100 >= col("w_union") * minPct)
+          expandCollapsed(repPairs, members, withinVals,
+            Seq("w_inter", "w_union"))
+        case None =>
+          val repPairs = weightedJaccardPairs(repDocs, w, minPct, None,
+            collapseExact = false)
+          // wsum mirror of the posting flatMap: toks < w → 1 whole-text
+          // shingle, else toks − w + 1 sliding shingles (with multiplicity)
+          val withinVals = repDocs.select(col("doc_id").as("rep_id"),
+            greatest(size(split(trim(col("text")), "\\s+")) - (w - 1), lit(1))
+              .cast("long").as("w_inter"))
+            .withColumn("w_union", col("w_inter"))
+          expandCollapsed(repPairs, members, withinVals,
+            Seq("w_inter", "w_union"))
+      }
+    } else {
+      val postings = weightedPostings(df.sparkSession, df, w)
+      val indexed = maxDf.fold(postings) { cap =>
+        val rare = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("h"))
+        postings.join(rare, Seq("h"), "left_semi")
+      }
+      weightedPairsFromIndex(indexed, minPct)
     }
-    val spark = df.sparkSession
+  }
+
+  /** Per-doc shingle-bag postings (doc_id, h, tf, wsum) — one typed pass,
+    * counts keyed by md5-low63 so strings never shuffle. */
+  private def weightedPostings(spark: org.apache.spark.sql.SparkSession,
+                               df: DataFrame, w: Int): DataFrame = {
     import spark.implicits._
-    val postings = df.select(col("doc_id").cast("long"), col("text"))
+    df.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = wsPat.split(text.trim)
@@ -573,11 +655,11 @@ object DedupOps {
         counts.asScala.iterator.map { case (h, tf) => (id, h, tf, wsum) }
       }
       .toDF("doc_id", "h", "tf", "wsum")
-    val indexed = maxDf.fold(postings) { cap =>
-      val rare = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap).select(col("h"))
-      postings.join(rare, Seq("h"), "left_semi")
-    }
+  }
+
+  /** Posting self-join tail shared by the weighted-Jaccard paths. */
+  private def weightedPairsFromIndex(indexed: DataFrame,
+                                     minPct: Int): DataFrame =
     indexed.as("a").join(indexed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -586,7 +668,6 @@ object DedupOps {
       .withColumn("w_union", col("ws_a") + col("ws_b") - col("w_inter"))
       .where(col("w_inter") * 100 >= col("w_union") * minPct)
       .select(col("doc_a"), col("doc_b"), col("w_inter"), col("w_union"))
-  }
 
   /** Fingerprint CONTAINMENT pairs — the ASYMMETRIC near-dup detector
     * Jaccard misses: a short doc quoted wholesale inside a much longer one

@@ -1420,6 +1420,64 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("df-capped pair ops under the exact-dup collapse: collapse=true " +
+    "equals collapse=false for every cap (df counts DOCUMENTS, within-" +
+    "cluster pairs obey the capped-intersection rule)") {
+    // r6 fix of the r5 latent divergence (ADVICE #1): with maxDf set the
+    // collapse used to (a) count df over distinct-text REPS instead of
+    // documents and (b) emit within-cluster pairs unconditionally. The
+    // planted corpus exercises both failure classes:
+    //  - cluster A (4 identical docs): at cap 3 every shingle it carries
+    //    has df ≥ 4, so A must emit NO pairs at all — the old code
+    //    emitted all 6 within pairs at full score;
+    //  - boilerplate phrase shared by clusters B, C and two singletons:
+    //    its shingles' df is the MEMBER count (6), not the rep count (4),
+    //    so caps between 4 and 5 must drop them — the old rep-df kept
+    //    them alive;
+    //  - cluster C (2 identical docs = boilerplate + tiny unique tail):
+    //    once the boilerplate is capped away the pair's surviving
+    //    intersection is tiny, so the capped-intersection THRESHOLD drops
+    //    even this identical pair — unconditional within emission is
+    //    wrong.
+    val clusterA = (1 to 20).map(i => s"aa$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"bb$i").mkString(" ")
+    val clusterB = boiler + " " + (1 to 10).map(i => s"cc$i").mkString(" ")
+    val clusterC = boiler + " zz1"
+    val docs = docsDf(
+      (Seq(1L, 2L, 3L, 4L).map(_ -> clusterA) ++
+        Seq(10L, 11L).map(_ -> clusterB) ++
+        Seq(20L, 21L).map(_ -> clusterC) ++
+        Seq(30L -> (boiler + " " + (1 to 8).map(i => s"dd$i").mkString(" ")),
+          31L -> (boiler + " " + (1 to 8).map(i => s"ee$i").mkString(" ")),
+          40L -> "lonely text with no shared content at all")): _*)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(_.toSeq).toSet
+    for (cap <- Seq(1, 2, 3, 4, 5, 6, 100)) {
+      val exOn = rows(graft.ops.DedupOps.exactJaccardPairs(docs,
+        maxDf = Some(cap), collapseExact = true))
+      val exOff = rows(graft.ops.DedupOps.exactJaccardPairs(docs,
+        maxDf = Some(cap), collapseExact = false))
+      assert(exOn === exOff, s"exact maxDf=$cap collapse changed output")
+      val wOn = rows(graft.ops.DedupOps.weightedJaccardPairs(docs,
+        maxDf = Some(cap), collapseExact = true))
+      val wOff = rows(graft.ops.DedupOps.weightedJaccardPairs(docs,
+        maxDf = Some(cap), collapseExact = false))
+      assert(wOn === wOff, s"weighted maxDf=$cap collapse changed output")
+      val ids = exOn.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+      if (cap < 4) // cluster A larger than the cap: no pair may survive
+        assert(!ids.exists(p => p._1 <= 4L || p._2 <= 4L),
+          s"cap=$cap emitted a cluster-A pair")
+      if (cap >= 6) // boilerplate df = 6 docs: all in-boiler pairs back
+        assert(ids.contains((20L, 21L)), s"cap=$cap lost the C pair")
+      if (cap == 4 || cap == 5)
+        // boilerplate capped (df 6 > cap) but cluster-C's unique tail is
+        // too small to clear the 50% threshold: the IDENTICAL pair
+        // (20, 21) must be dropped by the capped-intersection rule
+        assert(!ids.contains((20L, 21L)),
+          s"cap=$cap kept the threshold-failing identical pair")
+    }
+  }
+
   test("weighted jaccard: repetition-divergent docs with identical token " +
     "SETS score below threshold; true duplicate pairs at 100%") {
     val docs = docsDf(
