@@ -54,6 +54,42 @@ object SuffixOps {
   case class SfxKey(doc_id: Long, pos: Int, bkt: Int, k1: Long, k2: Long)
   case class SfxRank(doc_id: Long, pos: Int, rnk: Long)
 
+  /** EXACT-DUP COLLAPSE for the suffix family (r6, the `textGroups`
+    * pattern from [[DedupOps]] applied here): every op below is a pure
+    * function of the maxLen-CAPPED text, so the prefix-doubling rounds may
+    * run over ONE representative per distinct capped text and member rows
+    * be recovered arithmetically — lossless by construction. Dense suffix
+    * ranks are ranks over DISTINCT suffix strings, and duplicate docs add
+    * no new distinct suffixes, so the rank table over reps IS the rank
+    * table over all docs restricted to reps; a member's (pos, rnk) rows
+    * equal its rep's. A crawled corpus with dup clusters of size c pays
+    * the O(rounds) shuffle machinery once per distinct text instead of c
+    * times (the sf10 probe measured p125 at 8.1x per 10x data on exactly
+    * this — the worst non-collapsed growth left in the suite).
+    *
+    * Returns (reps = one (doc_id, text) per distinct capped text keyed by
+    * min doc_id, text already capped; members = (rep_id, doc_id) for every
+    * doc; stats = per-rep (doc_id, csize, dsum) with
+    * dsum = Σ members (doc_id % 997 + 1), the weight [[suffixCensus]]'s
+    * chk_doc needs). */
+  private def collapse(docs: DataFrame, maxLen: Int)
+    : (DataFrame, DataFrame, DataFrame) = {
+    // group by the CAPPED TEXT itself (≤ maxLen chars — the same order
+    // as a digest, and the rep/stats frames then need NO join back:
+    // one partially-aggregated exchange, cheap to re-evaluate from the
+    // several consumers); only the member map pays a join, and only the
+    // expansion paths evaluate it
+    val keyed = docs.select(col("doc_id").cast("long").as("doc_id"),
+      substring(col("text"), 1, maxLen).as("text"))
+    val agg = keyed.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("csize"),
+        sum(col("doc_id") % 997L + 1L).as("dsum"))
+    (agg.select(col("rep_id").as("doc_id"), col("text")),
+     keyed.join(agg.select(col("text"), col("rep_id")), Seq("text"))
+       .select(col("rep_id"), col("doc_id")),
+     agg.select(col("rep_id").as("doc_id"), col("csize"), col("dsum")))
+  }
+
   /** Global suffix ranks over `substring(text, 1, maxLen)` of every doc:
     * one row per (doc_id, pos) with `rnk` = 0-based dense lexicographic
     * rank of that suffix among ALL suffixes of ALL docs (equal suffix
@@ -62,9 +98,25 @@ object SuffixOps {
     *
     * @param forcePairwise test hook: pretend (n+1)^2 overflows so the
     *   huge-n two-column doubling path runs (the path a 10^14-suffix
-    *   corpus takes, where no packing fits 63 bits). */
+    *   corpus takes, where no packing fits 63 bits).
+    * @param collapseExact run the doubling rounds over one rep per
+    *   distinct capped text and copy rep rows to members (dense ranks are
+    *   ranks over DISTINCT suffixes — see [[collapse]]); `false` keeps the
+    *   per-doc path for the equality spec. */
   def suffixRanks(docs: DataFrame, maxLen: Int = 192,
-                  forcePairwise: Boolean = false): DataFrame = {
+                  forcePairwise: Boolean = false,
+                  collapseExact: Boolean = true): DataFrame =
+    if (!collapseExact) ranksCore(docs, maxLen, forcePairwise)
+    else {
+      val (reps, members, _) = collapse(docs, maxLen)
+      ranksCore(reps, maxLen, forcePairwise).as("r")
+        .join(members.as("m"), col("r.doc_id") === col("m.rep_id"))
+        .select(col("m.doc_id").as("doc_id"), col("r.pos").as("pos"),
+          col("r.rnk").as("rnk"))
+    }
+
+  private def ranksCore(docs: DataFrame, maxLen: Int,
+                        forcePairwise: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -86,7 +138,19 @@ object SuffixOps {
         expr("CAST(x.k1 DIV 4594972986357 AS INT)").as("bkt0"),
         col("x.k1"), lit(0L).as("k2"))
 
-    val n = init.count()
+    // row count of `init` WITHOUT executing the explode+pack a second
+    // time (r6, guide §2.3 — at corpus scale the count was a full extra
+    // pass over every byte of text): sequence(0, L-1) yields L rows for
+    // L ≥ 1, 2 rows for L = 0 (descending [0,-1]), 0 for null text —
+    // summed as a narrow aggregate over doc lengths only
+    val n = docs.select(substring(col("text"), 1, maxLen).as("t"))
+      .select(sum(when(col("t").isNull, 0L)
+        .when(length(col("t")) === 0, 2L)
+        .otherwise(length(col("t")).cast("long"))).as("n"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
     if (n == 0) return spark.emptyDataset[SfxRank].toDF()
     val buckets = math.max(spark.sparkContext.defaultParallelism,
       math.min(1024L, n / 4096L)).toInt
@@ -255,10 +319,19 @@ object SuffixOps {
     * a census row can't be right by accident.
     */
   def lcpCensus(docs: DataFrame, maxLen: Int = 192,
-                window: Int = 64): DataFrame = {
+                window: Int = 64, collapseExact: Boolean = true)
+    : DataFrame = {
+    // census output is a pure function of the DISTINCT-rank structure —
+    // rank classes, adjacency and windows are identical with or without
+    // duplicate docs — so the collapsed path needs NO member expansion
+    // at all: run the whole chain over one rep per distinct capped text
+    val src = if (collapseExact) collapse(docs, maxLen)._1 else docs
+    // window text comes from the ORIGINAL docs table (cheaper than
+    // re-evaluating the collapse): the doc_id-keyed join below selects
+    // rep rows only, and a rep's capped text is its own text
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
       substring(col("text"), 1, maxLen).as("t"))
-    val reps = suffixRanks(docs, maxLen)
+    val reps = ranksCore(src, maxLen)
       .groupBy(col("rnk"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
       .select(col("rnk"), col("rep.doc_id").as("doc_id"),
@@ -299,15 +372,41 @@ object SuffixOps {
     * total, and a Σ start·len checksum binding interval placement.
     */
   def repeatSpans(docs: DataFrame, maxLen: Int = 128, window: Int = 64,
-                  minLen: Int = 20): DataFrame = {
+                  minLen: Int = 20, collapseExact: Boolean = true)
+    : DataFrame = {
+    // collapsed path (r6): the whole chain — classes, neighbor LCPs,
+    // spans, interval union — is a pure function of the capped text, so
+    // it runs once per distinct text; the per-doc summary rows are then
+    // COPIED to members (output-sized join, no suffix work per dup). The
+    // one member-sensitive input is n_members (the duplicate-class term
+    // fires when a suffix string occurs ≥ 2 times corpus-wide), which the
+    // rep path recovers exactly as Σ cluster sizes over the class's reps.
+    val (src, membersOpt) =
+      if (collapseExact) {
+        val (reps, members, stats) = collapse(docs, maxLen)
+        (reps, Some((members, stats)))
+      } else (docs, None)
+    // window/length text from the ORIGINAL docs (doc_id-keyed joins below
+    // select rep rows only; see lcpCensus)
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
       substring(col("text"), 1, maxLen).as("t"))
-    val ranks = suffixRanks(docs, maxLen)
+    val ranks = ranksCore(src, maxLen)
 
     // class summary: member count + lexicographically-least representative
-    val classes = ranks.groupBy(col("rnk"))
-      .agg(count(lit(1)).as("n_members"),
-        min(struct(col("pos"), col("doc_id"))).as("rep"))
+    // (any member of a rank class carries the same suffix string, so the
+    // rep choice only feeds window text — collapsed and per-doc paths may
+    // pick different members with identical windows)
+    val classes = membersOpt match {
+      case Some((_, stats)) =>
+        ranks.join(stats.select(col("doc_id"), col("csize")), "doc_id")
+          .groupBy(col("rnk"))
+          .agg(sum(col("csize")).as("n_members"),
+            min(struct(col("pos"), col("doc_id"))).as("rep"))
+      case None =>
+        ranks.groupBy(col("rnk"))
+          .agg(count(lit(1)).as("n_members"),
+            min(struct(col("pos"), col("doc_id"))).as("rep"))
+    }
     // window per class via ONE doc-keyed text join on the representatives
     val wins = classes
       .select(col("rnk"), col("n_members"),
@@ -344,7 +443,7 @@ object SuffixOps {
       .select(col("doc_id"), col("s"), (col("s") + col("rep_len")).as("e"))
 
     // per-doc interval union: sorted-array fold, touching spans merge
-    spans.groupBy(col("doc_id"))
+    val summary = spans.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
       .select(col("doc_id"),
         size(col("sp")).cast("long").as("n_raw"),
@@ -370,7 +469,20 @@ object SuffixOps {
         col("m.n_merged").as("n_merged"),
         col("m.bytes_flagged").as("bytes_flagged"),
         col("m.chk").as("chk"))
-      .orderBy(col("doc_id"))
+    membersOpt match {
+      case Some((members, _)) =>
+        // copy each rep's summary row to every member of its text cluster
+        // (spans are position arithmetic over the shared text — identical
+        // per member by construction)
+        summary.as("s")
+          .join(members.as("g"), col("s.doc_id") === col("g.rep_id"))
+          .select(col("g.doc_id").as("doc_id"), col("s.n_raw").as("n_raw"),
+            col("s.n_merged").as("n_merged"),
+            col("s.bytes_flagged").as("bytes_flagged"),
+            col("s.chk").as("chk"))
+          .orderBy(col("doc_id"))
+      case None => summary.orderBy(col("doc_id"))
+    }
   }
 
   /** Driver-gate census of the full rank array: 512-rank shards carrying
@@ -379,13 +491,32 @@ object SuffixOps {
     * breaks a checksum. Integer-exact: rnk < n and the factors are < 2^10,
     * so shard sums stay far below 2^63. */
   def suffixCensus(docs: DataFrame, maxLen: Int = 192,
-                   shardShift: Int = 9): DataFrame =
-    suffixRanks(docs, maxLen)
-      .groupBy(shiftright(col("rnk"), shardShift).as("shard"))
-      .agg(count(lit(1)).as("n_suffixes"),
-        countDistinct(col("rnk")).as("n_distinct"),
-        sum(col("pos").cast("long")).as("sum_pos"),
-        sum(col("rnk") * (col("pos").cast("long") + 1L)).as("chk_pos"),
-        sum(col("rnk") * (col("doc_id") % 997L + 1L)).as("chk_doc"))
+                   shardShift: Int = 9,
+                   collapseExact: Boolean = true): DataFrame =
+    if (collapseExact) {
+      // rep-arithmetic form (r6): member rows of a text cluster are the
+      // rep's rows with substituted doc_ids, so every census sum is a
+      // csize/dsum-weighted sum over rep rows — the member table is never
+      // materialized (count → Σ csize, Σ pos → Σ pos·csize,
+      // Σ rnk·(doc%997+1) → Σ rnk·dsum); distinct ranks are unweighted
+      val (reps, _, stats) = collapse(docs, maxLen)
+      ranksCore(reps, maxLen)
+        .join(stats, "doc_id")
+        .groupBy(shiftright(col("rnk"), shardShift).as("shard"))
+        .agg(sum(col("csize")).as("n_suffixes"),
+          countDistinct(col("rnk")).as("n_distinct"),
+          sum(col("pos").cast("long") * col("csize")).as("sum_pos"),
+          sum(col("rnk") * (col("pos").cast("long") + 1L) * col("csize"))
+            .as("chk_pos"),
+          sum(col("rnk") * col("dsum")).as("chk_doc"))
+        .orderBy(col("shard"))
+    } else
+      ranksCore(docs, maxLen)
+        .groupBy(shiftright(col("rnk"), shardShift).as("shard"))
+        .agg(count(lit(1)).as("n_suffixes"),
+          countDistinct(col("rnk")).as("n_distinct"),
+          sum(col("pos").cast("long")).as("sum_pos"),
+          sum(col("rnk") * (col("pos").cast("long") + 1L)).as("chk_pos"),
+          sum(col("rnk") * (col("doc_id") % 997L + 1L)).as("chk_doc"))
       .orderBy(col("shard"))
 }

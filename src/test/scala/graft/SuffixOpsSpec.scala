@@ -196,6 +196,73 @@ class SuffixOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.toSeq === b.toSeq)
   }
 
+  /** Planted dup-cluster corpus for the exact-dup collapse equality pins:
+    * a size-4 identical cluster, a size-2 cluster identical ONLY within
+    * the maxLen cap (diverging tails), a cross-doc repeated phrase whose
+    * docs are NOT identical, self-repetitive and unique docs. Non-dense
+    * doc_ids so rep selection (min id) is exercised off the identity
+    * layout. */
+  private val dupCorpus: Seq[(Long, String)] = {
+    val phrase = "the shared verbatim phrase that repeats across docs!"
+    Seq(
+      (3L, s"alpha $phrase tail one ${"na" * 6}"),
+      (17L, s"cluster body text ${"xy" * 8} end"),
+      (9L, s"cluster body text ${"xy" * 8} end"),   // = 17 (full dup)
+      (41L, s"cluster body text ${"xy" * 8} end"),  // = 17
+      (55L, s"cluster body text ${"xy" * 8} end"),  // = 17
+      (8L, s"beta $phrase other tail entirely AAAA"),
+      (30L, "capped head identical part then DIVERGENT-A suffix material"),
+      (22L, "capped head identical part then DIVERGENT-B suffix material"),
+      (11L, "wholly unique content with no repeats qqq zz"),
+      (6L, "na" * 30))
+  }
+
+  test("exact-dup collapse: all four ops are bit-identical to the " +
+      "per-doc path on a planted dup-cluster corpus") {
+    // maxLen=30 makes docs 30/22 identical within the cap (their full
+    // texts differ) — the collapse must group on the CAPPED text
+    val df = dupCorpus.toDF("doc_id", "text")
+    for (maxLen <- Seq(30, 96)) {
+      val rc = graft.ops.SuffixOps
+        .suffixRanks(df, maxLen, collapseExact = true)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val ru = graft.ops.SuffixOps
+        .suffixRanks(df, maxLen, collapseExact = false)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(rc.nonEmpty && rc.toSeq === ru.toSeq, s"ranks maxLen=$maxLen")
+
+      val cc = graft.ops.SuffixOps
+        .suffixCensus(df, maxLen, shardShift = 4, collapseExact = true)
+        .collect().map(_.toSeq)
+      val cu = graft.ops.SuffixOps
+        .suffixCensus(df, maxLen, shardShift = 4, collapseExact = false)
+        .collect().map(_.toSeq)
+      assert(cc.nonEmpty && cc.toSeq === cu.toSeq, s"census maxLen=$maxLen")
+
+      val lc = graft.ops.SuffixOps
+        .lcpCensus(df, maxLen, window = 16, collapseExact = true)
+        .collect().map(_.toSeq)
+      val lu = graft.ops.SuffixOps
+        .lcpCensus(df, maxLen, window = 16, collapseExact = false)
+        .collect().map(_.toSeq)
+      assert(lc.nonEmpty && lc.toSeq === lu.toSeq, s"lcp maxLen=$maxLen")
+
+      val sc = graft.ops.SuffixOps
+        .repeatSpans(df, maxLen, window = 24, minLen = 10,
+          collapseExact = true)
+        .collect().map(_.toSeq)
+      val su = graft.ops.SuffixOps
+        .repeatSpans(df, maxLen, window = 24, minLen = 10,
+          collapseExact = false)
+        .collect().map(_.toSeq)
+      assert(sc.nonEmpty && sc.toSeq === su.toSeq, s"spans maxLen=$maxLen")
+      // every member of the size-4 cluster got its (identical) span row:
+      // duplicate-class suffixes of a 4-cluster all reach the threshold
+      val spanIds = sc.map(_.head.asInstanceOf[Long]).toSet
+      assert(Set(17L, 9L, 41L, 55L).subsetOf(spanIds))
+    }
+  }
+
   test("census: shard counts, distincts and checksums are partition-count" +
       " invariant") {
     val docs = (0L until 30L).map(i => (i, ("xy" * (i % 11 + 1).toInt) +
