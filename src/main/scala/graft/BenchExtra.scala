@@ -55,6 +55,15 @@ object BenchExtra {
           println(f"JOBPROF job=${je.jobId}%d sec=$sec%.3f desc=$desc")
       }
     }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val sec = (for { a <- si.completionTime; b <- si.submissionTime }
+        yield (a - b) / 1e3).getOrElse(-1.0)
+      if (sec >= 0.25)
+        println(f"STAGEPROF stage=${si.stageId}%d sec=$sec%.3f " +
+          f"tasks=${si.numTasks}%d name=${si.name.takeWhile(_ != '\n')}")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -237,9 +237,15 @@ object PipelineOpsQueries {
     "p132_cc_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val d = docs(s, dir)
+      // ONE LSH pass feeds both sides (r6): banding is per-doc and the
+      // verify is pair-local, so minhashLsh(old docs) == the full-corpus
+      // pair set filtered to old-only endpoints — the base world's pairs
+      // and the delta's come from the same (eagerly checkpointed, timed)
+      // run instead of two full band+verify executions
+      val full = DedupOps.minhashLsh(d).localCheckpoint(true)
       val base = DedupOps.dupClusters(
-        DedupOps.minhashLsh(d.where(col("doc_id") % 5 =!= 4)))
-      val delta = DedupOps.minhashLsh(d)
+        full.filter(col("doc_a") % 5 =!= 4 && col("doc_b") % 5 =!= 4))
+      val delta = full
         .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
       DedupOps.dupClustersIncremental(base, delta)
         .orderBy(col("doc_id"))

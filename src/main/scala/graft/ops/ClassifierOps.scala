@@ -71,11 +71,19 @@ object ClassifierOps {
             "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"))
       val mis = scored.filter(col("margin") <= 0)
       // D-row update: posexplode the misclassified features, partial
-      // aggregation makes each partition contribute ≤ D rows
-      val dw = mis.select(col("y"), posexplode(col("x")).as(Seq("i", "c")))
-        .groupBy(col("i")).agg(sum(col("y") * col("c")).as("dw"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nMis = mis.count()
+      // aggregation makes each partition contribute ≤ D rows. n_mis
+      // rides the SAME aggregation (r6): x is a dense length-D array, so
+      // every misclassified doc contributes exactly one row to every
+      // index group — any group's count IS the misclassified-doc count,
+      // and the old separate mis.count() re-ran the whole scoring scan
+      // a second time per epoch
+      val dwRows = mis
+        .select(col("y"), posexplode(col("x")).as(Seq("i", "c")))
+        .groupBy(col("i")).agg(sum(col("y") * col("c")).as("dw"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val dw = dwRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nMis = dwRows.headOption.map(_.getLong(2)).getOrElse(0L)
       // annealed step: epoch e applies Δw >> (e−1) — the raw full-batch
       // update overshoots and cycles between the two all-one-class
       // states (observed: n_mis 500→218→282→218→282); geometric decay is

@@ -1674,6 +1674,13 @@ object CorpusOps {
     vocab.count()
     var step = 1
     var exhausted = false
+    // deferred unpersist (r6, one driver action per round instead of
+    // two): the NEXT round's argmax is the job that materializes this
+    // round's persist — no dedicated count() — so the parent generation
+    // must stay cached until that argmax has run (unpersisting it
+    // earlier would force the un-materialized child to recompute its
+    // whole replace lineage from the corpus scan)
+    var prev: Option[DataFrame] = None
     while (step <= steps && !exhausted) {
       val best = vocab.select(col("freq"),
           split(expr("substring(s, 2, length(s) - 2)"), SEP2).as("sy"))
@@ -1685,6 +1692,8 @@ object CorpusOps {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (best.isEmpty) exhausted = true
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
@@ -1692,8 +1701,7 @@ object CorpusOps {
           call_function("replace", col("s"),
             lit(SEP + l + SEP2 + r + SEP), lit(SEP + l + r + SEP)).as("s"),
           col("freq")).persist()
-        next.count()
-        vocab.unpersist()
+        prev = Some(vocab)
         vocab = next
         step += 1
       }
@@ -1718,6 +1726,7 @@ object CorpusOps {
       .orderBy(col("source"))
     out.persist()
     out.count() // materialize the tiny census before the vocab unpersists
+    prev.foreach(_.unpersist())
     vocab.unpersist()
     out
   }
@@ -1761,19 +1770,28 @@ object CorpusOps {
           call_function("replace", col("s"),
             lit(SEP + l + SEP2 + r + SEP), lit(SEP + l + r + SEP)).as("s"),
           col("freq")).persist()
-        next.count()
-        vocab.unpersist()
+        // fused census (r6: ONE action per round instead of three — it
+        // doubles as the persist materializer, so the count() is gone
+        // too): explode the symbol array once, charge freq·|syms| only
+        // at the first position (every word has ≥ 1 symbol, so position
+        // 0 always exists) and count distinct symbols in the same agg.
+        // freq·|syms| == the old freq·k — k counted the ␟ pairs, which
+        // is exactly size(sy).
+        // two-level agg (per-symbol, then global) rather than
+        // sum + countDistinct in one — the mixed form plans through an
+        // Expand that doubles every exploded row
+        val cen = next.select(
+            split(expr("substring(s, 2, length(s) - 2)"), SEP2).as("sy"),
+            col("freq"))
+          .select((col("freq") * size(col("sy")).cast("long")).as("fk"),
+            posexplode(col("sy")).as(Seq("i", "sym")))
+          .groupBy(col("sym"))
+          .agg(sum(when(col("i") === 0, col("fk"))).as("tokpart"))
+          .agg(sum(col("tokpart")).as("tok"), count(lit(1)).as("nsym"))
+          .collect()(0)
+        vocab.unpersist() // next is materialized by the census action
         vocab = next
-        val cen = vocab.select(col("freq"),
-          ((length(col("s")) -
-            length(call_function("replace", col("s"), lit(SEP), lit(""))))
-            .cast("long") / lit(2L)).cast("long").as("k"),
-          split(expr("substring(s, 2, length(s) - 2)"), SEP2).as("sy"))
-        val tok = cen.agg(sum(col("freq") * col("k")))
-          .collect()(0).getLong(0)
-        val nsym = cen.select(explode(col("sy")).as("sym"))
-          .agg(countDistinct(col("sym"))).collect()(0).getLong(0)
-        out += ((step.toLong, l, r, n, tok, nsym))
+        out += ((step.toLong, l, r, n, cen.getLong(0), cen.getLong(1)))
         step += 1
       }
     }

@@ -804,7 +804,13 @@ object DedupOps {
       .localCheckpoint(true)
 
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u});
-    // strictly-decreasing targets keep orientation (hi, lo)
+    // strictly-decreasing targets keep orientation (hi, lo). The closing
+    // `distinct` is load-bearing beyond semantics: smallStar consumes
+    // this frame TWICE (its min-agg and its relink join), and the
+    // distinct's exchange is the shared materialization point that stops
+    // the large-star join subtree executing once per consumer (measured
+    // r6: dropping it made p26 2.8 → 4.1 s — the "saved" exchange was
+    // cheaper than the duplicated join).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
