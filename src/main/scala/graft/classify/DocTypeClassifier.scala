@@ -17,47 +17,97 @@ object DocTypeClassifier {
   private val aadhaarNumPat = Pattern.compile("\\b\\d{4}\\s?\\d{4}\\s?\\d{4}\\b")
   private val panPat = Pattern.compile("[A-Z]{5}\\d{4}[A-Z]")
 
-  // extractor.py:60-73 — searched against raw_text.lower()
-  private val dlPatterns = Seq(
-    "dl\\sno", "driving\\slicence", "driving\\slicense",
-    "valid\\sthroughout\\sindia", "\\bmcwg\\b", "\\blmv\\b", "\\bform\\s7\\b"
-  ).map(Pattern.compile(_))
+  // extractor.py:60-73 — searched against raw_text.lower(). r6 hot-path
+  // form: each regex is guarded by a `contains` of a literal substring
+  // the pattern REQUIRES ("dl\sno" cannot match without "dl", etc.), so
+  // the common all-miss path (every Unknown noise doc) costs intrinsified
+  // indexOf scans instead of regex passes — boolean-identical by
+  // construction (guard ∧ regex ≡ regex when the guard is implied).
+  // A fused single-alternation form was tried first and MEASURED SLOWER
+  // (220 → 322 ms/20k docs): the alternation loses java.util.regex's
+  // per-pattern Boyer-Moore literal-prefix optimization.
+  private val dlNoPat = Pattern.compile("dl\\sno")
+  private val dlLicencePat = Pattern.compile("driving\\slicence")
+  private val dlLicensePat = Pattern.compile("driving\\slicense")
+  private val dlValidPat = Pattern.compile("valid\\sthroughout\\sindia")
+  private val dlMcwgPat = Pattern.compile("\\bmcwg\\b")
+  private val dlLmvPat = Pattern.compile("\\blmv\\b")
+  private val dlForm7Pat = Pattern.compile("\\bform\\s7\\b")
 
-  // extractor.py:75-89 — searched against lowered text AND its space-stripped
-  // variant (the uppercase-only patterns are dead on the lowered input; the
-  // reference keeps them, so we do too)
-  private val passportPatterns = Seq(
-    "passport", "p<ind", "republic\\s*of\\s*india", "/nationality",
-    "/placeofssue", "x[0-9]{7}", "\\bp<"
-  ).map(Pattern.compile(_))
+  // extractor.py:75-89 — searched against lowered text AND its
+  // space-stripped variant (the uppercase-only patterns are dead on the
+  // lowered input; the reference keeps them, so we do too). Pure-literal
+  // patterns ("passport", "p<ind", "/nationality", "/placeofssue") ARE
+  // their own guards (contains == find); the clean variant is built only
+  // when some guard needs it (the reference allocates it unconditionally
+  // — allocation order is unobservable).
+  private val passRepublicPat = Pattern.compile("republic\\s*of\\s*india")
+  private val passX7Pat = Pattern.compile("x[0-9]{7}")
+  private val passPltPat = Pattern.compile("\\bp<")
 
   def isDrivingLicense(textLower: String): Boolean =
-    dlPatterns.exists(p => reTest(p, textLower))
+    (textLower.contains("dl") && reTest(dlNoPat, textLower)) ||
+    (textLower.contains("driving") &&
+      (reTest(dlLicencePat, textLower) || reTest(dlLicensePat, textLower))) ||
+    (textLower.contains("valid") && reTest(dlValidPat, textLower)) ||
+    (textLower.contains("mcwg") && reTest(dlMcwgPat, textLower)) ||
+    (textLower.contains("lmv") && reTest(dlLmvPat, textLower)) ||
+    (textLower.contains("form") && reTest(dlForm7Pat, textLower))
 
-  def isPassport(textLower: String): Boolean = {
-    val textClean = textLower.replace(" ", "")
-    passportPatterns.exists(p => reTest(p, textLower) || reTest(p, textClean))
-  }
+  private def passportHit(t: String): Boolean =
+    t.contains("passport") || t.contains("p<ind") ||
+    (t.contains("republic") && reTest(passRepublicPat, t)) ||
+    t.contains("/nationality") || t.contains("/placeofssue") ||
+    (t.contains("x") && reTest(passX7Pat, t)) ||
+    (t.contains("p<") && reTest(passPltPat, t))
+
+  def isPassport(textLower: String): Boolean =
+    passportHit(textLower) || passportHit(textLower.replace(" ", ""))
+
+  // NOTE (r6): a fused one-pass bitmask over `upper` for the ten trigger
+  // literals was tried and MEASURED SLOWER than the separate contains
+  // battery (199 → 263 ms/20k docs): String.indexOf is JIT-intrinsified
+  // (vectorized) and ten intrinsified scans beat one per-char Scala loop.
+  // Same lesson as the routing alternation below — keep literal searches
+  // on the intrinsic path.
 
   /** Primary chain — cleaner.py:404-424. */
   def extractDocument(rawText: String, lines: Seq[String]): PyDict = {
     val upper = rawText.toUpperCase
     var baseData = new PyDict
 
-    if (reTest(aadhaarNumPat, rawText) || upper.contains("MALE") ||
+    // exact guard for the two number regexes (r6): \d and [0-9] cannot
+    // match a digit-free text (java \d is ASCII [0-9] without
+    // UNICODE_CHARACTER_CLASS), and the noise-page majority of the corpus
+    // carries no digits — one cheap char scan skips both regex passes
+    val hasDigit = {
+      var i = 0; var f = false
+      while (!f && i < rawText.length) {
+        val c = rawText.charAt(i)
+        if (c >= '0' && c <= '9') f = true
+        i += 1
+      }
+      f
+    }
+
+    if ((hasDigit && reTest(aadhaarNumPat, rawText)) ||
+        upper.contains("MALE") ||
         upper.contains("FEMALE") || upper.contains("DOB"))
       baseData = AadhaarExtractor.extract(rawText, lines)
 
-    if (!baseData.truthy("document_type") && reTest(panPat, rawText))
+    if (!baseData.truthy("document_type") && hasDigit &&
+        reTest(panPat, rawText))
       baseData = PanExtractor.extract(rawText, lines)
 
     if (!baseData.truthy("document_type") &&
-        (upper.contains("UNIVERSITY") || upper.contains("MARKS") || upper.contains("RESULT")))
+        (upper.contains("UNIVERSITY") || upper.contains("MARKS") ||
+         upper.contains("RESULT")))
       baseData = MarksheetExtractor.extract(rawText, lines)
 
     if (!baseData.truthy("document_type") &&
         (rawText.contains("DL No") || rawText.contains("DLNo") ||
-         upper.contains("DRIVING LICENCE") || upper.contains("THROUGHOUT INDIA") ||
+         upper.contains("DRIVING LICENCE") ||
+         upper.contains("THROUGHOUT INDIA") ||
          upper.contains("LICENCING AUTHORITY")))
       baseData = DlExtractor.extract(rawText, lines)
 

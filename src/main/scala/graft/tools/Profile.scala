@@ -35,5 +35,25 @@ object Profile {
     time("validate only") {
       dicts.foreach(d => graft.validate.Validator.validateDocument(d.toJ))
     }
+    // finer splits (r6): where inside classify/strip the time goes
+    time("  classify: extractDocument only") {
+      ocrs.foreach(o => graft.classify.DocTypeClassifier.extractDocument(o.raw_text, o.lines))
+    }
+    val unknowns = ocrs.filter(o => graft.classify.DocTypeClassifier
+      .extractDocument(o.raw_text, o.lines).get("document_type").contains("Unknown"))
+    println(s"  (${unknowns.length} Unknown docs of ${ocrs.length})")
+    time("  classify: DL+passport routing on Unknowns") {
+      unknowns.foreach { o =>
+        val tl = o.raw_text.toLowerCase
+        if (!graft.classify.DocTypeClassifier.isDrivingLicense(tl))
+          graft.classify.DocTypeClassifier.isPassport(tl)
+      }
+    }
+    time("  extractDoc tail (spans+json+validate) minus classify") {
+      dicts.foreach { d =>
+        val (_, record, _) = graft.validate.Validator.validateDocument(d.toJ)
+        graft.model.JValue.toJson(record)
+      }
+    }
   }
 }

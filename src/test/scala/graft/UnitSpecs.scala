@@ -129,7 +129,13 @@ class BoilerplateStripSpec extends AnyFunSuite {
       "<p>", "</p>", "<div class=x>", "</div>", "<script>", "</script>",
       "<nav>", "</nav>", "<!--", "-->", "<a href=\"#\">", "</a>",
       "&amp;", "&nbsp;", "&lt;", "&zz;", "&", "<", ">", "text words ",
-      "copyright ", "newsletter ", "plain", " \n ", "<br/>", "<h1>")
+      "copyright ", "newsletter ", "plain", " \n ", "<br/>", "<h1>",
+      // r6 hand-scanner edges: mixed case, ws-closed chrome, name+\b
+      // near-misses, boundary-name prefixes, unclosed tags, h7
+      "<SCRIPT>", "</SCRIPT >", "<Style>x</style\n>", "<scriptx>",
+      "<pre>", "</pre>", "<h7>", "<h1x>", "<ph>", "<table>", "</table>",
+      "<p <x>", "<noscript>", "</noscript>", "<NAV", "<!---->", "<!-->",
+      "<p\tclass=y>", "<hr/>", "<td>", "<blockquote>")
     val htmlGen = Gen.chooseNum(0, 30).flatMap(n =>
       Gen.listOfN(n, frag).map(_.mkString))
     val res = SCTest.check(SCTest.Parameters.default,
