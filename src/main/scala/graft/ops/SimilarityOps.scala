@@ -472,7 +472,17 @@ object SimilarityOps {
     * dumps `lshBucketsMulti` so the DuckDB oracle can rebuild the identical
     * candidate set (the hyperplane hash is engine code) and re-verify every
     * pair with its own cosine; also the natural shape when buckets are a
-    * persisted index (see `StreamingExtraction.nearDupStream`). */
+    * persisted index (see `StreamingExtraction.nearDupStream`).
+    *
+    * CONTRACT (r6, ADVICE): with `collapseExact = true` (the default),
+    * `buckets` must cover EVERY vec_id of `emb` — the collapse pairs all
+    * identical-vector members of `emb` within a group and probes cross
+    * candidates through the group's min-id rep, so a PARTIAL bucket table
+    * (an index covering only a subset of emb) diverges from the
+    * uncollapsed path: un-bucketed members would within-pair, and a group
+    * whose rep is missing from `buckets` loses its cross-pair candidacy.
+    * Pass `collapseExact = false` when probing a partial/persisted index
+    * that does not cover all of `emb`. */
   def embeddingNearDupsFrom(emb: DataFrame, buckets: DataFrame,
                             minCosine: Double = 0.9,
                             collapseExact: Boolean = true): DataFrame = {
