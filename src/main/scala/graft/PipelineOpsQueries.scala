@@ -228,7 +228,10 @@ object PipelineOpsQueries {
     // small-star) → (doc, keeper, cluster size); oracled by a DuckDB
     // recursive-CTE transitive closure over the exact pair set
     "p26_dup_clusters" -> ((s, dir) =>
-      DedupOps.dupClusters(DedupOps.minhashLsh(docs(s, dir)))),
+      // r6: CC over rep-level pairs with arithmetic member labeling —
+      // output-identical (spec-pinned), never builds the in-cluster
+      // quadratic edge set
+      DedupOps.dupClustersOverDocs(docs(s, dir))),
     // incremental CC maintenance: base labels from the doc_id%5!=4 world,
     // delta = the new docs' pairs only; LSH pair candidacy is per-pair,
     // so base∪delta IS the full pair set — the oracle recomputes CC from
@@ -961,7 +964,7 @@ object PipelineOpsQueries {
     "p136_group_kfold" -> ((s, dir) => {
       val d = docs(s, dir)
       DedupOps.groupKFold(d,
-        DedupOps.dupClusters(DedupOps.minhashLsh(d)), k = 5)
+        DedupOps.dupClustersOverDocs(d), k = 5) // r6 rep-level CC
     }),
 
     // md5(NFC(text)) with n_raw=2 distinct byte hashes
@@ -1350,7 +1353,7 @@ object PipelineOpsQueries {
     "p83_keeper_quality" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val d = docs(s, dir)
-      val cl = DedupOps.dupClusters(DedupOps.minhashLsh(d))
+      val cl = DedupOps.dupClustersOverDocs(d) // r6 rep-level CC
       cl.join(d.select(col("doc_id"), col("n_chars").cast("long")
             .as("n_chars")), "doc_id")
         .groupBy(col("cluster_id"))
@@ -1375,7 +1378,7 @@ object PipelineOpsQueries {
     "p82_cluster_sizes" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val d = docs(s, dir)
-      val cl = DedupOps.dupClusters(DedupOps.minhashLsh(d))
+      val cl = DedupOps.dupClustersOverDocs(d) // r6 rep-level CC
         .localCheckpoint(true) // 3 plan branches below
       val hist = cl.groupBy(col("cluster_size"))
         .agg(countDistinct(col("cluster_id")).as("n_clusters"),

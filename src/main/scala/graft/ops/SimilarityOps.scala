@@ -355,7 +355,9 @@ object SimilarityOps {
     * dot/norm accumulate in index order so the score is bit-identical to the
     * Catalyst/DuckDB sequential folds. */
   def topPairs(emb: DataFrame, k: Int = 100,
-               maxBroadcastRows: Long = BruteRowLimit): DataFrame = {
+               maxBroadcastRows: Long = BruteRowLimit,
+               collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) return topPairsCollapsed(emb, k, maxBroadcastRows)
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long"),
@@ -393,6 +395,142 @@ object SimilarityOps {
       .flatMap(h => h._1.indices.map(i => (h._1(i), h._2(i), h._3(i))))
       .toDF("score", "vec_a", "vec_b")
       .orderBy(col("score").desc, col("vec_a"), col("vec_b")).limit(k)
+      .select(row_number().over(w).as("rank"), col("vec_a"), col("vec_b"))
+      .orderBy(col("rank"))
+  }
+
+  /** Identical-VECTOR collapse for the exact top-k pair kernel (r6 —
+    * the sf10 probe measured the uncollapsed kernel at 143 s on dup
+    * clusters of 100, 57× per 10× data: every member of an
+    * identical-vector cluster re-scores against everything). Cosine is a
+    * pure function of the two arrays, so the N² member-pair score table
+    * collapses to D² CLASS scores (D = distinct vectors): cross class
+    * (G, H) carries |G|·|H| member pairs at one score, within class
+    * (G, G) carries C(|G|,2) pairs at cosine(v, v) — computed with the
+    * SAME loop arithmetic as the uncollapsed member pair of two
+    * identical arrays, so every candidate score is bit-identical.
+    *
+    * Exact top-k selection argument: fewer than k classes can score
+    * STRICTLY above the k-th member pair (each contributes ≥ 1 pair), so
+    * every contributing class sits inside any partition's top-k class
+    * scores or ties the k-th — the two-pass kernel (pass 1: k-score
+    * min-heap per partition → boundary b; pass 2: emit classes with
+    * score ≥ b) therefore retains a SUPERSET of the contributing
+    * classes. Globally, score levels are kept while the cumulative
+    * member-pair mult of strictly-better levels is < k, kept classes
+    * expand to member pairs, and the final (score DESC, vec_a, vec_b)
+    * sort-limit is the ORIGINAL tail verbatim — identical selection on
+    * identical scores. Per-class member expansion is output-tie-bounded
+    * (the boundary level expands fully — the answer's own tie set).
+    * Compute: O(D²) scores twice instead of O(N²) once; the broadcast
+    * side shrinks to one array per distinct vector. */
+  private def topPairsCollapsed(emb: DataFrame, k: Int,
+                                maxBroadcastRows: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    guardBruteContract("topPairs", emb, maxBroadcastRows,
+      "embeddingNearDups (LSH-banded near-dup pairs)")
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val groups = vecs.groupBy(col("e"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("csize"),
+        sort_array(collect_list(col("vec_id"))).as("mids"))
+    val reps = groups.select(col("rep_id"), col("e"), col("csize"))
+      .as[(Long, Array[Double], Long)]
+    val side = reps.collect().sortBy(_._1) // brute contract, reps only
+    val ids = side.map(_._1)
+    val es = side.map(_._2)
+    val csz = side.map(_._3)
+    val norms = es.map(norm)
+    val bc = spark.sparkContext.broadcast((ids, es, norms, csz))
+    val kk = k
+    val classes = reps.mapPartitions { it =>
+      val (ids, es, norms, csz) = bc.value
+      val rows = it.toArray
+      // visit every class this partition owns (cross: ids(j) > aId;
+      // within: csize ≥ 2), with the uncollapsed path's exact arithmetic
+      def visit(f: (Double, Long, Long, Long) => Unit): Unit =
+        rows.foreach { case (aId, ae, ac) =>
+          val an = norm(ae)
+          if (ac >= 2) {
+            var dot = 0.0; var i = 0
+            while (i < ae.length) { dot += ae(i) * ae(i); i += 1 }
+            f(dot / (an * an), aId, aId, ac * (ac - 1) / 2)
+          }
+          var j = 0
+          while (j < ids.length) {
+            if (ids(j) > aId) {
+              val be = es(j)
+              var dot = 0.0; var i = 0
+              while (i < ae.length) { dot += ae(i) * be(i); i += 1 }
+              f(dot / (an * norms(j)), aId, ids(j), ac * csz(j))
+            }
+            j += 1
+          }
+        }
+      // pass 1: partition's k-th largest class score (size-k min-heap)
+      val heap = new Array[Double](kk)
+      var hn = 0
+      def push(s: Double): Unit =
+        if (hn < kk) {
+          heap(hn) = s; hn += 1
+          var c = hn - 1
+          while (c > 0 && heap((c - 1) / 2) > heap(c)) {
+            val p = (c - 1) / 2
+            val t = heap(c); heap(c) = heap(p); heap(p) = t
+            c = p
+          }
+        } else if (s > heap(0)) {
+          heap(0) = s
+          var c = 0
+          var done = false
+          while (!done) {
+            var m = c
+            val l = 2 * c + 1; val r = 2 * c + 2
+            if (l < kk && heap(l) < heap(m)) m = l
+            if (r < kk && heap(r) < heap(m)) m = r
+            if (m == c) done = true
+            else { val t = heap(c); heap(c) = heap(m); heap(m) = t; c = m }
+          }
+        }
+      visit((s, _, _, _) => push(s))
+      val b = if (hn < kk) Double.NegativeInfinity else heap(0)
+      // pass 2: emit this partition's classes at or above the boundary
+      val out = Array.newBuilder[(Double, Long, Long, Long)]
+      visit((s, ra, rb, m) => if (s >= b) out += ((s, ra, rb, m)))
+      out.result().iterator
+    }.toDF("score", "ra", "rb", "mult")
+
+    // global class selection: keep score levels while the cumulative
+    // member-pair mult of STRICTLY better levels is < k (levels at the
+    // boundary are kept whole — the final sort-limit trims)
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.orderBy(col("score").desc)
+    val keep = classes.groupBy(col("score"))
+      .agg(sum(col("mult")).as("m"))
+      .withColumn("before", coalesce(sum(col("m")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("before") < kk)
+      .select(col("score"))
+    val kept = classes.join(keep, Seq("score"))
+    val mems = groups.select(col("rep_id"), col("mids"))
+    val cross = kept.where(col("ra") =!= col("rb"))
+      .join(mems.select(col("rep_id").as("ra"), col("mids").as("ma")), "ra")
+      .join(mems.select(col("rep_id").as("rb"), col("mids").as("mb")), "rb")
+      .select(col("score"), explode(col("ma")).as("x"), col("mb"))
+      .select(col("score"), col("x"), explode(col("mb")).as("y"))
+      .select(col("score"), least(col("x"), col("y")).as("vec_a"),
+        greatest(col("x"), col("y")).as("vec_b"))
+    val within = kept.where(col("ra") === col("rb"))
+      .join(mems.select(col("rep_id").as("ra"), col("mids").as("ma")), "ra")
+      .select(col("score"), explode(col("ma")).as("x"), col("ma"))
+      .select(col("score"), col("x"), explode(col("ma")).as("y"))
+      .where(col("x") < col("y"))
+      .select(col("score"), col("x").as("vec_a"), col("y").as("vec_b"))
+    val cand = cross.unionByName(within)
+    // ORIGINAL tail verbatim: identical selection semantics
+    val w = Window.orderBy(col("score").desc, col("vec_a"), col("vec_b"))
+    cand.orderBy(col("score").desc, col("vec_a"), col("vec_b")).limit(k)
       .select(row_number().over(w).as("rank"), col("vec_a"), col("vec_b"))
       .orderBy(col("rank"))
   }

@@ -656,6 +656,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("top pairs: identical-vector collapse is bit-identical to the " +
+    "uncollapsed kernel across k and partition layouts") {
+    // planted dup clusters (sizes 1/2/3/5) over deterministic vectors,
+    // non-dense ids so rep selection is exercised off the identity layout
+    val rnd = new scala.util.Random(7)
+    val distinct = (0 until 12).map(_ => Array.fill(8)(rnd.nextFloat()))
+    val sizes = Seq(5, 1, 3, 2, 1, 2, 1, 3, 1, 2, 5, 1)
+    var id = 3L
+    val rows = distinct.zip(sizes).flatMap { case (v, c) =>
+      (0 until c).map { _ => id += 7; (id, v, 0) }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    for (k <- Seq(1, 3, 10, 40, 200); parts <- Seq(1, 5)) {
+      val src = if (parts == 1) df else df.repartition(parts)
+      val a = SimilarityOps.topPairs(src, k, collapseExact = true)
+        .collect().map(_.toSeq)
+      val b = SimilarityOps.topPairs(src, k, collapseExact = false)
+        .collect().map(_.toSeq)
+      assert(a.nonEmpty && a.toSeq === b.toSeq, s"k=$k parts=$parts")
+    }
+  }
+
   test("brute-force baselines refuse oversized inputs: the row-count " +
     "guard trips BEFORE any driver collect, naming the scale path") {
     val vecs = (0L until 8L).map(i => (i, Array(i.toFloat, 1f, 0f, 0f)))
@@ -2122,6 +2144,40 @@ class OpsSpec extends AnyFunSuite {
   test("dup clusters: empty pair set yields empty output") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupOps.dupClusters(empty).collect().isEmpty)
+  }
+
+  test("dupClustersOverDocs (rep-level CC) is row-identical to " +
+    "dupClusters(minhashLsh(docs)) on a planted dup-cluster corpus") {
+    // planted classes: an ISOLATED identical cluster (no cross pairs —
+    // the lonely-dup-group path), an identical cluster bridged to a
+    // singleton near-dup (cross-pair path), a near-dup pair of distinct
+    // texts, and unique docs that must be absent; non-dense ids so the
+    // min-rep labeling is exercised off the identity layout
+    val body = "the quick brown fox jumps over the lazy dog again " * 3
+    val other = "completely different content words that share nothing " +
+      "with the fox sentences at all zzz qqq www eee rrr ttt yyy uuu"
+    val nearBody = body + "tail"
+    val docs = Seq(
+      (31L, body), (7L, body), (55L, body),      // isolated dup cluster
+      (12L, other), (40L, other),                // dup cluster...
+      (9L, other + " x"),                        // ...bridged by near-dup
+      (2L, "wholly unique text one with its own words abc def ghi"),
+      (99L, "another unique island of text jkl mno pqr stu vwx")
+    ).toDF("doc_id", "text")
+    val _ = nearBody // (a bridged-in near-dup variant tried first ties
+    // the fox cluster to 77 — kept the cluster isolated instead so the
+    // lonely-dup-group path is exercised)
+    val a = DedupOps.dupClustersOverDocs(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = DedupOps.dupClusters(DedupOps.minhashLsh(docs))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+    // the isolated cluster is present and labeled by its min id
+    val byDoc = a.map(r => r.head.asInstanceOf[Long] ->
+      (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])).toMap
+    assert(byDoc(31L)._1 === 7L && byDoc(31L)._2 === 3L)
+    // unique docs with no pairs are absent
+    assert(!byDoc.contains(2L) && !byDoc.contains(99L))
   }
 
   test("incremental CC equals from-scratch CC: delta edges bridge " +
