@@ -356,8 +356,10 @@ object SimilarityOps {
     * Catalyst/DuckDB sequential folds. */
   def topPairs(emb: DataFrame, k: Int = 100,
                maxBroadcastRows: Long = BruteRowLimit,
-               collapseExact: Boolean = true): DataFrame = {
-    if (collapseExact) return topPairsCollapsed(emb, k, maxBroadcastRows)
+               collapseExact: Boolean = true,
+               collapseFloor: Int = 16384): DataFrame = {
+    if (collapseExact)
+      return topPairsCollapsed(emb, k, maxBroadcastRows, collapseFloor)
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long"),
@@ -423,27 +425,102 @@ object SimilarityOps {
     * identical scores. Per-class member expansion is output-tie-bounded
     * (the boundary level expands fully — the answer's own tie set).
     * Compute: O(D²) scores twice instead of O(N²) once; the broadcast
-    * side shrinks to one array per distinct vector. */
+    * side shrinks to one array per distinct vector.
+    *
+    * ADAPTIVE (r6): the grouping happens on the DRIVER over the single
+    * collect the brute contract already pays (content-keyed, zero extra
+    * Spark jobs), and the collapsed kernel only runs when it wins by
+    * the exact cost rule 2·D² < N² — on a dup-free corpus the original
+    * kernel runs verbatim (measured: the always-collapse form cost p12
+    * ~1.0 s of pure machinery at sf0.1 where D = N). Both branches are
+    * bit-identical (spec-pinned), so the branch predicate only picks
+    * the cheaper plan. */
   private def topPairsCollapsed(emb: DataFrame, k: Int,
-                                maxBroadcastRows: Long): DataFrame = {
+                                maxBroadcastRows: Long,
+                                collapseFloor: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     guardBruteContract("topPairs", emb, maxBroadcastRows,
       "embeddingNearDups (LSH-banded near-dup pairs)")
-    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
-    val groups = vecs.groupBy(col("e"))
-      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("csize"),
-        sort_array(collect_list(col("vec_id"))).as("mids"))
-    val reps = groups.select(col("rep_id"), col("e"), col("csize"))
-      .as[(Long, Array[Double], Long)]
-    val side = reps.collect().sortBy(_._1) // brute contract, reps only
+    val vecs = emb.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1) // brute contract's one collect
+    // driver-side identical-vector grouping: ids arrive sorted, so each
+    // group's first member is its min-id rep and mids stay sorted
+    val groupOf = new java.util.LinkedHashMap[scala.collection.immutable.ArraySeq[Double],
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    val arrOf = new java.util.HashMap[Long, Array[Double]]()
+    all.foreach { case (id, e) =>
+      val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(e)
+      var b = groupOf.get(key)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        groupOf.put(key, b); arrOf.put(id, e) }
+      b += id
+    }
+    val nTotal = all.length.toLong
+    val dCount = groupOf.size.toLong
+    // collapse only when the kernel saving clears the collapsed path's
+    // fixed stage overhead (~6 extra exchanges for class selection +
+    // member enumeration): below the floor the N² kernel is already
+    // sub-second and the brute plan is the cheaper one. The fallback
+    // reuses THIS collect (re-entering the public path would re-pay the
+    // guard job and the collect — measured +0.5 s at sf0.1).
+    if (nTotal < collapseFloor ||
+        2.0 * dCount * dCount >= nTotal.toDouble * nTotal) {
+      val ids0 = all.map(_._1)
+      val es0 = all.map(_._2)
+      val norms0 = es0.map(norm)
+      val bc0 = spark.sparkContext.broadcast((ids0, es0, norms0))
+      val partial = vecs.mapPartitions { it =>
+        val (ids, es, norms) = bc0.value
+        var heap: TopK.Buf = (Array.empty, Array.empty, Array.empty)
+        it.foreach { case (aId, ae) =>
+          val an = norm(ae)
+          var j = 0
+          while (j < ids.length) {
+            if (ids(j) > aId) {
+              val be = es(j)
+              var dot = 0.0
+              var i = 0
+              while (i < ae.length) { dot += ae(i) * be(i); i += 1 }
+              heap = TopK.insertPublic(k, heap, dot / (an * norms(j)),
+                aId, ids(j))
+            }
+            j += 1
+          }
+        }
+        Iterator.single(heap)
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.orderBy(col("score").desc, col("vec_a"), col("vec_b"))
+      return partial
+        .flatMap(h => h._1.indices.map(i => (h._1(i), h._2(i), h._3(i))))
+        .toDF("score", "vec_a", "vec_b")
+        .orderBy(col("score").desc, col("vec_a"), col("vec_b")).limit(k)
+        .select(row_number().over(w0).as("rank"), col("vec_a"), col("vec_b"))
+        .orderBy(col("rank"))
+    }
+
+    val groupArr = new Array[(Long, Array[Double], Long, Array[Long])](groupOf.size)
+    locally {
+      var gi = 0
+      val it = groupOf.entrySet().iterator()
+      while (it.hasNext) {
+        val ent = it.next()
+        val mids = ent.getValue.toArray
+        groupArr(gi) = (mids.head, ent.getKey.unsafeArray.asInstanceOf[Array[Double]],
+          mids.length.toLong, mids)
+        gi += 1
+      }
+    }
+    val side = groupArr.sortBy(_._1)
     val ids = side.map(_._1)
     val es = side.map(_._2)
     val csz = side.map(_._3)
     val norms = es.map(norm)
     val bc = spark.sparkContext.broadcast((ids, es, norms, csz))
     val kk = k
+    val reps = spark.createDataset(side.toSeq.map(g => (g._1, g._2, g._3)))
     val classes = reps.mapPartitions { it =>
       val (ids, es, norms, csz) = bc.value
       val rows = it.toArray
@@ -513,7 +590,8 @@ object SimilarityOps {
       .where(col("before") < kk)
       .select(col("score"))
     val kept = classes.join(keep, Seq("score"))
-    val mems = groups.select(col("rep_id"), col("mids"))
+    val mems = spark.createDataset(side.toSeq.map(g => (g._1, g._4.toSeq)))
+      .toDF("rep_id", "mids")
     val cross = kept.where(col("ra") =!= col("rb"))
       .join(mems.select(col("rep_id").as("ra"), col("mids").as("ma")), "ra")
       .join(mems.select(col("rep_id").as("rb"), col("mids").as("mb")), "rb")

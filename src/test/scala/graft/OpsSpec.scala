@@ -670,7 +670,8 @@ class OpsSpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "embedding", "label")
     for (k <- Seq(1, 3, 10, 40, 200); parts <- Seq(1, 5)) {
       val src = if (parts == 1) df else df.repartition(parts)
-      val a = SimilarityOps.topPairs(src, k, collapseExact = true)
+      val a = SimilarityOps.topPairs(src, k, collapseExact = true,
+          collapseFloor = 0) // force the collapsed branch despite tiny N
         .collect().map(_.toSeq)
       val b = SimilarityOps.topPairs(src, k, collapseExact = false)
         .collect().map(_.toSeq)
