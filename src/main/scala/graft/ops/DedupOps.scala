@@ -880,8 +880,21 @@ object DedupOps {
     * collapse's ~25 M expanded in-cluster edges never being built here. */
   def dupClustersOverDocs(df: DataFrame, w: Int = 3, bands: Int = 32,
                           rowsPerBand: Int = 3, minJaccardPct: Int = 60,
-                          maxIterations: Int = 25): DataFrame = {
+                          maxIterations: Int = 25,
+                          collapseRatio: Double = 0.7): DataFrame = {
     val (repDocs, members, stats) = textGroupsSized(df)
+    // ADAPTIVE (r6, the topPairs lesson): the rep-level path adds ~4
+    // exchanges of label-expansion machinery, which only pays for itself
+    // when duplication is real — on a dup-light corpus the classic
+    // composition is the cheaper plan. One tiny agg decides; both
+    // branches are row-identical (spec-pinned), so the predicate only
+    // picks the plan.
+    val cnt = stats.agg(count(lit(1)).as("d"), sum(col("csize")).as("n"))
+      .head()
+    val (dCount, nTotal) = (cnt.getLong(0), cnt.getLong(1))
+    if (dCount > collapseRatio * nTotal)
+      return dupClusters(minhashLsh(df, w, bands, rowsPerBand,
+        minJaccardPct), maxIterations)
     val repPairs = minhashLsh(repDocs, w, bands, rowsPerBand, minJaccardPct,
       collapseExact = false)
     val inPairs = dupClusters(repPairs, maxIterations)

@@ -2173,6 +2173,11 @@ class OpsSpec extends AnyFunSuite {
     val b = DedupOps.dupClusters(DedupOps.minhashLsh(docs))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.nonEmpty && a.toSeq === b.toSeq)
+    // the adaptive fallback branch (dup-light → classic composition) is
+    // row-identical too: ratio 0 forces it on this corpus
+    val c = DedupOps.dupClustersOverDocs(docs, collapseRatio = 0.0)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(c.toSeq === b.toSeq)
     // the isolated cluster is present and labeled by its min id
     val byDoc = a.map(r => r.head.asInstanceOf[Long] ->
       (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])).toMap
